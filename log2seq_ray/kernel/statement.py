@@ -1,0 +1,287 @@
+"""Compiled statement kernel: action specs → a fast per-row callable.
+
+``compile_actions(specs)`` returns a function ``str -> (words, symbols)``
+implementing the reference's flag state machine (SURVEY §2.4,
+``/root/reference/log2seq/statement.py:87-112``) without generator chains:
+each action is compiled to a list-in/list-out applier over ``(str, flag)``
+pairs, and the finalizer reproduces ``_separate``
+(``/root/reference/log2seq/statement.py:56-85``) including the
+``len(symbols) == len(words) + 1`` invariant and lossless byte
+reconstruction.
+
+This kernel is the per-row hot path inside ``map_batches``; compile once per
+actor (``__init__``), call per row. Regexes are precompiled; FixIP carries
+an exactness-preserving charset fast path on top of the reference's
+"contains '.' or ':'" check.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from typing import Callable, Iterable
+
+from ..rules import actions as A
+
+U, F, S = 0, 1, 2  # UNKNOWN / FIXED / SEPARATOR part flags
+
+
+def _finalize(parts) -> tuple[list[str], list[str]]:
+    """Parts stream → (words, symbols); mirrors the reference ``_separate``:
+    drop empty words, insert empty separators between adjacent words, merge
+    adjacent separators, leading/trailing separator always present."""
+    words: list[str] = []
+    syms: list[str] = []
+    prev_word = True
+    for s, f in parts:
+        if f == S:
+            if prev_word:
+                syms.append(s)
+            else:
+                syms[-1] += s
+            prev_word = False
+        else:
+            if s == "":
+                prev_word = True
+                continue
+            if prev_word:
+                syms.append("")
+            words.append(s)
+            prev_word = True
+    if prev_word:
+        syms.append("")
+    return words, syms
+
+
+# ---------------------------------------------------------------------------
+# per-action compilers
+# ---------------------------------------------------------------------------
+
+def _compile_split(separators: str) -> Callable:
+    # one capture of the whole separator run: re.split alternates
+    # [tok, sep, tok, sep, ..., tok]; equivalent segmentation to the
+    # reference's finditer over ([c])+ runs.
+    rx = re.compile(r"([" + re.escape(separators) + r"]+)")
+    split = rx.split
+
+    def do(parts):
+        out = []
+        append = out.append
+        for p in parts:
+            s, f = p
+            if f == U and s:
+                pieces = split(s)
+                for i, piece in enumerate(pieces):
+                    if i & 1:
+                        append((piece, S))
+                    elif piece:
+                        append((piece, U))
+            else:
+                append(p)
+        return out
+
+    return do
+
+
+def _compile_flagger(patterns: Iterable[str], new_flag: int) -> Callable:
+    # one alternation regex == "any pattern matches" (same acceptance as the
+    # reference's per-pattern loop, /root/reference/log2seq/statement.py:160-166)
+    pats = list(patterns)
+    if len(pats) == 1:
+        match = re.compile(pats[0]).match
+    else:
+        match = re.compile("|".join(f"(?:{p})" for p in pats)).match
+
+    def do(parts):
+        out = []
+        append = out.append
+        for p in parts:
+            s, f = p
+            if f == U and s and match(s):
+                append((s, new_flag))
+            else:
+                append(p)
+        return out
+
+    return do
+
+
+_IP_CHARSET = re.compile(r"[^0-9a-fA-F.:/%]")
+# exact dotted-quad IPv4 (four 0-255 octets, no leading zeros) — precisely
+# the strings ipaddress.IPv4Address accepts, as a fast-accept path
+_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_IPV4_EXACT = re.compile(rf"{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}$").match
+
+
+def _is_ip(s: str, addr: bool, net: bool) -> bool:
+    # reference fast path: no '.' and no ':' → never an IP
+    # (/root/reference/log2seq/statement.py:449-453)
+    if "." not in s and ":" not in s:
+        return False
+    # fast-accept the overwhelmingly common case (plain IPv4 address)
+    if addr and _IPV4_EXACT(s):
+        return True
+    # extra exactness-preserving fast path: a valid address/network uses only
+    # [0-9a-fA-F.:/] — except IPv6 zone ids ("fe80::1%eth0"), which contain
+    # '%'; anything else cannot parse, so skip the (slow) exception path.
+    if "%" not in s and _IP_CHARSET.search(s):
+        return False
+    if addr:
+        try:
+            ipaddress.ip_address(s)
+            return True
+        except ValueError:
+            pass
+    if net and "/" in s:
+        try:
+            ipaddress.ip_network(s, strict=False)
+            return True
+        except ValueError:
+            pass
+    return False
+
+
+def _compile_fixip(spec: A.FixIP) -> Callable:
+    addr, net = spec.address, spec.network
+
+    def do(parts):
+        out = []
+        append = out.append
+        for p in parts:
+            s, f = p
+            if f == U and s and _is_ip(s, addr, net):
+                append((s, F))
+            else:
+                append(p)
+        return out
+
+    return do
+
+
+def _split_by_groups(s: str, mo, group_flags, other_flag: int) -> list:
+    """Split one part by the named-group spans of a match, labeling group
+    spans with their flags and gaps with ``other_flag``; group spans ordered
+    by start; overlap → ValueError (mirrors ``_separate_partial_match``,
+    ``/root/reference/log2seq/statement.py:243-264``)."""
+    out = []
+    cur = 0
+    spans = []
+    for g, fl in group_flags:
+        st = mo.start(g)
+        if st != -1:
+            spans.append((st, mo.end(g), fl))
+    spans.sort()
+    for st, en, fl in spans:
+        if st < cur:
+            raise ValueError("Invalid pattern with duplicated name groups")
+        if st > cur:
+            out.append((s[cur:st], other_flag))
+        out.append((s[st:en], fl))
+        cur = en
+    if cur < len(s):
+        out.append((s[cur:], other_flag))
+    return out
+
+
+def _compile_partial(patterns, group_flags, other_flag: int,
+                     recursive: bool) -> Callable:
+    regs = [re.compile(p) for p in patterns]
+    gf = tuple(group_flags)
+
+    def apply_one(s, f, rx, out):
+        mo = rx.match(s)
+        if mo is None:
+            out.append((s, f))
+            return
+        segs = _split_by_groups(s, mo, gf, other_flag)
+        if not recursive:
+            out.extend(segs)
+            return
+        for seg_s, seg_f in segs:
+            if seg_f == other_flag:
+                # recurse into the "rest" segments (the reference recurses on
+                # parts labeled flag_other, /root/reference/log2seq/statement.py:224-241)
+                apply_one(seg_s, seg_f, rx, out)
+            else:
+                out.append((seg_s, seg_f))
+
+    def do(parts):
+        for rx in regs:
+            nxt = []
+            for s, f in parts:
+                if f == U and s:
+                    apply_one(s, f, rx, nxt)
+                else:
+                    nxt.append((s, f))
+            parts = nxt
+        return parts
+
+    return do
+
+
+def _paren_pattern(left: str, right: str) -> str:
+    return (r"^.*?(?P<left>" + re.escape(left) + r")(?P<fix>.+?)"
+            r"(?P<right>" + re.escape(right) + r").*$")
+
+
+def _compile_conditional_split(spec: A.ConditionalSplit) -> Callable:
+    preds = [re.compile(p).match for p in spec.patterns]
+    rx = re.compile(r"([" + re.escape(spec.separators) + r"]+)")
+    split = rx.split
+
+    def do(parts):
+        out = []
+        append = out.append
+        for p in parts:
+            s, f = p
+            if f == U and s and any(m(s) for m in preds):
+                pieces = split(s)
+                for i, piece in enumerate(pieces):
+                    if i & 1:
+                        append((piece, S))
+                    elif piece:
+                        append((piece, U))
+            else:
+                append(p)
+        return out
+
+    return do
+
+
+def compile_action(spec) -> Callable:
+    if isinstance(spec, A.Split):
+        return _compile_split(spec.separators)
+    if isinstance(spec, A.Fix):
+        return _compile_flagger(spec.patterns, F)
+    if isinstance(spec, A.Remove):
+        return _compile_flagger(spec.patterns, S)
+    if isinstance(spec, A.FixIP):
+        return _compile_fixip(spec)
+    if isinstance(spec, A.FixPartial):
+        gf = ([(g, F) for g in spec.fix_groups]
+              + [(g, S) for g in spec.remove_groups])
+        other = S if spec.rest_remove else U
+        return _compile_partial(spec.patterns, gf, other, spec.recursive)
+    if isinstance(spec, A.FixParenthesis):
+        pats = [_paren_pattern(l, r) for l, r in spec.pairs]
+        gf = [("fix", F), ("left", S), ("right", S)]
+        return _compile_partial(pats, gf, U, spec.recursive)
+    if isinstance(spec, A.RemovePartial):
+        gf = [(g, S) for g in spec.remove_groups]
+        return _compile_partial(spec.patterns, gf, U, spec.recursive)
+    if isinstance(spec, A.ConditionalSplit):
+        return _compile_conditional_split(spec)
+    raise TypeError(f"unknown action spec: {type(spec)!r}")
+
+
+def compile_actions(specs) -> Callable[[str], tuple[list[str], list[str]]]:
+    """Compile an ordered action chain into ``str -> (words, symbols)``."""
+    chain = [compile_action(s) for s in specs]
+
+    def parse_statement(statement: str) -> tuple[list[str], list[str]]:
+        parts = [(statement, U)]
+        for act in chain:
+            parts = act(parts)
+        return _finalize(parts)
+
+    return parse_statement
