@@ -114,6 +114,16 @@ class FusedFlagshipStage:
     def _process(self, batch: pa.Table) -> pa.Table:
         t = self.parse(batch)
         t = self.enrich(t)
+        # dead-letter route: rows the header cascade could not parse keep
+        # their bytes and are fanned out to route=__deadletter__ (the
+        # engine's ignore_failure + failure sink, SURVEY §2.1 S7 / §2.2 H5)
+        err = t.column("error")
+        if err.null_count < len(t):
+            route = pc.if_else(pc.is_valid(err),
+                               pa.scalar("__deadletter__"),
+                               t.column("route"))
+            t = t.set_column(t.schema.get_field_index("route"),
+                             "route", route)
         t = add_template(t)
         if self.writer is not None:
             self.writer(t)

@@ -175,6 +175,104 @@ def q_doc_prefix_counts(sf_dir: str):
         .groupby("prefix").aggregate(Sum("partial_n", alias_name="n"))
 
 
+def q_tokens_exploded(sf_dir: str):
+    """Engine tokenizer (Split(' ') statement semantics) exploded to
+    (doc_id, pos, token) rows — position-exact oracle for segmentation."""
+    from .ops.text import _token_lists
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column("text"))
+        parents = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        starts = np.repeat(offsets[:-1], np.diff(offsets))
+        pos = np.arange(len(flat), dtype=np.int64) - starts + 1
+        return pa.table({
+            "doc_id": b.column("doc_id").take(parents),
+            "pos": pa.array(pos, type=pa.int64()),
+            "token": flat,
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based (30 min) session windows per user: n_sessions, n_events."""
+    from .ops.windows import session_counts
+    return session_counts(_events(sf_dir, ["user_id", "ts"]),
+                          gap_sec=1800)
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact count-distinct users per event_type (two-phase)."""
+    from .ops.windows import distinct_counts
+    return distinct_counts(_events(sf_dir, ["event_type", "user_id"]),
+                           "event_type", "user_id")
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast join: orders ⋈ customer ⋈ nation (both small sides shipped
+    once via ray.put) → orders per nation."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from .ops.join import broadcast_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    orders = _orders(sf_dir, ["o_custkey"])
+    j = broadcast_join(orders, cust.rename_columns(["o_custkey",
+                                                    "c_nationkey"]),
+                       "o_custkey")
+    j = broadcast_join(j, nation.rename_columns(["c_nationkey", "n_name"]),
+                       "c_nationkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["n_name"]).group_by(["n_name"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "partial_n": g.column("count_all")})
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("partial_n", alias_name="n"))
+
+
+def q_lineitem_join(sf_dir: str):
+    """Partitioned hash join: lineitem ⋈ orders on orderkey (both sides
+    large, bucket co-partitioning) → rows + quantity by order status."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from .ops.join import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = _orders(sf_dir, ["o_orderkey", "o_orderstatus"])
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+        })
+        g = t.group_by(["o_orderstatus"]).aggregate(
+            [("qty", "sum"), ([], "count_all")])
+        return pa.table({"o_orderstatus": g.column("o_orderstatus"),
+                         "partial_q": g.column("qty_sum"),
+                         "partial_n": g.column("count_all")})
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderstatus").aggregate(
+            Sum("partial_q", alias_name="sum_qty"),
+            Sum("partial_n", alias_name="n"))
+
+
+def _orders(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=columns)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: streaming parse pipeline, LSH,
 # heuristics, stubs)
@@ -236,6 +334,11 @@ QUERIES = {
     "parse_events": q_parse_events,
     "knn_cosine": q_knn_cosine,
     "doc_prefix_counts": q_doc_prefix_counts,
+    "tokens_exploded": q_tokens_exploded,
+    "sessions": q_sessions,
+    "distinct_users": q_distinct_users,
+    "orders_by_nation": q_orders_by_nation,
+    "lineitem_join": q_lineitem_join,
     # rows-only
     "flagship_template_counts": q_flagship,
     "minhash_dedup": q_minhash_dedup,
@@ -319,5 +422,49 @@ ORACLE_SQL = {
         SELECT array_to_string(list_slice({_TOKENS}, 1, 3), ' ') AS prefix,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM documents GROUP BY 1
+    """,
+    "tokens_exploded": f"""
+        SELECT doc_id,
+               CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+               unnest(toks) AS token
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+    """,
+    "sessions": """
+        SELECT user_id,
+               CAST(MAX(sess) AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+            SELECT user_id,
+                   SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+            FROM (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts) IS NULL
+                                 OR date_diff('microsecond',
+                                     lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts), ts)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS newsess
+                FROM events))
+        GROUP BY user_id
+    """,
+    "distinct_users": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    "orders_by_nation": """
+        SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "lineitem_join": """
+        SELECT o.o_orderstatus,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
     """,
 }

@@ -212,3 +212,61 @@ def test_knn_self_neighbor(ray_session):
     sims[0] = -np.inf
     assert out[(out.query_id == 0) & (out["rank"] == 1)].vec_id.iloc[0] == \
         int(np.argmax(sims))
+
+
+def test_deadletter_route(ray_session, tmp_path):
+    """Unparseable lines fan out to route=__deadletter__ with bytes kept."""
+    import ray.data as rd
+    from log2seq_ray.pipelines.flagship import FusedFlagshipStage
+    from log2seq_ray.sources.webpages import flagship_header_rules
+    from log2seq_ray.rules.presets import default_statement_actions
+    st = FusedFlagshipStage(flagship_header_rules(),
+                            default_statement_actions(),
+                            sink_dir=str(tmp_path))
+    batch = pa.table({"url": ["u1", "u2"], "lang": ["en", "en"],
+                      "text": ["Jan  1 12:00:00 h app[1]: ok line",
+                               "@@@ not parseable @@@"]})
+    partials = st(batch)
+    routes = set(partials.column("route").to_pylist())
+    assert "__deadletter__" in routes
+    assert (tmp_path / "route=__deadletter__").exists()
+
+
+def test_broadcast_join(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.join import broadcast_join
+    big = rd.from_arrow(pa.table({"k": [1, 2, 3, 9], "v": list("abcd")}))
+    small = pa.table({"k": [1, 2, 3], "name": ["x", "y", "z"]})
+    out = broadcast_join(big, small, "k").to_pandas().sort_values("k")
+    assert list(out["name"]) == ["x", "y", "z", None]
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from log2seq_ray.ops.join import hash_join
+    rng = np.random.default_rng(5)
+    l = pd.DataFrame({"lk": rng.integers(0, 50, 300),
+                      "lv": rng.integers(0, 9, 300)})
+    r = pd.DataFrame({"rk": np.arange(50), "rv": rng.integers(0, 9, 50)})
+    out = hash_join(rd.from_pandas(l), rd.from_pandas(r),
+                    "lk", "rk", num_buckets=4).to_pandas()
+    exp = l.merge(r, left_on="lk", right_on="rk")
+    assert len(out) == len(exp)
+    assert out["lv"].sum() == exp["lv"].sum()
+
+
+def test_session_counts(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from log2seq_ray.ops.windows import session_counts
+    base = dt.datetime(2024, 1, 1)
+    rows = [{"user_id": 1, "ts": base},
+            {"user_id": 1, "ts": base + dt.timedelta(seconds=10)},
+            {"user_id": 1, "ts": base + dt.timedelta(seconds=5000)},
+            {"user_id": 2, "ts": base}]
+    out = session_counts(rd.from_items(rows), gap_sec=1800).to_pandas()
+    out = out.set_index("user_id")
+    assert out.loc[1, "n_sessions"] == 2
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[2, "n_sessions"] == 1
