@@ -175,6 +175,40 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def minhash_clusters(ds, threshold: float = 0.8, **kw):
+    """Near-dup clusters: verified pairs → connected components →
+    (doc_id, cluster_id = min doc_id of component), survivors =
+    cluster representatives.
+
+    The component step runs driver-side union-find over the VERIFIED pair
+    set only — bounded by true near-dup volume, not corpus size (the LSH
+    bucching already shrank candidates; at 10^12 rows swap this step for a
+    few rounds of min-label propagation: explode pairs to (id, label) rows,
+    groupby(id).min, join back, repeat until fixpoint).
+    """
+    import pandas as pd
+    pairs = minhash_dedup(ds, threshold=threshold, **kw)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs.itertuples(index=False):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted({x for p in pairs.itertuples(index=False)
+                      for x in (p.id_a, p.id_b)})
+    return pd.DataFrame({
+        "doc_id": pd.Series(members, dtype="int64"),
+        "cluster_id": pd.Series([find(m) for m in members], dtype="int64"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

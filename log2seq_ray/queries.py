@@ -273,6 +273,24 @@ def _orders(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=columns)
 
 
+def q_normalize_text(sf_dir: str):
+    """Vectorized lowercase+NFC text normalization (cleanup stage)."""
+    from .ops.normalize import normalize_text
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        normalize_text, batch_format="pyarrow") \
+        .select_columns(["doc_id", "text_norm"])
+
+
+def q_strip_html(sf_dir: str):
+    """HTML tag stripping over the synthesized web corpus's binary html
+    column (rows-only: the corpus is derived, not a registered view)."""
+    from .ops.normalize import strip_html
+    from .sources.webpages import read_webpages
+    return read_webpages(sf_dir).map_batches(
+        strip_html, batch_format="pyarrow") \
+        .select_columns(["url", "html_text"])
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: streaming parse pipeline, LSH,
 # heuristics, stubs)
@@ -287,6 +305,12 @@ def q_flagship(sf_dir: str):
 def q_minhash_dedup(sf_dir: str):
     from .ops.dedup import minhash_dedup
     return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
+def q_minhash_clusters(sf_dir: str):
+    from .ops.dedup import minhash_clusters
+    return minhash_clusters(_docs(sf_dir, ["doc_id", "text"]),
+                            threshold=0.5)
 
 
 def q_simhash(sf_dir: str):
@@ -339,9 +363,12 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "orders_by_nation": q_orders_by_nation,
     "lineitem_join": q_lineitem_join,
+    "normalize_text": q_normalize_text,
     # rows-only
+    "strip_html": q_strip_html,
     "flagship_template_counts": q_flagship,
     "minhash_dedup": q_minhash_dedup,
+    "minhash_clusters": q_minhash_clusters,
     "simhash": q_simhash,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
@@ -466,5 +493,8 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderstatus
+    """,
+    "normalize_text": """
+        SELECT doc_id, lower(text) AS text_norm FROM documents
     """,
 }

@@ -270,3 +270,26 @@ def test_session_counts(ray_session):
     assert out.loc[1, "n_sessions"] == 2
     assert out.loc[1, "n_events"] == 3
     assert out.loc[2, "n_sessions"] == 1
+
+
+def test_strip_html_and_normalize():
+    from log2seq_ray.ops.normalize import strip_html, normalize_text
+    b = pa.table({"html": [b"<html><body>Hello  <b>World</b></body></html>",
+                           b"plain"],
+                  "text": ["HeLLo WÉrld", "abc"]})
+    out = strip_html(b)
+    assert out.column("html_text").to_pylist() == ["Hello World", "plain"]
+    out = normalize_text(b)
+    assert out.column("text_norm").to_pylist() == ["hello wérld", "abc"]
+
+
+def test_minhash_clusters(ray_session):
+    import ray.data as rd
+    base = "the quick brown fox jumps over the lazy dog and then some more"
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, base + " x", base + " y", "completely different text about nothing at all here"]})
+    from log2seq_ray.ops.dedup import minhash_clusters
+    out = minhash_clusters(rd.from_arrow(docs), threshold=0.5)
+    assert set(out["cluster_id"]) == {1}          # 1,2,3 cluster to min id 1
+    assert 4 not in set(out["doc_id"])            # singleton not listed
