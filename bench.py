@@ -83,12 +83,27 @@ def run_benchmarks() -> dict:
 
     # operator suite (same sf dir); skipped in scaling sub-runs
     if not os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
+        # flagship again with the routed per-sink parquet writers active
+        import shutil
+        import tempfile
+        sink = tempfile.mkdtemp(prefix="l2sr_sink_")
+        timed("flagship_with_sink", lambda: flagship.run(
+            SF_DIR, cpus=NUM_CPUS, corpus_dir=corpus_dir,
+            sink_dir=sink).to_pandas())
+        shutil.rmtree(sink, ignore_errors=True)
         timed("token_stats", lambda: Q.q_token_stats(SF_DIR).to_pandas())
         timed("exact_dedup", lambda: Q.q_exact_dedup(SF_DIR).to_pandas())
         timed("minhash_dedup", lambda: Q.q_minhash_dedup(SF_DIR))
         timed("knn_cosine", lambda: Q.q_knn_cosine(SF_DIR))
         timed("events_hourly", lambda: Q.q_events_hourly(SF_DIR).to_pandas())
         timed("parse_events", lambda: Q.q_parse_events(SF_DIR).to_pandas())
+        timed("sessions", lambda: Q.q_sessions(SF_DIR).to_pandas())
+        timed("orders_by_nation",
+              lambda: Q.q_orders_by_nation(SF_DIR).to_pandas())
+        timed("lineitem_join",
+              lambda: Q.q_lineitem_join(SF_DIR).to_pandas())
+        timed("normalize_text",
+              lambda: Q.q_normalize_text(SF_DIR).to_pandas())
 
     ray.shutdown()
     headline = timings["flagship"]

@@ -109,6 +109,8 @@ def main(argv=None) -> int:
                     help="parse input as statements (skip header stage)")
     ap.add_argument("--failures-only", action="store_true")
     ap.add_argument("--max-failures", type=int, default=5)
+    ap.add_argument("--show-input", "-i", action="store_true",
+                    help="prefix each successful result with the input line")
     ap.add_argument("--year", type=int, default=2024)
     args = ap.parse_args(argv)
 
@@ -144,7 +146,7 @@ def main(argv=None) -> int:
                 tbl = parser.parse_lines(arr)
                 errors = tbl.column("error").to_pylist()
             rows = tbl.to_pylist()
-            for row, err in zip(rows, errors):
+            for raw, row, err in zip(batch, rows, errors):
                 if err == "empty line":
                     continue
                 if err is not None:
@@ -162,6 +164,8 @@ def main(argv=None) -> int:
                     continue  # batched below
                 text = (" ".join(row["words"] or [])
                         if args.format_type == "words" else str(row))
+                if args.show_input:
+                    print(raw.rstrip("\r\n"), file=f_out or sys.stdout)
                 print(text, file=f_out or sys.stdout)
             if args.output and args.output.endswith(".parquet"):
                 mask = pa.array([e is None for e in errors])

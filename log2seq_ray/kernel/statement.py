@@ -64,6 +64,30 @@ def _compile_split(separators: str) -> Callable:
     rx = re.compile(r"([" + re.escape(separators) + r"]+)")
     split = rx.split
 
+    if len(separators) == 1:
+        # hot case (e.g. the preset's trailing Split(":")): a C-level
+        # `find` guard skips the regex machinery for the many parts that
+        # contain no separator at all
+        sep = separators
+
+        def do(parts):
+            out = []
+            append = out.append
+            for p in parts:
+                s, f = p
+                if f == U and s and sep in s:
+                    pieces = split(s)
+                    for i, piece in enumerate(pieces):
+                        if i & 1:
+                            append((piece, S))
+                        elif piece:
+                            append((piece, U))
+                else:
+                    append(p)
+            return out
+
+        return do
+
     def do(parts):
         out = []
         append = out.append
