@@ -273,6 +273,35 @@ def _orders(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=columns)
 
 
+def q_asof_prev_error(sf_dir: str):
+    """As-of join: for each purchase event, the most recent earlier error
+    event of the same user (bucketed merge_asof)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    from .ops.asof import asof_join
+    purchases = ds.filter(expr="event_type == 'purchase'") \
+        .drop_columns(["event_type"])
+    errors = ds.filter(expr="event_type == 'error'") \
+        .drop_columns(["event_type", "event_id"])
+    out = asof_join(purchases, errors, key="user_id", ts_col="ts",
+                    right_cols=[])
+    # inner semantics (drop unmatched) so the comparison carries no null
+    # timestamps — driver value-hashing of NaT vs None is representation-
+    # dependent
+    out = out.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("ts_prev"))),
+        batch_format="pyarrow")
+    return out.select_columns(["event_id", "ts_prev"])
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Top-2 events by value per user (deterministic tie-break)."""
+    from .ops.asof import top_k_per_group
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+    out = top_k_per_group(ds, "user_id", "value", k=2,
+                          tiebreak="event_id")
+    return out.select_columns(["user_id", "event_id", "rank"])
+
+
 def q_normalize_text(sf_dir: str):
     """Vectorized lowercase+NFC text normalization (cleanup stage)."""
     from .ops.normalize import normalize_text
@@ -364,6 +393,8 @@ QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "lineitem_join": q_lineitem_join,
     "normalize_text": q_normalize_text,
+    "asof_prev_error": q_asof_prev_error,
+    "top_events_per_user": q_top_events_per_user,
     # rows-only
     "strip_html": q_strip_html,
     "flagship_template_counts": q_flagship,
@@ -496,5 +527,20 @@ ORACLE_SQL = {
     """,
     "normalize_text": """
         SELECT doc_id, lower(text) AS text_norm FROM documents
+    """,
+    "asof_prev_error": """
+        SELECT p.event_id, e.ts AS ts_prev
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON p.user_id = e.user_id AND p.ts > e.ts
+    """,
+    "top_events_per_user": """
+        SELECT user_id, event_id, rank FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id ASC)
+                       AS rank
+            FROM events)
+        WHERE rank <= 2
     """,
 }

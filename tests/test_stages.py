@@ -4,6 +4,7 @@ manifests/resume, dedup/similarity/text ops — on the sf0.001 testdata."""
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pandas as pd
 import pytest
 
 
@@ -293,3 +294,36 @@ def test_minhash_clusters(ray_session):
     out = minhash_clusters(rd.from_arrow(docs), threshold=0.5)
     assert set(out["cluster_id"]) == {1}          # 1,2,3 cluster to min id 1
     assert 4 not in set(out["doc_id"])            # singleton not listed
+
+
+def test_asof_join(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from log2seq_ray.ops.asof import asof_join
+    b = dt.datetime(2024, 1, 1)
+    left = rd.from_items([
+        {"event_id": 10, "user_id": 1, "ts": b + dt.timedelta(seconds=30)},
+        {"event_id": 11, "user_id": 1, "ts": b},
+        {"event_id": 12, "user_id": 2, "ts": b + dt.timedelta(seconds=9)}])
+    right = rd.from_items([
+        {"user_id": 1, "ts": b + dt.timedelta(seconds=10)},
+        {"user_id": 1, "ts": b + dt.timedelta(seconds=29)},
+        {"user_id": 2, "ts": b + dt.timedelta(seconds=9)}])
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    right_cols=[]).to_pandas().set_index("event_id")
+    assert out.loc[10, "ts_prev"] == b + dt.timedelta(seconds=29)
+    assert pd.isna(out.loc[11, "ts_prev"])        # nothing earlier
+    assert pd.isna(out.loc[12, "ts_prev"])        # strict: equal ts no match
+    assert out.index.dtype == "int64"
+
+
+def test_top_k_per_group(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.asof import top_k_per_group
+    ds = rd.from_items([
+        {"g": 1, "id": 1, "v": 5.0}, {"g": 1, "id": 2, "v": 9.0},
+        {"g": 1, "id": 3, "v": 9.0}, {"g": 2, "id": 4, "v": 1.0}])
+    out = top_k_per_group(ds, "g", "v", k=2, tiebreak="id").to_pandas()
+    g1 = out[out.g == 1].sort_values("rank")
+    assert list(g1["id"]) == [2, 3]      # tie broken by id asc
+    assert list(out[out.g == 2]["id"]) == [4]
