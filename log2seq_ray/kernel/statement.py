@@ -221,13 +221,36 @@ def _compile_partial(patterns, group_flags, other_flag: int,
         if not recursive:
             out.extend(segs)
             return
-        for seg_s, seg_f in segs:
-            if seg_f == other_flag:
-                # recurse into the "rest" segments (the reference recurses on
-                # parts labeled flag_other, /root/reference/log2seq/statement.py:224-241)
-                apply_one(seg_s, seg_f, rx, out)
-            else:
+        # iterative recursion into the "rest" segments (the reference
+        # recurses on parts labeled flag_other,
+        # /root/reference/log2seq/statement.py:224-241) — an explicit stack
+        # so a pathological input can't blow the interpreter stack
+        stack = [segs]
+        cursor = [0]
+        while stack:
+            segs = stack[-1]
+            i = cursor[-1]
+            if i >= len(segs):
+                stack.pop()
+                cursor.pop()
+                continue
+            cursor[-1] += 1
+            seg_s, seg_f = segs[i]
+            if seg_f != other_flag:
                 out.append((seg_s, seg_f))
+                continue
+            mo = rx.match(seg_s)
+            if mo is None:
+                out.append((seg_s, seg_f))
+                continue
+            child = _split_by_groups(seg_s, mo, gf, other_flag)
+            if child == [(seg_s, seg_f)]:
+                # no progress (match with no participating groups): emit
+                # as-is instead of looping forever
+                out.append((seg_s, seg_f))
+                continue
+            stack.append(child)
+            cursor.append(0)
 
     def do(parts):
         for rx in regs:

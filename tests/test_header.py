@@ -241,3 +241,26 @@ def test_missing_date_part_is_error_row(force_pyre):
     p = make([rule], force_python_re=force_pyre)
     tbl = p.parse_lines(pa.array(["Sep  1 01:02:03 hello"]))
     assert "missing date part" in tbl["error"][0].as_py()
+
+
+def test_astimezone_conversion():
+    """astimezone: convert the assembled timestamp to a fixed offset
+    (naive input interpreted as UTC — documented deviation)."""
+    rule = HeaderRule(items=[I.Date(), I.Time(), I.Hostname("host"),
+                             I.Statement()],
+                      astimezone_offset_sec=9 * 3600)
+    p = make([rule])
+    r = p.parse_line("2020-05-02 11:22:33+00:00 host msg")
+    assert r["timestamp"] == datetime.datetime(2020, 5, 2, 20, 22, 33)
+    assert r["tz_offset_sec"] == 9 * 3600
+    r = p.parse_line("2020-05-02 11:22:33+09:00 host msg")
+    assert r["timestamp"] == datetime.datetime(2020, 5, 2, 11, 22, 33)
+
+
+def test_useritem_strip():
+    rule = HeaderRule(items=[I.Date(), I.Time(),
+                             I.UserItem("tag", r"\[[a-z]+\]", strip="[]"),
+                             I.Statement()])
+    p = make([rule])
+    r = p.parse_line("2020-05-02 11:22:33 [abc] message")
+    assert r["tag"] == "abc"
