@@ -122,12 +122,25 @@ def run_benchmarks() -> dict:
 def run_scaling(lo: int = 8, hi: int = 32) -> dict:
     """Same corpus, two fresh processes at two parallelism levels.
 
-    Uses a larger corpus (GRAFT_SCALING_REPEAT, default 120 → ~12M lines)
+    Uses a larger corpus (GRAFT_SCALING_REPEAT, default 480 → ~48M lines)
     than the plain bench so steady-state compute dominates the ~7s fixed
     session/actor-pool startup — the quantity the N→4N cluster criterion
     is about. The corpus is materialized once and shared by both levels.
     """
-    repeat = int(os.environ.get("GRAFT_SCALING_REPEAT", "240"))
+    repeat = int(os.environ.get("GRAFT_SCALING_REPEAT", "480"))
+
+    # materialize the shared corpus in THIS process (full CPUs) before any
+    # timed leg — generating it inside the first subprocess contaminated
+    # that leg's measurement (observed 766k vs 1.38M rows/s on the 32-leg)
+    import ray
+    from log2seq_ray.sources.webpages import materialize_corpus
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    n_files = int(os.environ.get("GRAFT_CORPUS_FILES", "256"))
+    materialize_corpus(
+        SF_DIR, f"/tmp/l2sr_corpus/sf{_sf_of(SF_DIR)}_r{repeat}_f{n_files}",
+        repeat=repeat, num_files=n_files)
+    ray.shutdown()
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -137,7 +150,9 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
                              capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    r_lo, r_hi = one(lo), one(hi)
+    r_lo = one(lo)
+    time.sleep(10)  # let the previous Ray session's processes fully exit
+    r_hi = one(hi)
     tp_lo = r_lo["rows_per_sec"]
     tp_hi = r_hi["rows_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)

@@ -321,8 +321,123 @@ def compile_action(spec) -> Callable:
     raise TypeError(f"unknown action spec: {type(spec)!r}")
 
 
+# ---------------------------------------------------------------------------
+# fused per-part pipeline
+# ---------------------------------------------------------------------------
+#
+# Split / Fix / Remove / FixIP / ConditionalSplit all act on each part
+# INDEPENDENTLY, and every one of them passes FIXED/SEPARATOR parts through
+# untouched. For chains made only of these (the default preset and most
+# loghub configs), the whole chain fuses into one depth-first pass per
+# part: a part flows stage→stage until it is fixed/removed/split, and
+# non-UNKNOWN parts go straight to the output — no intermediate part lists
+# are materialized per action. Emission order equals the stream order of
+# the staged version, so words/symbols are byte-identical.
+
+_FUSABLE = None  # set below after A import resolution
+
+
+def _fuse_one(spec, nxt) -> Callable:
+    if isinstance(spec, A.Split):
+        rx = re.compile(r"([" + re.escape(spec.separators) + r"]+)")
+        split = rx.split
+        if len(spec.separators) == 1:
+            sep = spec.separators
+
+            def stage(s, out, split=split, nxt=nxt, sep=sep):
+                if sep not in s:
+                    nxt(s, out)
+                    return
+                pieces = split(s)
+                for i, piece in enumerate(pieces):
+                    if i & 1:
+                        out.append((piece, S))
+                    elif piece:
+                        nxt(piece, out)
+            return stage
+
+        def stage(s, out, split=split, nxt=nxt):
+            pieces = split(s)
+            if len(pieces) == 1:
+                nxt(s, out)
+                return
+            for i, piece in enumerate(pieces):
+                if i & 1:
+                    out.append((piece, S))
+                elif piece:
+                    nxt(piece, out)
+        return stage
+
+    if isinstance(spec, (A.Fix, A.Remove)):
+        pats = list(spec.patterns)
+        match = re.compile(pats[0] if len(pats) == 1 else
+                           "|".join(f"(?:{p})" for p in pats)).match
+        flag = F if isinstance(spec, A.Fix) else S
+
+        def stage(s, out, match=match, nxt=nxt, flag=flag):
+            if match(s):
+                out.append((s, flag))
+            else:
+                nxt(s, out)
+        return stage
+
+    if isinstance(spec, A.FixIP):
+        addr, net = spec.address, spec.network
+
+        def stage(s, out, nxt=nxt):
+            if _is_ip(s, addr, net):
+                out.append((s, F))
+            else:
+                nxt(s, out)
+        return stage
+
+    if isinstance(spec, A.ConditionalSplit):
+        preds = [re.compile(p).match for p in spec.patterns]
+        split = re.compile(r"([" + re.escape(spec.separators) + r"]+)").split
+
+        def stage(s, out, preds=preds, split=split, nxt=nxt):
+            if any(m(s) for m in preds):
+                pieces = split(s)
+                for i, piece in enumerate(pieces):
+                    if i & 1:
+                        out.append((piece, S))
+                    elif piece:
+                        nxt(piece, out)
+            else:
+                nxt(s, out)
+        return stage
+
+    raise TypeError(spec)
+
+
+def _compile_fused(specs) -> Callable[[str], tuple[list[str], list[str]]]:
+    terminal = None
+
+    def terminal(s, out):
+        out.append((s, U))
+
+    head = terminal
+    for spec in reversed(list(specs)):
+        head = _fuse_one(spec, head)
+
+    def parse_statement(statement: str, head=head) -> tuple[list, list]:
+        out: list = []
+        if statement:
+            head(statement, out)
+        else:
+            out.append(("", U))
+        return _finalize(out)
+
+    return parse_statement
+
+
 def compile_actions(specs) -> Callable[[str], tuple[list[str], list[str]]]:
     """Compile an ordered action chain into ``str -> (words, symbols)``."""
+    specs = list(specs)
+    if specs and all(isinstance(s, (A.Split, A.Fix, A.Remove, A.FixIP,
+                                    A.ConditionalSplit)) for s in specs):
+        return _compile_fused(specs)
+
     chain = [compile_action(s) for s in specs]
 
     def parse_statement(statement: str) -> tuple[list[str], list[str]]:
