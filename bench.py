@@ -21,8 +21,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-#: corpus multiplier: pages per document row (keeps the bench ~5M lines)
-REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "20"))
+#: corpus multiplier: pages per document row (~8M lines at sf0.1 — large
+#: enough that the headline reflects steady-state throughput, not the ~7s
+#: session/actor-pool spin-up)
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "80"))
 
 
 def _sf_of(path: str) -> float:

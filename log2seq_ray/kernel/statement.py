@@ -334,9 +334,6 @@ def compile_action(spec) -> Callable:
 # are materialized per action. Emission order equals the stream order of
 # the staged version, so words/symbols are byte-identical.
 
-_FUSABLE = None  # set below after A import resolution
-
-
 def _fuse_one(spec, nxt) -> Callable:
     if isinstance(spec, A.Split):
         rx = re.compile(r"([" + re.escape(spec.separators) + r"]+)")
