@@ -302,6 +302,19 @@ def q_top_events_per_user(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "rank"])
 
 
+def q_median_value(sf_dir: str):
+    """Exact per-event_type median (discrete, = DuckDB quantile_disc)."""
+    from .ops.stats import group_quantile
+    return group_quantile(_events(sf_dir, ["event_type", "value"]),
+                          "event_type", "value", q=0.5, alias="median_value")
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping window (1h size, 30min hop) counts per event_type."""
+    from .ops.stats import hopping_counts
+    return hopping_counts(_events(sf_dir, ["event_type", "ts"]))
+
+
 def q_normalize_text(sf_dir: str):
     """Vectorized lowercase+NFC text normalization (cleanup stage)."""
     from .ops.normalize import normalize_text
@@ -395,6 +408,8 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "asof_prev_error": q_asof_prev_error,
     "top_events_per_user": q_top_events_per_user,
+    "median_value": q_median_value,
+    "events_hopping": q_events_hopping,
     # rows-only
     "strip_html": q_strip_html,
     "flagship_template_counts": q_flagship,
@@ -542,5 +557,22 @@ ORACLE_SQL = {
                        AS rank
             FROM events)
         WHERE rank <= 2
+    """,
+    "median_value": """
+        SELECT event_type, quantile_disc(value, 0.5) AS median_value
+        FROM events GROUP BY event_type
+    """,
+    "events_hopping": """
+        SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT event_type,
+                   unnest([
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                           AT TIME ZONE 'UTC',
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+                           AT TIME ZONE 'UTC'
+                   ]) AS window_start
+            FROM events)
+        GROUP BY event_type, window_start
     """,
 }

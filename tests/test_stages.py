@@ -327,3 +327,27 @@ def test_top_k_per_group(ray_session):
     g1 = out[out.g == 1].sort_values("rank")
     assert list(g1["id"]) == [2, 3]      # tie broken by id asc
     assert list(out[out.g == 2]["id"]) == [4]
+
+
+def test_group_quantile_matches_quantile_disc(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.stats import group_quantile
+    ds = rd.from_items([{"g": "a", "v": x} for x in [4.0, 1.0, 3.0, 2.0]]
+                       + [{"g": "b", "v": x} for x in [10.0, 20.0]])
+    out = group_quantile(ds, "g", "v", 0.5, alias="m").to_pandas() \
+        .set_index("g")
+    assert out.loc["a", "m"] == 2.0   # element at floor((4-1)*0.5)=idx 1
+    assert out.loc["b", "m"] == 10.0  # idx 0
+
+
+def test_hopping_counts(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from log2seq_ray.ops.stats import hopping_counts
+    base = dt.datetime(2024, 1, 1, 10, 15)  # inside the 10:00-10:30 hop
+    ds = rd.from_items([{"event_type": "x", "ts": base}])
+    out = hopping_counts(ds).to_pandas().sort_values("window_start")
+    # one event → two 1h windows hopping by 30min: 09:30 and 10:00
+    assert list(out["window_start"]) == [dt.datetime(2024, 1, 1, 9, 30),
+                                         dt.datetime(2024, 1, 1, 10, 0)]
+    assert list(out["n"]) == [1, 1]
