@@ -172,10 +172,10 @@ def knn_ivf(ds, queries, k: int = 10, n_centroids: int = 16,
         lambda b: b.filter(pa.compute.is_in(b.column("centroid"),
                                             value_set=wanted_arr)),
         batch_format="pyarrow")
-    # per-query masking of non-probed partitions happens in the merge
-    pdf_parts = []
-    sub = knn_brute_force(filtered, (np.asarray(q_ids), Q), k=k,
-                          id_col=id_col, col=col,
-                          exclude_self=exclude_self)
-    pdf_parts.append(sub)
-    return pd.concat(pdf_parts, ignore_index=True)
+    # NOTE: candidates come from the UNION of all queries' probed
+    # partitions (no per-query partition mask) — this can only raise
+    # per-query recall relative to strict IVF, at the cost of scanning a
+    # few more candidates per query.
+    return knn_brute_force(filtered, (np.asarray(q_ids), Q), k=k,
+                           id_col=id_col, col=col,
+                           exclude_self=exclude_self)

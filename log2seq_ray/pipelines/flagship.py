@@ -226,6 +226,48 @@ def run(sf_dir: str, sink_dir: Optional[str] = None,
     return merge_template_counts(partials, by=("route",))
 
 
+def run_sharded_corpus(corpus_dir: str, out_dir: str,
+                       files_per_shard: int = 32, resume: bool = True,
+                       cpus: Optional[int] = None):
+    """Resumable flagship over a materialized corpus, sharded by FILE
+    GROUPS — the real 100 TB layout: each shard is a fixed slice of the
+    input file list, processed as one streaming job into an atomically
+    renamed dir + lineage manifest; a resumed run skips finished shards."""
+    import glob
+    import ray.data as rd
+    from ..state import manifest as M
+
+    files = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    shards = [files[i:i + files_per_shard]
+              for i in range(0, len(files), files_per_shard)]
+    pool = max(2, (cpus or 32) - 2)
+    results = []
+    for i, shard_files in enumerate(shards):
+        def process(tmp_dir: str, shard_files=shard_files) -> dict:
+            pages = rd.from_items([{"path": f} for f in shard_files],
+                                  override_num_blocks=len(shard_files))
+            partials = pages.map_batches(
+                FusedFlagshipStage,
+                fn_constructor_kwargs=dict(
+                    rules=flagship_header_rules(),
+                    actions=default_statement_actions(),
+                    sink_dir=tmp_dir),
+                batch_format="pyarrow", batch_size=1,
+                concurrency=min(pool, len(shard_files)), num_cpus=1)
+            counts = merge_template_counts(partials, by=("route",))
+            pdf = counts.to_pandas()
+            pdf.to_parquet(Path(tmp_dir) / "_template_counts.parquet")
+            return {"rows": int(pdf["n"].sum()),
+                    "templates": int(len(pdf)),
+                    "files": len(shard_files)}
+
+        results.append(M.run_shard(
+            out_dir, f"{i:05d}",
+            {"corpus_dir": corpus_dir, "files": shard_files[:3] + ["..."]},
+            process, resume=resume))
+    return results
+
+
 def run_sharded(sf_dir: str, out_dir: str, num_shards: int = 4,
                 resume: bool = True, cpus: Optional[int] = None):
     """Resumable variant: shard the corpus by doc_id hash; per shard run the

@@ -351,3 +351,35 @@ def test_hopping_counts(ray_session):
     assert list(out["window_start"]) == [dt.datetime(2024, 1, 1, 9, 30),
                                          dt.datetime(2024, 1, 1, 10, 0)]
     assert list(out["n"]) == [1, 1]
+
+
+def test_null_text_handling(ray_session):
+    """Null text rows flow through tokenize/dedup/quality without crashes."""
+    import ray.data as rd
+    from log2seq_ray.ops.text import quality_scores, token_stats
+    tbl = pa.table({"doc_id": [1, 2, 3], "lang": ["en", "en", "de"],
+                    "text": ["a b", None, "c"]})
+    q = quality_scores(tbl)
+    assert q.column("n_tokens").to_pylist() == [2, 0, 1]
+    stats = token_stats(rd.from_arrow(tbl)).to_pandas()
+    assert stats.set_index("lang").loc["en", "n_tokens"] == 2
+
+
+def test_run_sharded_corpus(ray_session, tmp_path):
+    from log2seq_ray.sources.webpages import materialize_corpus
+    from log2seq_ray.pipelines import flagship
+    corpus = materialize_corpus("/root/testdata/sf0.001",
+                                str(tmp_path / "corpus"), repeat=1,
+                                num_files=8)
+    out = str(tmp_path / "run")
+    r1 = flagship.run_sharded_corpus(corpus, out, files_per_shard=4,
+                                     cpus=4)
+    assert len(r1) == 2 and sum(m["rows"] for m in r1) > 5000
+    # resume skips
+    r2 = flagship.run_sharded_corpus(corpus, out, files_per_shard=4,
+                                     cpus=4)
+    assert [m["rows"] for m in r1] == [m["rows"] for m in r2]
+    # shard totals equal the unsharded run over the same corpus
+    direct = flagship.run("/root/testdata/sf0.001", corpus_dir=corpus,
+                          cpus=4).to_pandas()["n"].sum()
+    assert sum(m["rows"] for m in r1) == direct
