@@ -147,6 +147,28 @@ class LangIdStage:
             "lang_hits", pa.array(hits, type=pa.int64()))
 
 
+def split_by_hash(ds, key_col: str, percent: int, take_lower: bool = True):
+    """Deterministic train/val split: keep rows whose
+    ``md5(key) mod 100`` falls below (or at/above) ``percent``.
+
+    Unlike ``random_sample`` this is reproducible across runs, resumable,
+    and independent of partitioning — the property a training-data split
+    needs. md5 is used so an external SQL engine computes the identical
+    assignment.
+    """
+    import hashlib
+
+    def part(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_pylist()
+        mod = np.fromiter(
+            (int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 100
+             for k in keys), dtype=np.int64, count=len(keys))
+        mask = mod < percent if take_lower else mod >= percent
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(part, batch_format="pyarrow")
+
+
 def fingerprint(batch: pa.Table, col: str = "text",
                 window: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over

@@ -302,6 +302,13 @@ def q_top_events_per_user(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "rank"])
 
 
+def q_train_split(sf_dir: str):
+    """Deterministic 80% train split of documents by md5(doc_id)."""
+    from .ops.text import split_by_hash
+    return split_by_hash(_docs(sf_dir, ["doc_id", "lang"]),
+                         "doc_id", percent=80).select_columns(["doc_id"])
+
+
 def q_median_value(sf_dir: str):
     """Exact per-event_type median (discrete, = DuckDB quantile_disc)."""
     from .ops.stats import group_quantile
@@ -410,6 +417,7 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "median_value": q_median_value,
     "events_hopping": q_events_hopping,
+    "train_split": q_train_split,
     # rows-only
     "strip_html": q_strip_html,
     "flagship_template_counts": q_flagship,
@@ -561,6 +569,11 @@ ORACLE_SQL = {
     "median_value": """
         SELECT event_type, quantile_disc(value, 0.5) AS median_value
         FROM events GROUP BY event_type
+    """,
+    "train_split": """
+        SELECT doc_id FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 100 < 80
     """,
     "events_hopping": """
         SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n

@@ -383,3 +383,18 @@ def test_run_sharded_corpus(ray_session, tmp_path):
     direct = flagship.run("/root/testdata/sf0.001", corpus_dir=corpus,
                           cpus=4).to_pandas()["n"].sum()
     assert sum(m["rows"] for m in r1) == direct
+
+
+def test_split_by_hash_deterministic_partition(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.text import split_by_hash
+    tbl = pa.table({"doc_id": list(range(200))})
+    ds = rd.from_arrow(tbl)
+    train = set(split_by_hash(ds, "doc_id", 80).to_pandas()["doc_id"])
+    val = set(split_by_hash(ds, "doc_id", 80,
+                            take_lower=False).to_pandas()["doc_id"])
+    assert train | val == set(range(200)) and not (train & val)
+    assert 130 < len(train) < 190  # ~80%
+    # rerun gives the identical assignment
+    again = set(split_by_hash(ds, "doc_id", 80).to_pandas()["doc_id"])
+    assert train == again
