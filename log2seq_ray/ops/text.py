@@ -169,6 +169,24 @@ def split_by_hash(ds, key_col: str, percent: int, take_lower: bool = True):
     return ds.map_batches(part, batch_format="pyarrow")
 
 
+def stratified_sample(ds, stratum_col: str, key_col: str, k: int):
+    """Deterministic k-per-stratum sample: the k rows with the smallest
+    ``md5(key)`` in each stratum (tie-break on key). Reproducible across
+    runs/partitionings, and computable identically in SQL (ROW_NUMBER
+    over md5 order) — unlike seeded random sampling."""
+    import hashlib
+    import pandas as pd
+
+    def per_stratum(g: pd.DataFrame) -> pd.DataFrame:
+        order = g[key_col].map(
+            lambda v: hashlib.md5(str(v).encode()).hexdigest())
+        return g.assign(__h=order).sort_values(["__h", key_col]) \
+            .head(k).drop(columns="__h").reset_index(drop=True)
+
+    return ds.groupby(stratum_col).map_groups(per_stratum,
+                                              batch_format="pandas")
+
+
 def fingerprint(batch: pa.Table, col: str = "text",
                 window: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over

@@ -309,6 +309,22 @@ def q_train_split(sf_dir: str):
                          "doc_id", percent=80).select_columns(["doc_id"])
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic 10-docs-per-lang sample (md5 order per stratum)."""
+    from .ops.text import stratified_sample
+    return stratified_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                             "lang", "doc_id", k=10) \
+        .select_columns(["lang", "doc_id"])
+
+
+def q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct users per event_type (mergeable sketch;
+    rows-only: approximate by design, accuracy asserted in tests)."""
+    from .ops.sketch import approx_distinct
+    return approx_distinct(_events(sf_dir, ["event_type", "user_id"]),
+                           "event_type", "user_id")
+
+
 def q_median_value(sf_dir: str):
     """Exact per-event_type median (discrete, = DuckDB quantile_disc)."""
     from .ops.stats import group_quantile
@@ -418,7 +434,9 @@ QUERIES = {
     "median_value": q_median_value,
     "events_hopping": q_events_hopping,
     "train_split": q_train_split,
+    "stratified_sample": q_stratified_sample,
     # rows-only
+    "approx_distinct": q_approx_distinct,
     "strip_html": q_strip_html,
     "flagship_template_counts": q_flagship,
     "minhash_dedup": q_minhash_dedup,
@@ -574,6 +592,16 @@ ORACLE_SQL = {
         SELECT doc_id FROM documents
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    AS UBIGINT) % 100 < 80
+    """,
+    "stratified_sample": """
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rn
+            FROM documents)
+        WHERE rn <= 10
     """,
     "events_hopping": """
         SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n

@@ -398,3 +398,28 @@ def test_split_by_hash_deterministic_partition(ray_session):
     # rerun gives the identical assignment
     again = set(split_by_hash(ds, "doc_id", 80).to_pandas()["doc_id"])
     assert train == again
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from log2seq_ray.ops.sketch import approx_distinct
+    rows = [{"g": "a", "v": i % 500} for i in range(5000)] \
+        + [{"g": "b", "v": i} for i in range(50)]
+    out = approx_distinct(rd.from_items(rows), "g", "v").to_pandas() \
+        .set_index("g")
+    assert abs(out.loc["a", "n_approx"] - 500) / 500 < 0.05
+    assert abs(out.loc["b", "n_approx"] - 50) / 50 < 0.05
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.text import stratified_sample
+    tbl = pa.table({"lang": ["en"] * 30 + ["de"] * 5,
+                    "doc_id": list(range(35))})
+    out1 = stratified_sample(rd.from_arrow(tbl), "lang", "doc_id", 10) \
+        .to_pandas()
+    assert out1.groupby("lang").size().to_dict() == {"de": 5, "en": 10}
+    out2 = stratified_sample(rd.from_arrow(tbl), "lang", "doc_id", 10) \
+        .to_pandas()
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
