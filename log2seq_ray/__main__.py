@@ -100,6 +100,8 @@ def main(argv=None) -> int:
     ap.add_argument("--preset", "-p", default="default")
     ap.add_argument("--spec", default=None,
                     help="user spec 'module:attr' returning (rules, actions)")
+    ap.add_argument("--rules", default=None,
+                    help="JSON rule-spec file (see rules/serde.py)")
     ap.add_argument("--encoding", default="utf-8")
     ap.add_argument("--output", "-o", default=None,
                     help="output file (.parquet → parquet, else text)")
@@ -115,8 +117,13 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     try:
-        spec = (load_user_spec(args.spec) if args.spec
-                else load_spec(args.preset, args.year))
+        if args.rules:
+            from .rules.serde import load_spec_file
+            spec = load_spec_file(args.rules)
+        elif args.spec:
+            spec = load_user_spec(args.spec)
+        else:
+            spec = load_spec(args.preset, args.year)
         from .kernel.parse import CompiledLogParser
         parser = CompiledLogParser(*spec)
     except SystemExit as e:
