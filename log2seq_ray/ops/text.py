@@ -67,20 +67,31 @@ def token_stats(ds):
 
 def quality_scores(batch: pa.Table) -> pa.Table:
     """Per-document integer quality features (deterministic, SQL-checkable):
-    token count, distinct-token count, max token length, alpha char count."""
+    token count, distinct-token count, max token length. Fully vectorized:
+    segment max via ``np.maximum.reduceat`` and per-row distinct counts via
+    dictionary-encode + lexsort boundary counting (no Python row loop)."""
     toks = _token_lists(batch.column("text"))
     n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
     flat = pc.list_flatten(toks)
     offsets = np.asarray(toks.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
     lens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
     max_len = np.zeros(len(batch), dtype=np.int64)
     uniq = np.zeros(len(batch), dtype=np.int64)
-    toks_py = flat.to_pylist()
-    for i in range(len(batch)):
-        lo, hi = offsets[i], offsets[i + 1]
-        if hi > lo:
-            max_len[i] = lens[lo:hi].max()
-            uniq[i] = len(set(toks_py[lo:hi]))
+    nz = counts > 0
+    if nz.any():
+        # reduceat segments start at each non-empty row's first token; the
+        # segment runs to the next non-empty row's start = exactly this
+        # row's tokens (empty rows contribute no elements in between)
+        max_len[nz] = np.maximum.reduceat(lens, offsets[:-1][nz])
+        # distinct per row: integer codes, sort within rows, count boundaries
+        codes = np.asarray(pc.dictionary_encode(flat).indices, dtype=np.int64)
+        row_ids = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        order = np.lexsort((codes, row_ids))
+        rc, cc = row_ids[order], codes[order]
+        new = np.ones(len(cc), dtype=bool)
+        new[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
+        uniq = np.bincount(rc[new], minlength=len(batch)).astype(np.int64)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_tokens": n_tokens,
@@ -91,7 +102,11 @@ def quality_scores(batch: pa.Table) -> pa.Table:
 
 def top_tokens(ds, k: int = 20):
     """Global top-k tokens with deterministic tie-break (n desc, token asc).
-    Partial counts per batch → small groupby → driver-side top-k."""
+
+    EXACT without a full-vocab driver merge: per-batch partial counts →
+    distributed groupby sum → per-output-block LOCAL top-k (each global
+    top-k row necessarily survives its own block's local top-k) → driver
+    merges only ``k × n_blocks`` candidate rows, never the vocabulary."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -103,10 +118,16 @@ def top_tokens(ds, k: int = 20):
 
     merged = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("token").aggregate(Sum("partial_n", alias_name="n"))
-    pdf = merged.to_pandas()
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+        return b.take(idx.slice(0, k))
+
+    pdf = merged.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     pdf = pdf.sort_values(["n", "token"],
                           ascending=[False, True]).head(k)
-    return pdf.reset_index(drop=True)
+    return pdf[["token", "n"]].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -173,40 +194,84 @@ def stratified_sample(ds, stratum_col: str, key_col: str, k: int):
     """Deterministic k-per-stratum sample: the k rows with the smallest
     ``md5(key)`` in each stratum (tie-break on key). Reproducible across
     runs/partitionings, and computable identically in SQL (ROW_NUMBER
-    over md5 order) — unlike seeded random sampling."""
+    over md5 order) — unlike seeded random sampling.
+
+    NO corpus shuffle: each batch keeps only its local k-smallest-md5 rows
+    per stratum (a partial top-k, associative), and the driver merges the
+    tiny ``k × n_strata × n_blocks`` partials — the same result a
+    ``groupby(stratum)`` shuffle would produce, without moving the dataset
+    by a (typically heavily skewed) stratum key. Returns a pandas
+    DataFrame in the input column order."""
     import hashlib
-    import pandas as pd
 
-    def per_stratum(g: pd.DataFrame) -> pd.DataFrame:
-        order = g[key_col].map(
-            lambda v: hashlib.md5(str(v).encode()).hexdigest())
-        return g.assign(__h=order).sort_values(["__h", key_col]) \
-            .head(k).drop(columns="__h").reset_index(drop=True)
+    cols = None
 
-    return ds.groupby(stratum_col).map_groups(per_stratum,
-                                              batch_format="pandas")
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["__h"] = [hashlib.md5(str(v).encode()).hexdigest()
+                     for v in df[key_col]]
+        df = df.sort_values(["__h", key_col]) \
+            .groupby(stratum_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["__h", key_col]) \
+        .groupby(stratum_col, sort=False).head(k) \
+        .drop(columns="__h").reset_index(drop=True)
+    return out
 
 
 def fingerprint(batch: pa.Table, col: str = "text",
                 window: int = 8) -> pa.Table:
-    """Winnowing-style document fingerprint: min rolling hash over
-    ``window``-token shingles (deterministic 64-bit FNV-1a)."""
+    """Winnowing-style document fingerprint: min over ``window``-token
+    shingles of the 60-bit md5 prefix of the shingle string (rows with
+    fewer than ``window`` tokens hash the whole token sequence; empty rows
+    hash ``""``). 60 bits so the value stays a positive BIGINT in SQL.
+
+    Vectorized: shingle strings are built with ONE
+    ``binary_join_element_wise`` over ``window`` shifted views of the flat
+    token array (cross-row windows masked out), the per-row min via
+    ``np.minimum.reduceat`` — only the md5 digests themselves are a (cached
+    C-speed hashlib) loop over shingle strings."""
+    import hashlib
+
     toks_arr = _token_lists(batch.column(col))
     offsets = np.asarray(toks_arr.offsets, dtype=np.int64)
-    flat = pc.list_flatten(toks_arr).to_pylist()
-    out = np.zeros(len(batch), dtype=np.uint64)
-    for i in range(len(batch)):
-        toks = flat[offsets[i]:offsets[i + 1]]
-        if not toks:
-            continue
-        best = (1 << 64) - 1
-        for j in range(max(1, len(toks) - window + 1)):
-            h = 0xcbf29ce484222325
-            for t in toks[j:j + window]:
-                for b in t.encode():
-                    h = ((h ^ b) * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
-            if h < best:
-                best = h
-        out[i] = best
+    counts = np.diff(offsets)
+    flat = pc.list_flatten(toks_arr)
+    n_flat = len(flat)
+    n = len(batch)
+
+    def _h(s: str) -> np.int64:
+        return np.int64(int(hashlib.md5(s.encode()).hexdigest()[:15], 16))
+
+    out = np.full(n, _h(""), dtype=np.int64)
+
+    # short rows (0 < count < window): hash the whole joined token sequence
+    short = (counts > 0) & (counts < window)
+    if short.any():
+        joined = pc.binary_join(toks_arr, " ")
+        jvals = joined.to_pylist()
+        for i in np.nonzero(short)[0]:
+            out[i] = _h(jvals[i])
+
+    # long rows: every window of the flat array, cross-row windows masked
+    if n_flat >= window:
+        w = n_flat - window + 1
+        cols = [flat.slice(j, w) for j in range(window)]
+        shingles = pc.binary_join_element_wise(*cols, " ")
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        valid = row_of[:w] == row_of[window - 1:]
+        if valid.any():
+            svals = shingles.to_pylist()
+            vi = np.nonzero(valid)[0]
+            hashes = np.fromiter(
+                (int(hashlib.md5(svals[i].encode()).hexdigest()[:15], 16)
+                 for i in vi), dtype=np.int64, count=len(vi))
+            vrows = row_of[vi]
+            starts = np.ones(len(vrows), dtype=bool)
+            starts[1:] = vrows[1:] != vrows[:-1]
+            mins = np.minimum.reduceat(hashes, np.nonzero(starts)[0])
+            out[vrows[starts]] = mins
     return pa.table({"doc_id": batch.column("doc_id"),
-                     "fingerprint": pa.array(out, type=pa.uint64())})
+                     "fingerprint": pa.array(out, type=pa.int64())})

@@ -310,11 +310,11 @@ def q_train_split(sf_dir: str):
 
 
 def q_stratified_sample(sf_dir: str):
-    """Deterministic 10-docs-per-lang sample (md5 order per stratum)."""
+    """Deterministic 10-docs-per-lang sample (md5 order per stratum;
+    per-batch partial top-k — no corpus shuffle)."""
     from .ops.text import stratified_sample
     return stratified_sample(_docs(sf_dir, ["doc_id", "lang"]),
-                             "lang", "doc_id", k=10) \
-        .select_columns(["lang", "doc_id"])
+                             "lang", "doc_id", k=10)[["lang", "doc_id"]]
 
 
 def q_approx_distinct(sf_dir: str):
@@ -616,4 +616,50 @@ ORACLE_SQL = {
             FROM events)
         GROUP BY event_type, window_start
     """,
+    # min over 8-token windows of the 60-bit md5 prefix of the shingle
+    # string; <8 tokens → whole sequence, empty → md5('')
+    "fingerprint": f"""
+        WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        S AS (SELECT doc_id,
+                     CASE WHEN len(t) = 0 THEN ['']
+                          WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                          ELSE list_transform(range(1, len(t) - 6),
+                              i -> array_to_string(t[i:i+7], ' '))
+                     END AS sh
+              FROM T)
+        SELECT doc_id,
+               CAST(list_min(list_transform(sh,
+                   s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))
+                   AS BIGINT) AS fingerprint
+        FROM S
+    """,
+    "langid": None,  # filled below (built from _LANG_PROFILES)
 }
+
+
+def _langid_sql() -> str:
+    from .ops.text import _LANG_PROFILES
+    langs = sorted(_LANG_PROFILES)
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])) + "]"
+
+    hits = ",\n               ".join(
+        f"len(list_intersect(toks, {lst(lg)})) AS h_{lg}" for lg in langs)
+    g = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN h_{lg} = {g} THEN '{lg}'" for lg in langs)
+    return f"""
+        WITH T AS (SELECT doc_id,
+                          list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents),
+        H AS (SELECT doc_id,
+               {hits}
+              FROM T)
+        SELECT doc_id,
+               CASE WHEN {g} = 0 THEN 'unknown' {case} END AS lang_pred,
+               CAST({g} AS BIGINT) AS lang_hits
+        FROM H
+    """
+
+
+ORACLE_SQL["langid"] = _langid_sql()
