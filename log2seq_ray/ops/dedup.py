@@ -282,38 +282,48 @@ def minhash_clusters(ds, threshold: float = 0.8, **kw):
 # ---------------------------------------------------------------------------
 
 class SimHashStage:
-    """64-bit SimHash per document over token features (deterministic
-    blake2b token hashes; weights = term frequency)."""
+    """60-bit SimHash per document over token features (weights = term
+    frequency). Token hash = first 15 hex chars of md5 — 60 bits so the
+    value is a positive BIGINT and the whole computation is reproducible
+    in SQL (the ``simhash`` oracle); hashes are cached per actor (web
+    vocabulary repeats heavily)."""
+
+    BITS = 60
 
     def __init__(self, id_col: str = "doc_id", col: str = "text"):
         self.id_col, self.col = id_col, col
-        self._bit = np.array([1 << i for i in range(64)], dtype=np.uint64)
+        self._bit = np.array([1 << i for i in range(self.BITS)],
+                             dtype=np.uint64)
+        self._cache: dict[str, int] = {}
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self._cache.get(tok)
+        if h is None:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            self._cache[tok] = h
+        return h
 
     def simhash(self, text: str) -> int:
         toks = [t for t in text.split(" ") if t]
         if not toks:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
+        acc = np.zeros(self.BITS, dtype=np.int64)
         from collections import Counter
         for tok, w in Counter(toks).items():
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                "little")
-            bits = (np.uint64(h) & self._bit) != 0
+            bits = (np.uint64(self._tok_hash(tok)) & self._bit) != 0
             acc += np.where(bits, w, -w)
         return int(((acc > 0).astype(np.uint64) * self._bit).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hashes = [self.simhash(t or "")
                   for t in batch.column(self.col).to_pylist()]
+        arr = np.array(hashes, dtype=np.int64)
         return pa.table({
             self.id_col: batch.column(self.id_col),
-            "simhash": pa.array(np.array(hashes, dtype=np.uint64)),
-            # bucket on the high 16 bits: near-dups (Hamming ≤ ~3 in the
-            # high bits) collide; verify inside buckets
-            "simhash_bucket": pa.array(
-                (np.array(hashes, dtype=np.uint64) >> np.uint64(48))
-                .astype(np.int64)),
+            "simhash": pa.array(arr),
+            # bucket on the high 16 of the 60 bits: near-dups (Hamming
+            # ≤ ~3 in the high bits) collide; verify inside buckets
+            "simhash_bucket": pa.array(arr >> 44),
         })
 
 

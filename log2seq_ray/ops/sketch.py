@@ -1,13 +1,21 @@
 """Mergeable sketches: HyperLogLog approximate distinct counts.
 
 The scale path for count-distinct (ray_guide "Aggregation at scale"):
-each batch emits ONE serialized sketch per group, sketches merge
-associatively in a tiny second stage — the shuffle carries fixed-size
-registers instead of (group, value) pairs, so cardinality cost is
+each batch emits at most ``m = 2^p`` (group, register, rho) rows — a
+partial sketch — and registers merge associatively with one tiny
+``groupby(group, register).max(rho)``; the shuffle carries fixed-size
+register rows instead of (group, value) pairs, so cardinality cost is
 independent of distinct-value volume.
 
-Deterministic: blake2b value hashing, classic HLL with the standard bias
-correction; register count 2^p (default p=12 → ~1.6% relative error).
+Deterministic and SQL-reproducible by construction: the value hash is the
+60-bit md5 prefix (computable as ``('0x'||substr(md5(v),1,15))::BIGINT``
+in DuckDB), and for ``m in {16, 32, 64}`` the estimate is evaluated in
+EXACT integer arithmetic (the denominator ``sum(2^-rho)`` is the integer
+``S' = sum(2^(R-rho)) / 2^R``, so ``est = floor(alpha_num * m^2 * 2^R /
+(alpha_den * S'))`` — no float summation order to disagree about). The
+standard small-range (linear-counting) correction is intentionally NOT
+part of this estimator (it needs a transcendental ``ln``); pick p with
+``2.5 * 2^p`` below the cardinalities of interest.
 """
 
 from __future__ import annotations
@@ -18,70 +26,94 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+HASH_BITS = 60
+# exact rational alpha_m for the small register counts (Flajolet et al.);
+# larger m would need the float 0.7213/(1+1.079/m) formula
+_ALPHA = {16: (673, 1000), 32: (697, 1000), 64: (709, 1000)}
 
-def _hll_hash(values) -> np.ndarray:
+
+def _hash60(values) -> np.ndarray:
     return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(str(v).encode(),
-                                        digest_size=8).digest(), "little")
-         for v in values), dtype=np.uint64, count=len(values))
+        (int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+         for v in values), dtype=np.int64, count=len(values))
 
 
-def _highest_bit(x: np.ndarray) -> np.ndarray:
-    """Index of the highest set bit of each uint64 (-1 for 0), exactly:
-    log2 on the top-53-bit slice (exact in float64) with a low-bit
-    fallback for values below 2^11."""
-    hi = (x >> np.uint64(11)).astype(np.float64)
-    lo = (x & np.uint64((1 << 11) - 1)).astype(np.float64)
-    with np.errstate(divide="ignore"):
-        top = np.where(hi > 0, np.floor(np.log2(
-            np.where(hi > 0, hi, 1))).astype(np.int64) + 11, -1)
-        low = np.where(lo > 0, np.floor(np.log2(
-            np.where(lo > 0, lo, 1))).astype(np.int64), -1)
-    return np.maximum(top, low)
+def hll_rows(values, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register_idx, rho) per value. idx = top p bits of the 60-bit hash;
+    rho = 1 + leading zeros of the remaining ``60-p`` bits (so rho in
+    [1, 60-p+1])."""
+    h = _hash60(values)
+    w_bits = HASH_BITS - p
+    idx = h >> w_bits
+    w = h & ((1 << w_bits) - 1)
+    # bit_length vectorized: floor(log2) is exact for w < 2^53 (w_bits<=55:
+    # values in [2^53, 2^55) round in float64 but never across a power of
+    # two except exactly AT one, where the value is representable) — use
+    # int bit_length per distinct value instead to stay exact.
+    bl = np.fromiter((int(x).bit_length() for x in w),
+                     dtype=np.int64, count=len(w))
+    rho = w_bits - bl + 1
+    return idx, rho
 
 
-def hll_add(registers: np.ndarray, values, p: int) -> None:
-    h = _hll_hash(values)
-    if not len(h):
-        return
-    idx = (h >> np.uint64(64 - p)).astype(np.int64)
-    rest = h << np.uint64(p)
-    # rank = position of the first set bit from the top of the remaining
-    # 64-p bits, + 1; all-zero rest gets the max rank
-    bitlen = _highest_bit(rest)
-    rank = np.where(rest != 0, 64 - bitlen, 64 - p + 1).astype(np.int64)
-    np.maximum.at(registers, idx, rank)
+def hll_estimate_int(registers: dict[int, int], p: int) -> int:
+    """Exact-integer raw HLL estimate (no small-range correction).
+    ``registers`` maps idx -> rho for the non-zero registers."""
+    m = 1 << p
+    if m not in _ALPHA:
+        raise ValueError(f"integer alpha only for m in {sorted(_ALPHA)}")
+    num, den = _ALPHA[m]
+    r_exp = HASH_BITS - p + 1  # max rho
+    s = (m - len(registers)) << r_exp
+    for rho in registers.values():
+        s += 1 << (r_exp - rho)
+    return (num * m * m * (1 << r_exp)) // (den * s)
 
 
-def hll_estimate(registers: np.ndarray) -> float:
-    m = len(registers)
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
-    zeros = int((registers == 0).sum())
+def hll_estimate_float(registers: dict[int, int], p: int) -> float:
+    """Classic float estimate incl. linear-counting small-range correction
+    (NOT SQL-gated — use for accuracy, p up to ~16)."""
+    m = 1 << p
+    alpha = (dict(_ALPHA).get(m, None))
+    alpha = alpha[0] / alpha[1] if alpha else 0.7213 / (1 + 1.079 / m)
+    s = float(m - len(registers))  # zero registers contribute 2^0
+    for rho in registers.values():
+        s += 2.0 ** (-rho)
+    est = alpha * m * m / s
+    zeros = m - len(registers)
     if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear counting for small cardinality
+        est = m * np.log(m / zeros)
     return float(est)
 
 
-def approx_distinct(ds, group_col: str, value_col: str, p: int = 12):
-    """(group, n_approx) via per-batch HLL partials + register-max merge."""
+def approx_distinct(ds, group_col: str, value_col: str, p: int = 5,
+                    estimator: str = "int"):
+    """(group, n_approx) via per-batch HLL register partials + one register
+    max-merge; the estimate is computed from the merged (tiny) register
+    table driver-side. ``estimator='int'`` = exact integer arithmetic
+    (SQL-gated, m in {16,32,64}); ``'float'`` = classic corrected estimate
+    for accuracy-sensitive use (any p)."""
+    from ray.data.aggregate import Max
 
     def partial(b: pa.Table) -> pd.DataFrame:
         df = b.select([group_col, value_col]).to_pandas()
-        rows = []
+        out = []
         for g, sub in df.groupby(group_col):
-            regs = np.zeros(1 << p, dtype=np.int64)
-            hll_add(regs, sub[value_col].tolist(), p)
-            rows.append((g, regs.astype(np.uint8).tobytes()))
-        return pd.DataFrame(rows, columns=[group_col, "sketch"])
+            idx, rho = hll_rows(sub[value_col].tolist(), p)
+            t = pd.DataFrame({"idx": idx, "rho": rho}) \
+                .groupby("idx")["rho"].max()
+            for i, r in t.items():
+                out.append((g, int(i), int(r)))
+        return pd.DataFrame(out, columns=[group_col, "register", "partial"])
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        regs = np.zeros(1 << p, dtype=np.uint8)
-        for blob in g["sketch"]:
-            regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
-        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
-                             "n_approx": [int(round(
-                                 hll_estimate(regs.astype(np.int64))))]})
-
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(group_col).map_groups(merge, batch_format="pandas")
+    regs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "register"]) \
+        .aggregate(Max("partial", alias_name="rho")).to_pandas()
+    rows = []
+    est = hll_estimate_int if estimator == "int" else hll_estimate_float
+    for g, sub in regs.groupby(group_col):
+        registers = dict(zip(sub["register"], sub["rho"]))
+        v = est(registers, p)
+        rows.append((g, int(v) if estimator == "int" else int(round(v))))
+    return pd.DataFrame(rows, columns=[group_col, "n_approx"]) \
+        .sort_values(group_col).reset_index(drop=True)

@@ -41,6 +41,9 @@ def hopping_counts(ds, ts_col: str = "ts", by: str = "event_type",
     k = size_sec // hop_sec
 
     def partial(b: pa.Table) -> pa.Table:
+        # drop null timestamps first: a null in the ChunkedArray int cast
+        # silently yields float64/NaN and corrupts the window arithmetic
+        b = b.filter(pc.is_valid(b.column(ts_col)))
         ts_us = pc.cast(pc.cast(b.column(ts_col), pa.timestamp("us")),
                         pa.int64()).to_numpy()
         base = (ts_us // (hop_sec * US)) * (hop_sec * US)

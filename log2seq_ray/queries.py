@@ -318,11 +318,12 @@ def q_stratified_sample(sf_dir: str):
 
 
 def q_approx_distinct(sf_dir: str):
-    """HLL approximate distinct users per event_type (mergeable sketch;
-    rows-only: approximate by design, accuracy asserted in tests)."""
+    """HLL approximate distinct users per event_type. Gated: md5-based
+    60-bit hashing + exact-integer raw estimate (p=5, m=32, no small-range
+    correction) is reproduced register-for-register by the SQL oracle."""
     from .ops.sketch import approx_distinct
     return approx_distinct(_events(sf_dir, ["event_type", "user_id"]),
-                           "event_type", "user_id")
+                           "event_type", "user_id", p=5, estimator="int")
 
 
 def q_median_value(sf_dir: str):
@@ -347,13 +348,26 @@ def q_normalize_text(sf_dir: str):
 
 
 def q_strip_html(sf_dir: str):
-    """HTML tag stripping over the synthesized web corpus's binary html
-    column (rows-only: the corpus is derived, not a registered view)."""
+    """HTML tag/comment stripping. Gated: html is derived from the
+    documents table by the same deterministic template the SQL oracle
+    concatenates, so the regex strip + whitespace collapse is compared
+    value-for-value."""
     from .ops.normalize import strip_html
-    from .sources.webpages import read_webpages
-    return read_webpages(sf_dir).map_batches(
-        strip_html, batch_format="pyarrow") \
-        .select_columns(["url", "html_text"])
+
+    def mk_html(b: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            "<html><head><title>d</title></head><body><h1>Doc ",
+            pc.cast(b.column("doc_id"), pa.string()),
+            "</h1><!-- boilerplate --><p>",
+            b.column("text"),
+            "</p></body></html>", "")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "html": pc.cast(html, pa.binary())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(mk_html, batch_format="pyarrow") \
+        .map_batches(strip_html, batch_format="pyarrow") \
+        .select_columns(["doc_id", "html_text"])
 
 
 # ---------------------------------------------------------------------------
@@ -634,6 +648,68 @@ ORACLE_SQL = {
         FROM S
     """,
     "langid": None,  # filled below (built from _LANG_PROFILES)
+    # 60-bit md5-prefix token hashes, sign-of-weighted-bit-sum per bit
+    "simhash": f"""
+        WITH tc AS (
+            SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS w
+            FROM (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents)
+            GROUP BY doc_id, tk),
+        th AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h,
+                      w
+               FROM tc),
+        bits AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN ((h >> b) & 1) = 1 THEN w ELSE -w END) AS s
+            FROM th, (SELECT unnest(range(0, 60)) AS b)
+            GROUP BY doc_id, b),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.simhash, 0) AS simhash,
+               COALESCE(a.simhash, 0) >> 44 AS simhash_bucket
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    # deterministic-integer HLL (p=5, m=32): 60-bit md5 hash, idx = top 5
+    # bits, rho = 1 + leading zeros of the low 55 bits, raw estimate in
+    # exact integer arithmetic (alpha_32 = 697/1000), no small-range
+    # correction — mirrors ops.sketch.hll_estimate_int
+    "approx_distinct": """
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM events),
+        r AS (SELECT event_type, h >> 55 AS idx,
+                     CASE WHEN (h & ((1::BIGINT << 55) - 1)) = 0 THEN 56
+                          ELSE 56 - length(bin(h & ((1::BIGINT << 55) - 1)))
+                     END AS rho
+              FROM h),
+        reg AS (SELECT event_type, idx, MAX(rho) AS rho
+                FROM r GROUP BY event_type, idx),
+        s AS (SELECT event_type,
+                     (32 - COUNT(*)) * (1::BIGINT << 56)
+                         + SUM(1::BIGINT << (56 - rho)) AS sp
+              FROM reg GROUP BY event_type)
+        SELECT event_type,
+               CAST((697::HUGEINT * 32 * 32 * (1::HUGEINT << 56))
+                    // (1000 * sp) AS BIGINT) AS n_approx
+        FROM s
+    """,
+    "strip_html": """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                   '<html><head><title>d</title></head><body><h1>Doc '
+                   || CAST(doc_id AS VARCHAR)
+                   || '</h1><!-- boilerplate --><p>' || text
+                   || '</p></body></html>',
+                   '<[^>]*>', ' ', 'g'), '[ \t\r\n]+', ' ', 'g'))
+                   AS html_text
+        FROM documents
+    """,
 }
 
 

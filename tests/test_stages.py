@@ -409,15 +409,24 @@ def test_split_by_hash_deterministic_partition(ray_session):
 
 
 def test_hll_accuracy_and_merge(ray_session):
-    import numpy as np
     import ray.data as rd
     from log2seq_ray.ops.sketch import approx_distinct
     rows = [{"g": "a", "v": i % 500} for i in range(5000)] \
         + [{"g": "b", "v": i} for i in range(50)]
-    out = approx_distinct(rd.from_items(rows), "g", "v").to_pandas() \
-        .set_index("g")
+    # float estimator (with small-range correction) at p=12: tight
+    out = approx_distinct(rd.from_items(rows), "g", "v", p=12,
+                          estimator="float").set_index("g")
     assert abs(out.loc["a", "n_approx"] - 500) / 500 < 0.05
     assert abs(out.loc["b", "n_approx"] - 50) / 50 < 0.05
+    # integer estimator (SQL-gated spec, no correction) at p=5: looser
+    # bound, but deterministic across partitionings
+    out5 = approx_distinct(rd.from_items(rows), "g", "v", p=5,
+                           estimator="int").set_index("g")
+    assert abs(out5.loc["a", "n_approx"] - 500) / 500 < 0.35
+    out5b = approx_distinct(
+        rd.from_items(rows).repartition(7), "g", "v", p=5,
+        estimator="int").set_index("g")
+    assert out5.equals(out5b)
 
 
 def test_stratified_sample_deterministic(ray_session):
