@@ -54,12 +54,19 @@ def exact_dedup(ds, id_col: str = "doc_id", col: str = "text"):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingles(text: str, k: int = 5) -> np.ndarray:
+def _shingle_strings(text: str, k: int = 5) -> frozenset:
+    """Distinct k-token shingle strings (<k tokens → the whole sequence;
+    empty → {""}). The exact-Jaccard verify and the SQL oracle both work
+    on these strings directly."""
     toks = [t for t in text.split(" ") if t]
     if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        return frozenset([" ".join(toks)] if toks else [""])
+    return frozenset(" ".join(toks[i:i + k])
+                     for i in range(len(toks) - k + 1))
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    grams = sorted(_shingle_strings(text, k))
     return np.unique(np.array(
         [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
                         "little") for g in grams], dtype=np.uint64))
@@ -143,9 +150,9 @@ class MinHashStage:
 
 
 def jaccard(a: str, b: str, k: int = 5) -> float:
-    sa, sb = set(_shingles(a, k)), set(_shingles(b, k))
-    if not sa and not sb:
-        return 1.0
+    """Exact Jaccard over distinct shingle STRINGS (identical to the SQL
+    ``list_intersect`` oracle: same sets, same int/int IEEE division)."""
+    sa, sb = _shingle_strings(a, k), _shingle_strings(b, k)
     return len(sa & sb) / len(sa | sb)
 
 
@@ -208,39 +215,102 @@ def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
         pairs_of_group, batch_format="pandas")
 
 
+class _FilterByIdStage:
+    """Distributed candidate-doc fetch: broadcast id set (``ray.put``
+    once), vectorized ``pc.is_in`` filter per batch."""
+
+    def __init__(self, ids_ref, id_col: str, keep_cols):
+        import ray
+        ids = ids_ref if isinstance(ids_ref, pa.Array) else ray.get(ids_ref)
+        self.ids, self.id_col, self.keep = ids, id_col, list(keep_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.select(self.keep).filter(
+            pc.is_in(batch.column(self.id_col), value_set=self.ids))
+
+
+class _VerifyJaccardStage:
+    """Exact shingle-Jaccard verification of candidate pairs inside the
+    actor pool. The candidate docs' text blocks stay in the object store
+    (block refs); each actor resolves them ONCE in ``__init__`` (zero-copy
+    plasma reads, shared per node) and pre-computes shingle sets."""
+
+    def __init__(self, block_refs, threshold: float, shingle_k: int,
+                 id_col: str, col: str):
+        import ray
+        self.threshold, self.k = threshold, shingle_k
+        self.shingles: dict = {}
+        for tbl in ray.get(list(block_refs)):
+            for i, t in zip(tbl.column(id_col).to_pylist(),
+                            tbl.column(col).to_pylist()):
+                self.shingles[i] = _shingle_strings(t or "", shingle_k)
+
+    def __call__(self, pairs: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        sh = self.shingles
+        for a, b in zip(pairs.column("id_a").to_pylist(),
+                        pairs.column("id_b").to_pylist()):
+            sa, sb = sh[a], sh[b]
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= self.threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+
 def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
                   shingle_k=5, id_col="doc_id", col="text"):
     """Near-dup pairs verified by exact shingle Jaccard ≥ threshold.
 
     Returns a pandas DataFrame (id_a, id_b, jaccard), deduplicated and
-    sorted. Verification fetches only candidate docs (broadcast small id
-    set filter), never the full corpus.
+    sorted. Fully distributed verify: the (small, LSH-pruned) candidate-id
+    set is broadcast into a ``pc.is_in`` corpus filter, the matching docs'
+    text blocks stay in plasma, and pairs are verified batch-wise in an
+    actor pool — the driver only ever holds integer id pairs. (At larger
+    candidate volumes, swap the driver-side pair distinct for a
+    ``groupby(id_a,id_b)`` and the broadcast for a bucketed join — the
+    corpus itself is never scanned driver-side either way.)
+
+    With ``n_bands == n_hashes`` (one row per band) LSH recall at Jaccard
+    ``j`` is ``1-(1-j)^n_hashes`` — for n_hashes=128, threshold 0.5 the
+    miss probability is ~3e-39, i.e. the output deterministically equals
+    the exact-Jaccard pair set (how the SQL oracle gates this op).
     """
     import pandas as pd
+    import ray
+    import ray.data as rd
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
     pairs_pdf = minhash_candidate_pairs(
         ds, n_hashes, n_bands, shingle_k, id_col, col).to_pandas()
     if len(pairs_pdf) == 0:
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+        return empty
     pairs_pdf = pairs_pdf.drop_duplicates().reset_index(drop=True)
-    cand_ids = set(pairs_pdf["id_a"]) | set(pairs_pdf["id_b"])
-    texts = {}
-    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        ids = b.column(id_col).to_pylist()
-        mask = [i in cand_ids for i in ids]
-        if any(mask):
-            sub = b.filter(pa.array(mask))
-            for i, t in zip(sub.column(id_col).to_pylist(),
-                            sub.column(col).to_pylist()):
-                texts[i] = t
-    rows = []
-    for a, b_ in pairs_pdf.itertuples(index=False):
-        j = jaccard(texts[a], texts[b_], shingle_k)
-        if j >= threshold:
-            rows.append((a, b_, round(j, 6)))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]) \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    cand = np.unique(np.concatenate([pairs_pdf["id_a"].to_numpy(),
+                                     pairs_pdf["id_b"].to_numpy()]))
+    ids_ref = ray.put(pa.array(cand, type=pa.int64()))
+    cand_docs = ds.map_batches(
+        _FilterByIdStage,
+        fn_constructor_kwargs=dict(ids_ref=ids_ref, id_col=id_col,
+                                   keep_cols=[id_col, col]),
+        batch_format="pyarrow", concurrency=(1, 8))
+    block_refs = cand_docs.to_arrow_refs()
+    verified = rd.from_pandas(pairs_pdf).map_batches(
+        _VerifyJaccardStage,
+        fn_constructor_kwargs=dict(block_refs=block_refs,
+                                   threshold=threshold, shingle_k=shingle_k,
+                                   id_col=id_col, col=col),
+        batch_format="pyarrow", batch_size=8192,
+        concurrency=(1, 8)).to_pandas()
+    if len(verified) == 0:
+        return empty
+    return verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def minhash_clusters(ds, threshold: float = 0.8, **kw):
@@ -337,28 +407,65 @@ def simhash_table(ds, id_col="doc_id", col="text"):
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+class _MultiAssignStage:
+    """Assign every vector to its ``n_assign`` nearest centroids (multi-
+    probe: a near-dup pair whose top centroids differ still collides on
+    a shared second choice). Emits one row per assignment."""
+
+    def __init__(self, centroids_ref, id_col: str, col: str, n_assign: int):
+        import ray
+        self.C = centroids_ref if isinstance(centroids_ref, np.ndarray) \
+            else ray.get(centroids_ref)
+        self.id_col, self.col, self.n_assign = id_col, col, n_assign
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import _to_matrix, _normalize
+        X = _normalize(_to_matrix(batch.column(self.col)))
+        sims = X @ self.C.T
+        a = min(self.n_assign, sims.shape[1])
+        top = np.argsort(-sims, axis=1)[:, :a]
+        n = len(batch)
+        idx = np.repeat(np.arange(n, dtype=np.int64), a)
+        taken = batch.select([self.id_col, self.col]).take(pa.array(idx))
+        return taken.append_column(
+            "__centroid", pa.array(top.reshape(-1).astype(np.int32)))
+
+
 def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                   col: str = "embedding", block: int = 2048):
-    """Near-dup id pairs by cosine ≥ threshold. Sandbox implementation
-    materializes the (small) embedding table driver-side and blocks the
-    O(n²) matmul; the scale path is the LSH-bucketed variant in
-    ops.similarity."""
+                   col: str = "embedding", n_centroids: int = 16,
+                   n_assign: int = 3):
+    """Near-dup id pairs by cosine ≥ threshold, bucketed by coarse k-means
+    centroid (trained on a driver-side sample, broadcast once): each
+    vector is multi-assigned to its ``n_assign`` nearest centroids, pairs
+    are generated ONLY within a centroid bucket (``groupby(centroid)``
+    shuffles vectors, not the O(n²) pair space), and duplicates from
+    multi-assignment are dropped at the end. Partitioning assumption: a
+    bucket's vectors fit one worker — salt oversized buckets into
+    sub-buckets before the groupby at larger scales."""
     import pandas as pd
-    ids, vecs = [], []
-    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        ids.extend(b.column(id_col).to_pylist())
-        vecs.extend(b.column(col).to_pylist())
-    X = np.asarray(vecs, dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    ids = np.asarray(ids)
-    rows = []
-    for s in range(0, len(X), block):
-        sims = X[s:s + block] @ X.T
+    import ray
+    from .similarity import train_centroids, _normalize
+
+    C = train_centroids(ds, n_centroids=n_centroids, col=col,
+                        id_col=id_col)
+    cref = ray.put(C)
+    assigned = ds.map_batches(
+        _MultiAssignStage,
+        fn_constructor_kwargs=dict(centroids_ref=cref, id_col=id_col,
+                                   col=col, n_assign=n_assign),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        X = _normalize(np.asarray(list(g[col]), dtype=np.float64))
+        sims = X @ X.T
         ai, bi = np.nonzero(sims >= threshold)
-        for a, b_ in zip(ai, bi):
-            ga = s + a
-            if ids[ga] < ids[b_]:
-                rows.append((int(ids[ga]), int(ids[b_]),
-                             float(round(sims[a, b_], 6))))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]) \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        keep = ids[ai] < ids[bi]
+        return pd.DataFrame({
+            "id_a": pd.Series(ids[ai[keep]], dtype="int64"),
+            "id_b": pd.Series(ids[bi[keep]], dtype="int64")})
+
+    pairs = assigned.groupby("__centroid").map_groups(
+        pairs_of_bucket, batch_format="pandas").to_pandas()
+    return pairs.drop_duplicates().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)

@@ -116,14 +116,27 @@ def queries_from_dataset(ds, n_queries: int, id_col="vec_id",
 
 def train_centroids(ds, n_centroids: int = 16, sample: int = 4096,
                     iters: int = 10, seed: int = 42,
-                    col: str = "embedding") -> np.ndarray:
-    """k-means on a driver-side sample (Lloyd, fixed iters, seeded)."""
-    X = []
+                    col: str = "embedding",
+                    id_col: Optional[str] = None) -> np.ndarray:
+    """k-means on a driver-side sample (Lloyd, fixed iters, seeded).
+
+    With ``id_col`` the collected sample is sorted by id before the
+    (seeded) init, making the centroids — and everything bucketed on them
+    — DETERMINISTIC whenever the dataset has ≤ ``sample`` rows (block
+    arrival order otherwise leaks into which rows are sampled)."""
+    X, ids = [], []
     for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
         X.append(_to_matrix(b.column(col)))
+        if id_col is not None:
+            ids.append(np.asarray(b.column(id_col).to_pylist(),
+                                  dtype=np.int64))
         if sum(len(x) for x in X) >= sample:
             break
-    X = _normalize(np.concatenate(X)[:sample])
+    X = np.concatenate(X)
+    if id_col is not None:
+        order = np.argsort(np.concatenate(ids), kind="stable")
+        X = X[order]
+    X = _normalize(X[:sample])
     rng = np.random.Generator(np.random.PCG64(seed))
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):

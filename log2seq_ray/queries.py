@@ -382,14 +382,19 @@ def q_flagship(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
+    """LSH at one-row bands (128 hashes = 128 bands): miss probability at
+    the 0.5 threshold is (1-0.5)^128 ≈ 3e-39, so the verified pair set
+    deterministically equals the exact-Jaccard pair set the SQL oracle
+    computes via a shingle inverted index."""
     from .ops.dedup import minhash_dedup
-    return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5,
+                         n_hashes=128, n_bands=128)
 
 
 def q_minhash_clusters(sf_dir: str):
     from .ops.dedup import minhash_clusters
     return minhash_clusters(_docs(sf_dir, ["doc_id", "text"]),
-                            threshold=0.5)
+                            threshold=0.5, n_hashes=128, n_bands=128)
 
 
 def q_simhash(sf_dir: str):
@@ -423,8 +428,34 @@ def q_media_features(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
+    """Cosine near-dup pairs over the embeddings table augmented with a
+    deterministic perturbed copy of every 5th vector (the raw table has no
+    natural pairs above 0.9 — the augmentation exercises the positive path
+    and is reproduced verbatim by the SQL oracle)."""
     from .ops.dedup import embedding_dups
-    return embedding_dups(_embeddings(sf_dir), threshold=0.9)
+    from .ops.similarity import _to_matrix
+
+    def perturb(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("vec_id").to_pylist(), dtype=np.int64)
+        keep = ids % 5 == 0
+        X = _to_matrix(b.column("embedding"))[keep]
+        X = X.copy()
+        X[:, 0] += 0.5
+        return pa.table({
+            "vec_id": pa.array(ids[keep] + 100000),
+            "embedding": pa.array(list(X),
+                                  type=pa.list_(pa.float64())),
+        })
+
+    base = _embeddings(sf_dir)
+    aug = base.map_batches(
+        lambda b: pa.table({
+            "vec_id": b.column("vec_id"),
+            "embedding": pc.cast(b.column("embedding"),
+                                 pa.list_(pa.float64()))}),
+        batch_format="pyarrow") \
+        .union(base.map_batches(perturb, batch_format="pyarrow"))
+    return embedding_dups(aug, threshold=0.9, n_centroids=8, n_assign=3)
 
 
 QUERIES = {
@@ -648,6 +679,84 @@ ORACLE_SQL = {
         FROM S
     """,
     "langid": None,  # filled below (built from _LANG_PROFILES)
+    # exact near-dup pairs via shingle inverted index (recall-1 LSH config
+    # on the Ray side — see q_minhash_dedup); jaccard = int/int IEEE
+    # division on both sides
+    "minhash_dedup": """
+        WITH T AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS t
+                   FROM documents),
+        SH AS (SELECT doc_id,
+                      list_distinct(CASE
+                          WHEN len(t) = 0 THEN ['']
+                          WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                          ELSE list_transform(range(1, len(t) - 3),
+                              i -> array_to_string(t[i:i+4], ' '))
+                      END) AS s
+               FROM T),
+        EX AS (SELECT doc_id, unnest(s) AS g FROM SH),
+        CAND AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                 FROM EX a JOIN EX b ON a.g = b.g AND a.doc_id < b.doc_id),
+        J AS (SELECT ia, ib,
+                     CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / (len(sa.s) + len(sb.s)
+                            - len(list_intersect(sa.s, sb.s))) AS j
+              FROM CAND
+              JOIN SH sa ON sa.doc_id = ia
+              JOIN SH sb ON sb.doc_id = ib)
+        SELECT ia AS id_a, ib AS id_b, j AS jaccard
+        FROM J WHERE j >= 0.5
+    """,
+    # connected components over the exact pair set (recursive reachability,
+    # label = min reachable id)
+    "minhash_clusters": """
+        WITH RECURSIVE T AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS t
+                   FROM documents),
+        SH AS (SELECT doc_id,
+                      list_distinct(CASE
+                          WHEN len(t) = 0 THEN ['']
+                          WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                          ELSE list_transform(range(1, len(t) - 3),
+                              i -> array_to_string(t[i:i+4], ' '))
+                      END) AS s
+               FROM T),
+        EX AS (SELECT doc_id, unnest(s) AS g FROM SH),
+        CAND AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                 FROM EX a JOIN EX b ON a.g = b.g AND a.doc_id < b.doc_id),
+        P AS (SELECT ia, ib FROM CAND
+              JOIN SH sa ON sa.doc_id = ia
+              JOIN SH sb ON sb.doc_id = ib
+              WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    / (len(sa.s) + len(sb.s)
+                       - len(list_intersect(sa.s, sb.s))) >= 0.5),
+        E AS (SELECT ia AS src, ib AS dst FROM P
+              UNION ALL SELECT ib, ia FROM P),
+        W(node, reach) AS (
+            SELECT src, src FROM E
+            UNION
+            SELECT w.node, e.dst FROM W w JOIN E e ON w.reach = e.src)
+        SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+        FROM W GROUP BY node
+    """,
+    # near-dup cosine pairs on the augmented embedding table (every 5th
+    # vector gets a +0.5-on-dim-1 copy at vec_id+100000)
+    "embedding_dups": """
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                      FROM embeddings),
+        aug AS (SELECT * FROM base
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(range(1, len(e) + 1),
+                           i -> CASE WHEN i = 1 THEN e[i] + 0.5
+                                     ELSE e[i] END)
+                FROM base WHERE vec_id % 5 = 0)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+    """,
     # 60-bit md5-prefix token hashes, sign-of-weighted-bit-sum per bit
     "simhash": f"""
         WITH tc AS (
