@@ -3,12 +3,29 @@
 * ``broadcast_join`` — small side shipped ONCE via ``ray.put``; every batch
   does a vectorized ``pc.index_in`` + ``take`` lookup in an actor pool. No
   shuffle; the pattern for dimension tables / vocab / lang lookups.
-* ``hash_join`` — both sides large: explicit partitioned hash join. Each
-  side gets a ``__bucket = key % B`` column inside ``map_batches``, the
-  tagged union is grouped by bucket, and matching buckets join pairwise
-  with a pandas merge inside ``map_groups``. B and the (documented)
-  assumption: key hashing is uniform; salt hot keys into sub-buckets if a
-  bucket exceeds worker memory.
+* ``hash_join`` — both sides large: explicit partitioned hash join as a
+  two-stage exchange over raw Ray tasks (the one place the Dataset API
+  can't express the semantics without shipping a padded union of both
+  schemas through the shuffle):
+
+  1. each input block is split into ``num_buckets`` sub-tables by a
+     vectorized hash of its OWN key column (``num_returns=num_buckets``,
+     so each (block, bucket) piece is its own plasma object — narrow rows,
+     no null padding, no side tag);
+  2. one join task per bucket concatenates its pieces from both sides and
+     joins them with Acero (``pa.Table.join``) — vectorized C++, not a
+     pandas merge.
+
+  Defaults: ``num_buckets ≈ 2×CPUs``; the key hash is
+  ``pandas.util.hash_array`` (deterministic, vectorized, works for ints
+  AND strings — never ``%`` on raw values). Skew: per-bucket Acero joins
+  tolerate within-bucket key repetition; genuinely hot keys can be routed
+  through the broadcast path with ``hot_keys`` (their right-side rows are
+  broadcast and left rows joined per batch, no shuffle participation).
+
+  Ray 2.49's built-in ``Dataset.join`` was measured 10x slower on the
+  lineitem⋈orders benchmark (49.9s vs 5.3s at sf0.1/32cpu), so the
+  explicit exchange stays.
 """
 
 from __future__ import annotations
@@ -16,6 +33,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -56,65 +74,161 @@ def broadcast_join(ds, small: pa.Table, key_col: str, concurrency=(1, 8)):
                           concurrency=concurrency)
 
 
+def _key_hash(col) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of an Arrow key column (ints,
+    strings, anything pandas can hold)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    values = arr.to_pandas().to_numpy()
+    return pd.util.hash_array(values)
+
+
+def _split_by_bucket(tbl: pa.Table, key: str, num_buckets: int,
+                     cols: Sequence[str]):
+    """One input block → num_buckets sub-tables (narrow, own side only)."""
+    tbl = tbl.select(list(cols))
+    b = (_key_hash(tbl.column(key)) % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    counts = np.bincount(b, minlength=num_buckets)
+    out, lo = [], 0
+    for n in counts:
+        out.append(sorted_tbl.slice(lo, n))
+        lo += n
+    return out
+
+
+def _join_bucket(left_key: str, right_key: str, empty_schema: pa.Schema,
+                 l_pieces, r_pieces):
+    import ray
+    # pieces arrive as lists of ObjectRefs (nested refs are not auto-
+    # resolved); task-side ray.get is a zero-copy plasma read
+    if l_pieces and isinstance(l_pieces[0], ray.ObjectRef):
+        l_pieces = ray.get(list(l_pieces))
+    if r_pieces and isinstance(r_pieces[0], ray.ObjectRef):
+        r_pieces = ray.get(list(r_pieces))
+    lt = pa.concat_tables([t for t in l_pieces if t.num_rows]) \
+        if any(t.num_rows for t in l_pieces) else None
+    rt = pa.concat_tables([t for t in r_pieces if t.num_rows]) \
+        if any(t.num_rows for t in r_pieces) else None
+    if lt is None or rt is None:
+        return empty_schema.empty_table()
+    out = lt.join(rt, keys=[left_key], right_keys=[right_key],
+                  join_type="inner")
+    if right_key != left_key and right_key not in out.column_names:
+        # Acero drops the right key column; reinstate it for schema parity
+        out = out.append_column(right_key, out.column(left_key))
+    return out.select(empty_schema.names).combine_chunks()
+
+
 def hash_join(left, right, left_key: str, right_key: str,
-              num_buckets: int = 16,
+              num_buckets: Optional[int] = None,
               left_cols: Optional[Sequence[str]] = None,
-              right_cols: Optional[Sequence[str]] = None):
-    """Inner join of two large Datasets via explicit bucket co-partitioning.
+              right_cols: Optional[Sequence[str]] = None,
+              hot_keys: Optional[Sequence] = None):
+    """Inner join of two large Datasets via an explicit two-stage bucket
+    exchange (module docstring). Returns a Dataset of the joined rows.
 
-    Shuffles each side once (the bucket groupby); each bucket joins with a
-    pandas merge. Returns a Dataset of the merged rows.
+    ``hot_keys``: keys routed around the shuffle — their right-side rows
+    are broadcast once and the matching left rows join per input batch
+    (the salt escape hatch for keys whose bucket would not fit a worker).
     """
-    import pandas as pd
+    import ray
+    import ray.data as rd
 
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_names = list(left_cols) if left_cols else list(l_schema.names)
-    r_names = list(right_cols) if right_cols else list(r_schema.names)
+    if num_buckets is None:
+        try:
+            num_buckets = max(16, 2 * int(ray.cluster_resources()
+                                          .get("CPU", 8)))
+        except Exception:
+            num_buckets = 32
+
+    def _names(ds, given):
+        if given:
+            return list(given)
+        sch = ds.schema()
+        return list(sch.base_schema.names if hasattr(sch, "base_schema")
+                    else sch.names)
+
+    l_names = _names(left, left_cols)
+    r_names = _names(right, right_cols)
     clash = (set(l_names) & set(r_names)) - {left_key, right_key}
     if clash:
         raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
-    def _field_type(sch, name):
-        if hasattr(sch, "base_schema"):
-            sch = sch.base_schema
+
+    def _types(ds):
+        sch = ds.schema()
+        sch = sch.base_schema if hasattr(sch, "base_schema") else sch
         if isinstance(sch, pa.Schema):
-            return sch.field(name).type
-        # PandasBlockSchema: parallel .names / .types (numpy dtypes)
-        t = dict(zip(sch.names, sch.types))[name]
-        return t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+            return {f.name: f.type for f in sch}
 
-    types = {}
-    for names, sch in ((l_names, l_schema), (r_names, r_schema)):
-        for n in names:
-            types[n] = _field_type(sch, n)
-    all_names = l_names + [n for n in r_names if n not in l_names]
+        def conv(t):
+            if isinstance(t, pa.DataType):
+                return t
+            if np.dtype(t) == np.dtype("O"):
+                return pa.string()  # pandas object column ≈ strings
+            return pa.from_numpy_dtype(t)
 
-    def bucketize(side: str, key: str, own: list):
-        def fn(b: pa.Table) -> pa.Table:
-            b = b.select(own)
-            n = len(b)
-            cols = {}
-            for name in all_names:
-                cols[name] = (b.column(name) if name in own
-                              else pa.nulls(n, types[name]))
-            cols["__bucket"] = pa.array(
-                b.column(key).to_numpy() % num_buckets, type=pa.int32())
-            cols["__side"] = pa.array([side] * n, type=pa.string())
-            return pa.table(cols)
-        return fn
+        return {n: conv(t) for n, t in zip(sch.names, sch.types)}
 
-    lds = left.map_batches(bucketize("l", left_key, l_names),
-                           batch_format="pyarrow")
-    rds = right.map_batches(bucketize("r", right_key, r_names),
-                            batch_format="pyarrow")
-    tagged = lds.union(rds)
+    lt, rt = _types(left), _types(right)
+    out_fields = [pa.field(n, lt[n]) for n in l_names]
+    out_fields += [pa.field(n, rt[n]) for n in r_names
+                   if n not in l_names]
+    empty_schema = pa.schema(out_fields)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == "l", l_names]
-        rg = g.loc[g["__side"] == "r", r_names]
-        if lg.empty or rg.empty:
-            return pd.DataFrame(columns=all_names)
-        return lg.merge(rg, left_on=left_key, right_on=right_key)
+    hot_result = None
+    if hot_keys:
+        hot_arr = pa.array(list(hot_keys))
+        r_hot_tbl = pa.concat_tables(
+            [b.select(r_names).filter(pc.is_in(b.column(right_key),
+                                               value_set=hot_arr))
+             for b in right.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow")])
+        r_hot_ref = ray.put(r_hot_tbl)
 
-    return tagged.groupby("__bucket").map_groups(join_bucket,
-                                                 batch_format="pandas")
+        class HotJoin:
+            def __init__(self):
+                self.rt = ray.get(r_hot_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                lb = b.select(l_names).filter(
+                    pc.is_in(b.column(left_key), value_set=hot_arr))
+                return _join_bucket(left_key, right_key, empty_schema,
+                                    [lb], [self.rt])
+
+        hot_result = left.map_batches(HotJoin, batch_format="pyarrow",
+                                      concurrency=(1, 8))
+        not_hot_l = left.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(
+                b.column(left_key), value_set=hot_arr))),
+            batch_format="pyarrow")
+        not_hot_r = right.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(
+                b.column(right_key), value_set=hot_arr))),
+            batch_format="pyarrow")
+        left, right = not_hot_l, not_hot_r
+
+    split = ray.remote(_split_by_bucket)
+
+    def exchange(ds, key, names):
+        block_refs = ds.to_arrow_refs()
+        per_bucket = [[] for _ in range(num_buckets)]
+        for ref in block_refs:
+            pieces = split.options(num_returns=num_buckets).remote(
+                ref, key, num_buckets, names)
+            if num_buckets == 1:
+                pieces = [pieces]
+            for i, p in enumerate(pieces):
+                per_bucket[i].append(p)
+        return per_bucket
+
+    l_buckets = exchange(left, left_key, l_names)
+    r_buckets = exchange(right, right_key, r_names)
+    joiner = ray.remote(_join_bucket)
+    out_refs = [joiner.remote(left_key, right_key, empty_schema, lp, rp)
+                for lp, rp in zip(l_buckets, r_buckets)]
+    # refs stay in plasma — the joined blocks never pass through the driver
+    joined = rd.from_arrow_refs(out_refs)
+    if hot_result is not None:
+        joined = joined.union(hot_result)
+    return joined

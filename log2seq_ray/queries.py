@@ -249,7 +249,7 @@ def q_lineitem_join(sf_dir: str):
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_quantity"])
     orders = _orders(sf_dir, ["o_orderkey", "o_orderstatus"])
-    j = hash_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=16)
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey")
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({

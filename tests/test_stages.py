@@ -263,6 +263,17 @@ def test_hash_join_matches_pandas(ray_session):
     exp = l.merge(r, left_on="lk", right_on="rk")
     assert len(out) == len(exp)
     assert out["lv"].sum() == exp["lv"].sum()
+    # string keys must hash (not %), and the hot-key escape hatch must
+    # keep the hot key's rows out of the shuffle yet in the result
+    ls = pd.DataFrame({"lk": ["hot"] * 40 + ["a", "b"] * 5,
+                       "lv": np.arange(50)})
+    rs = pd.DataFrame({"rk": ["hot", "a", "b", "miss"],
+                       "rv": [1, 2, 3, 4]})
+    out2 = hash_join(rd.from_pandas(ls), rd.from_pandas(rs), "lk", "rk",
+                     num_buckets=4, hot_keys=["hot"]).to_pandas()
+    exp2 = ls.merge(rs, left_on="lk", right_on="rk")
+    assert len(out2) == len(exp2)
+    assert sorted(out2["rv"]) == sorted(exp2["rv"])
 
 
 def test_session_counts(ray_session):
