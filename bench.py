@@ -51,7 +51,7 @@ def run_benchmarks() -> dict:
     # measured pipeline
     n_files = int(os.environ.get("GRAFT_CORPUS_FILES", "256"))
     corpus_dir = materialize_corpus(
-        SF_DIR, f"/tmp/l2sr_corpus/sf{_sf_of(SF_DIR)}_r{REPEAT}_f{n_files}",
+        SF_DIR, f"/tmp/l2sr_corpus/v2_sf{_sf_of(SF_DIR)}_r{REPEAT}_f{n_files}",
         repeat=REPEAT, num_files=n_files)
 
     # warm the page cache so we measure compute + shuffle, not cold disk
@@ -140,7 +140,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     n_files = int(os.environ.get("GRAFT_CORPUS_FILES", "256"))
     materialize_corpus(
-        SF_DIR, f"/tmp/l2sr_corpus/sf{_sf_of(SF_DIR)}_r{repeat}_f{n_files}",
+        SF_DIR, f"/tmp/l2sr_corpus/v2_sf{_sf_of(SF_DIR)}_r{repeat}_f{n_files}",
         repeat=repeat, num_files=n_files)
     ray.shutdown()
 

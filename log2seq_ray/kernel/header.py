@@ -234,43 +234,63 @@ class CompiledRuleSet:
         err_chunks: list[pa.Array] = []
         rid_chunks: list[pa.Array] = []
 
+        def run_cascade(compiled_list, remaining_idx, remaining):
+            for rid, cr in enumerate(compiled_list):
+                if len(remaining_idx) == 0:
+                    break
+                matched, groups = cr.extract(remaining)
+                n_m = int(matched.sum())
+                if n_m == 0:
+                    continue
+                g_idx = remaining_idx[matched]
+                fields, wall, wall_valid, tzoff, tz_valid, err = \
+                    cr.convert_and_assemble(groups, n_m)
+
+                order_chunks.append(g_idx)
+                rid_chunks.append(pa.array(np.full(n_m, rid,
+                                                   dtype=np.int32)))
+                ts_chunks.append(pa.array(wall, type=pa.int64(),
+                                          mask=~wall_valid))
+                tz_chunks.append(pa.array(tzoff, type=pa.int64(),
+                                          mask=~tz_valid))
+                err_chunks.append(pa.array(err, type=pa.string()))
+                msg = fields.pop(KEY_STATEMENT, None)
+                if msg is None:
+                    msg = pa.nulls(n_m, pa.string())
+                msg_chunks.append(msg)
+                for tgt, typ in self.field_types.items():
+                    col = fields.get(tgt)
+                    if col is None:
+                        col = pa.nulls(n_m, typ)
+                    else:
+                        col = pc.cast(col, typ)
+                    col_chunks[tgt].append(col)
+
+                keep = ~matched
+                remaining_idx = remaining_idx[keep]
+                remaining = remaining.filter(pa.array(keep))
+            return remaining_idx
+
         remaining_idx = np.arange(n, dtype=np.int64)
-        remaining = lines
-
-        for rid, cr in enumerate(self.compiled + self.compiled_retry):
-            rid %= len(self.compiled)
-            if len(remaining_idx) == 0:
-                break
-            matched, groups = cr.extract(remaining)
-            n_m = int(matched.sum())
-            if n_m == 0:
-                continue
-            g_idx = remaining_idx[matched]
-            fields, wall, wall_valid, tzoff, tz_valid, err = \
-                cr.convert_and_assemble(groups, n_m)
-
-            order_chunks.append(g_idx)
-            rid_chunks.append(pa.array(np.full(n_m, rid, dtype=np.int32)))
-            ts_chunks.append(pa.array(wall, type=pa.int64(),
-                                      mask=~wall_valid))
-            tz_chunks.append(pa.array(tzoff, type=pa.int64(),
-                                      mask=~tz_valid))
-            err_chunks.append(pa.array(err, type=pa.string()))
-            msg = fields.pop(KEY_STATEMENT, None)
-            if msg is None:
-                msg = pa.nulls(n_m, pa.string())
-            msg_chunks.append(msg)
-            for tgt, typ in self.field_types.items():
-                col = fields.get(tgt)
-                if col is None:
-                    col = pa.nulls(n_m, typ)
-                else:
-                    col = pc.cast(col, typ)
-                col_chunks[tgt].append(col)
-
-            keep = ~matched
-            remaining_idx = remaining_idx[keep]
-            remaining = remaining.filter(pa.array(keep))
+        if self.compiled_retry:
+            # Rows with non-ASCII bytes skip the RE2 pass entirely: RE2's
+            # ASCII-only \d \w \s could under-match rule j and hand the row
+            # to a later rule k>j, inverting the reference's first-match-
+            # wins priority. Routing them straight to the CPython-re
+            # cascade keeps rule priority authoritative.
+            is_ascii = pc.fill_null(
+                pc.match_substring_regex(lines, r"^[\x00-\x7f]*$"), True)
+            ascii_np = np.asarray(is_ascii.to_numpy(zero_copy_only=False),
+                                  dtype=bool)
+            survivors = run_cascade(self.compiled,
+                                    remaining_idx[ascii_np],
+                                    lines.filter(is_ascii))
+            retry_idx = np.sort(np.concatenate(
+                [survivors, remaining_idx[~ascii_np]]))
+            remaining_idx = run_cascade(self.compiled_retry, retry_idx,
+                                        lines.take(pa.array(retry_idx)))
+        else:
+            remaining_idx = run_cascade(self.compiled, remaining_idx, lines)
 
         # unmatched rows → header_mismatch dead-letter values
         n_u = len(remaining_idx)

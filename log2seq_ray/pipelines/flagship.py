@@ -34,7 +34,8 @@ import pyarrow.parquet as pq
 from ..sources.webpages import read_webpages, flagship_header_rules
 from ..rules.presets import default_statement_actions
 from ..stages.parse import ParseStage
-from ..stages.enrich import EnrichStage, DEFAULT_LANG_CLASSES
+from ..stages.enrich import (EnrichStage, DEFAULT_LANG_CLASSES,
+                             route_deadletter)
 from ..stages.aggregate import (add_template, template_partial_counts,
                                 merge_template_counts)
 
@@ -42,29 +43,42 @@ from ..stages.aggregate import (add_template, template_partial_counts,
 class RoutedWriter:
     """Pass-through actor that fans each batch out to per-route parquet
     files under ``out_dir/route=<key>/`` — a routed multi-sink without a
-    shuffle. File names are unique per (actor, batch); idempotence comes
-    from shard-level atomic renames (state.manifest), not file names."""
+    shuffle.
+
+    RETRY-IDEMPOTENT: the file name is a digest of the written content
+    (Arrow IPC bytes), and the write goes to a temp file + atomic
+    ``os.replace`` — a retried task reproduces the identical bytes, lands
+    on the same name, and replaces rather than duplicates. (Two distinct
+    batches only collide if their selected content is byte-identical,
+    impossible while the key columns ``url``/``line_no`` are in ``cols``.)
+    """
 
     def __init__(self, out_dir: Optional[str], cols: tuple = (
             "url", "line_no", "timestamp", "severity", "lang_class",
             "route", "template", "message")):
         self.out_dir = out_dir
         self.cols = cols
-        self.actor_id = uuid.uuid4().hex[:8]
-        self.batch_no = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.out_dir is None:
             return batch
-        self.batch_no += 1
+        import hashlib
         routes = batch.column("route")
         for route in pc.unique(routes).to_pylist():
             sub = batch.filter(pc.equal(routes, route))
             keep = [c for c in self.cols if c in sub.column_names]
+            tbl = sub.select(keep)
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl)
+            digest = hashlib.blake2b(sink.getvalue(),
+                                     digest_size=12).hexdigest()
             d = Path(self.out_dir) / f"route={route}"
             d.mkdir(parents=True, exist_ok=True)
-            pq.write_table(sub.select(keep),
-                           d / f"part-{self.actor_id}-{self.batch_no}.parquet")
+            final = d / f"part-{digest}.parquet"
+            tmp = d / f".part-{digest}.{uuid.uuid4().hex[:6]}.tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, final)
         return batch
 
 
@@ -114,16 +128,7 @@ class FusedFlagshipStage:
     def _process(self, batch: pa.Table) -> pa.Table:
         t = self.parse(batch)
         t = self.enrich(t)
-        # dead-letter route: rows the header cascade could not parse keep
-        # their bytes and are fanned out to route=__deadletter__ (the
-        # engine's ignore_failure + failure sink, SURVEY §2.1 S7 / §2.2 H5)
-        err = t.column("error")
-        if err.null_count < len(t):
-            route = pc.if_else(pc.is_valid(err),
-                               pa.scalar("__deadletter__"),
-                               t.column("route"))
-            t = t.set_column(t.schema.get_field_index("route"),
-                             "route", route)
+        t = route_deadletter(t)
         t = add_template(t)
         if self.writer is not None:
             self.writer(t)
@@ -180,7 +185,9 @@ def build_parsed_dataset(sf_dir: str, cpus: Optional[int] = None,
         batch_format="pyarrow", batch_size=4096,
         concurrency=(1, max(2, pool // 4)))
 
-    templated = enriched.map_batches(add_template, batch_format="pyarrow")
+    templated = enriched.map_batches(
+        lambda b: add_template(route_deadletter(b)),
+        batch_format="pyarrow")
 
     if sink_dir is not None:
         templated = templated.map_batches(

@@ -90,6 +90,10 @@ def synthesize_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     (url, warc_ts, html, text, lang). Deterministic per (doc_id, replica);
     ``repeat`` emits N pages per document to scale the corpus without new
     inputs (replica pages get distinct seeds → distinct lines)."""
+    # replica id space must exceed any supported repeat, or replica seeds
+    # collide with the next doc_id's space (ADVICE r1)
+    _REPLICA_SPACE = 1_000_000
+    assert repeat < _REPLICA_SPACE, f"repeat must be < {_REPLICA_SPACE}"
     if repeat > 1:
         idx = np.repeat(np.arange(len(batch), dtype=np.int64), repeat)
         batch = batch.take(pa.array(idx))
@@ -97,12 +101,15 @@ def synthesize_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
                           len(batch) // repeat)
     else:
         replica = np.zeros(len(batch), dtype=np.int64)
-    doc_ids = batch.column("doc_id").to_numpy() * 1000 + replica
+    base_ids = batch.column("doc_id").to_numpy()
+    doc_ids = base_ids * _REPLICA_SPACE + replica
     langs = batch.column("lang").to_pylist()
     sources = batch.column("source").to_pylist()
     urls = [f"https://{src}.example.com/page/{did}"
             for src, did in zip(sources, doc_ids)]
-    warc_ts = pa.array(BASE_TS_US + doc_ids * 60_000_000,
+    # timestamp bounded independently of the (huge) seed space: 1h per
+    # document, 1s per replica
+    warc_ts = pa.array(BASE_TS_US + (base_ids * 3600 + replica) * 1_000_000,
                        type=pa.timestamp("us"))
     texts = []
     for did in doc_ids:

@@ -70,6 +70,11 @@ def template_partial_counts(batch: pa.Table,
     import zlib
     keys = [tpl_col, *by]
     sub = batch.select(keys)
+    # dead-letter rows carry a null template (no words); Ray's sort-based
+    # groupby cannot partition null keys — count them under a sentinel
+    tix = sub.schema.get_field_index(tpl_col)
+    sub = sub.set_column(tix, tpl_col,
+                         pc.fill_null(sub.column(tpl_col), "<unparsed>"))
     grouped = sub.group_by(keys).aggregate([([], "count_all")])
     n = grouped.column("count_all")
     # deterministic salt = hash(template) % 64: if the partials dataset were

@@ -74,3 +74,17 @@ class EnrichStage:
         batch = batch.append_column("severity", severity)
         batch = batch.append_column("route", route)
         return batch
+
+
+def route_deadletter(t: pa.Table) -> pa.Table:
+    """Override ``route`` with ``__deadletter__`` for rows the header
+    cascade could not parse (non-null ``error``) — the engine's
+    ignore_failure + failure sink (SURVEY §2.1 S7 / §2.2 H5). Shared by the
+    fused flagship stage and the modular pipeline so both produce the same
+    routed outputs."""
+    err = t.column("error")
+    if err.null_count == len(t):
+        return t
+    route = pc.if_else(pc.is_valid(err), pa.scalar("__deadletter__"),
+                       t.column("route"))
+    return t.set_column(t.schema.get_field_index("route"), "route", route)

@@ -264,3 +264,26 @@ def test_useritem_strip():
     p = make([rule])
     r = p.parse_line("2020-05-02 11:22:33 [abc] message")
     assert r["tag"] == "abc"
+
+
+def test_nonascii_rule_priority_matches_python_re():
+    # RE2's ASCII-only \w under-matches rule 0 on "héllo"; rule 1 would
+    # claim the line, inverting first-match-wins. Non-ASCII rows must route
+    # straight to the CPython-re cascade (ADVICE r1).
+    import pyarrow as pa
+    from log2seq_ray.kernel.header import CompiledRuleSet
+    from log2seq_ray.rules.header import HeaderRule
+    from log2seq_ray.rules import items as I
+    rules = [
+        HeaderRule(items=[I.UserItem("v", r"\w+"), I.Statement()],
+                   reformat_timestamp=False),
+        HeaderRule(items=[I.UserItem("v", r"[^ ]+"), I.Statement()],
+                   reformat_timestamp=False),
+    ]
+    fast = CompiledRuleSet(rules)
+    slow = CompiledRuleSet(rules, force_python_re=True)
+    lines = pa.array(["héllo wörld one", "plain ascii line"])
+    of, os_ = fast.parse(lines), slow.parse(lines)
+    assert of["rule_id"].to_pylist() == os_["rule_id"].to_pylist() == [0, 0]
+    assert of["v"].to_pylist() == os_["v"].to_pylist()
+    assert of["message"].to_pylist() == os_["message"].to_pylist()

@@ -449,3 +449,46 @@ def test_stratified_sample_deterministic(ray_session):
     assert out1.groupby("lang").size().to_dict() == {"de": 5, "en": 10}
     out2 = stratified_sample(rd.from_arrow(tbl), "lang", "doc_id", 10)
     assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_routed_writer_retry_idempotent(tmp_path):
+    import pyarrow.parquet as pq
+    from log2seq_ray.pipelines.flagship import RoutedWriter
+    batch = pa.table({
+        "url": ["u1", "u2", "u3"],
+        "line_no": [1, 2, 3],
+        "route": ["a", "a", "b"],
+        "message": ["x", "y", "z"],
+    })
+    w = RoutedWriter(str(tmp_path))
+    w(batch)
+    # a retried task re-runs the same batch (possibly in a fresh actor)
+    RoutedWriter(str(tmp_path))(batch)
+    w(batch)
+    got = pq.read_table(str(tmp_path / "route=a"))
+    assert got.num_rows == 2  # not 6
+    assert pq.read_table(str(tmp_path / "route=b")).num_rows == 1
+
+
+def test_modular_pipeline_deadletter_matches_fused(ray_session, tmp_path):
+    # unparseable lines must land on route=__deadletter__ in BOTH the
+    # fused flagship stage and the modular build_parsed_dataset (ADVICE r1)
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from log2seq_ray.pipelines import flagship
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(pa.table({
+        "url": ["good", "bad"],
+        "text": ["2024-01-02 03:04:05,123 INFO app: task 1 finished",
+                 "~~~ not a log line at all ~~~"],
+        "lang": ["en", "en"],
+    }), corpus / "f0.parquet")
+    fused = flagship.run(str(tmp_path), cpus=4,
+                         corpus_dir=str(corpus)).to_pandas()
+    assert "__deadletter__" in set(fused["route"])
+    modular = flagship.build_parsed_dataset(
+        str(tmp_path), cpus=4, corpus_dir=str(corpus)) \
+        .select_columns(["route", "error"]).to_pandas()
+    assert set(modular.loc[modular["error"].notna(), "route"]) \
+        == {"__deadletter__"}
