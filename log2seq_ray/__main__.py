@@ -97,7 +97,10 @@ def _guard_input(gen):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="log2seq_ray")
     ap.add_argument("files", nargs="*")
-    ap.add_argument("--preset", "-p", default="default")
+    ap.add_argument("--preset", "-p", default="default",
+                    help="preset name, or a path to a reference-style "
+                         "parser script (*.py exporting `parser`) — the "
+                         "reference CLI's -p")
     ap.add_argument("--spec", default=None,
                     help="user spec 'module:attr' returning (rules, actions)")
     ap.add_argument("--rules", default=None,
@@ -122,6 +125,11 @@ def main(argv=None) -> int:
             spec = load_spec_file(args.rules)
         elif args.spec:
             spec = load_user_spec(args.spec)
+        elif args.preset.endswith(".py"):
+            # reference-style parser script (log2seq plugin surface)
+            from .compat import load_parser_script
+            rules, actions, _ignore = load_parser_script(args.preset)
+            spec = (rules, actions)
         else:
             spec = load_spec(args.preset, args.year)
         from .kernel.parse import CompiledLogParser

@@ -81,11 +81,23 @@ def _ts_equal(ref_dt, eng_ts, eng_tzoff) -> bool:
             and eng_ts == ref_dt.replace(tzinfo=None))
 
 
-def compare_dataset(dataset: str, force_python_re=None, max_report: int = 5):
+def load_engine_parser_via_compat(dataset: str, force_python_re=None):
+    """Engine parser built by loading the REFERENCE example script itself
+    through the compat shim (log2seq_ray.compat.load_parser_script) —
+    no hand-ported rules involved."""
+    from log2seq_ray.compat import load_parser_script
+    from log2seq_ray.kernel.parse import CompiledLogParser
+    script = EXAMPLES / f"loghub_{dataset}" / "parser.py"
+    rules, actions, _ignore = load_parser_script(str(script))
+    return CompiledLogParser(rules, actions, force_python_re=force_python_re)
+
+
+def compare_dataset(dataset: str, force_python_re=None, max_report: int = 5,
+                    engine_loader=None):
     """Returns (n_lines, mismatches) where mismatches is a list of
     (line_no, reason, line)."""
     ref = load_reference_parser(dataset)
-    eng = load_engine_parser(dataset, force_python_re)
+    eng = (engine_loader or load_engine_parser)(dataset, force_python_re)
     lines = sample_lines(dataset)
     refs = reference_rows(ref, lines)
 
