@@ -21,10 +21,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-#: corpus multiplier: pages per document row (~8M lines at sf0.1 — large
-#: enough that the headline reflects steady-state throughput, not the ~7s
-#: session/actor-pool spin-up)
-REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "80"))
+#: corpus multiplier: pages per document row (~32M lines at sf0.1). Sized
+#: so steady-state compute dominates the fixed ~5-7s session/actor-pool
+#: spin-up in the headline (min-of-2 runs) — at 10^12 rows that spin-up
+#: amortizes to zero, and the throughput criterion is about steady state.
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "320"))
 
 
 def _sf_of(path: str) -> float:

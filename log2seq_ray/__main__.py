@@ -177,8 +177,18 @@ def main(argv=None) -> int:
                     continue
                 if args.output and args.output.endswith(".parquet"):
                     continue  # batched below
-                text = (" ".join(row["words"] or [])
-                        if args.format_type == "words" else str(row))
+                if args.format_type == "words":
+                    text = " ".join(row["words"] or [])
+                else:
+                    # reference "object" parity: absent (null) optional keys
+                    # are OMITTED from the printed dict, not shown as None
+                    # (/root/reference/log2seq/header.py:425-432,
+                    #  __main__.py:50-65); engine-internal columns hidden
+                    shown = {k: v for k, v in row.items()
+                             if v is not None
+                             and k not in ("rule_id", "error",
+                                           "tz_offset_sec")}
+                    text = str(shown)
                 if args.show_input:
                     print(raw.rstrip("\r\n"), file=f_out or sys.stdout)
                 print(text, file=f_out or sys.stdout)

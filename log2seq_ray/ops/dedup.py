@@ -15,6 +15,14 @@ Scale shapes (ray_guide "Aggregation at scale" / near-dup pattern):
 
 At 10^12 rows the band/bucket groupbys shuffle only fixed-width key rows
 (never documents); verification joins happen within groups.
+
+Hash-family note (ADVICE r1): the MinHash universal hash computes
+``a*x+b`` in uint64 (wrapping mod 2^64) BEFORE the mod-(2^61-1)
+reduction, so it is a deterministic-but-approximate member of the
+``(a*x+b) mod p`` family. Min-wise uniformity degrades marginally, which
+can only lower LSH *candidate recall* — precision is protected by the
+exact-Jaccard verify, and the gated recall-1 configuration (one-row
+bands) is insensitive to it.
 """
 
 from __future__ import annotations
@@ -96,6 +104,13 @@ class MinHashStage:
                                  dtype=np.uint64)
         self.n_hashes, self.n_bands = n_hashes, n_bands
         self.rows_per_band = n_hashes // n_bands
+        # per-row-in-band mixers for the vectorized band-hash combination
+        self.bandmix = rng.integers(1, _MERSENNE, size=self.rows_per_band,
+                                    dtype=np.uint64)
+        # per-band offset folded into the bucket key (a rare cross-band
+        # collision only MERGES two buckets, adding verified-away candidates)
+        self.bandoff = rng.integers(1, _MERSENNE, size=n_bands,
+                                    dtype=np.uint64)
         self.k, self.id_col, self.col = shingle_k, id_col, col
         self._tok_cache: dict[str, int] = {}
 
@@ -131,21 +146,23 @@ class MinHashStage:
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """One int64 bucket key per (doc, band): vectorized band-hash
+        (mixed linear combination of the band's signature rows, uint64
+        wraparound) + per-band offset — no per-band Python/digest loop."""
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.col).to_pylist()
-        buckets, doc_ids = [], []
-        r = self.rows_per_band
-        for did, text in zip(ids, texts):
-            sig = self.signature(text or "")
-            for band in range(self.n_bands):
-                chunk = sig[band * r:(band + 1) * r]
-                h = hashlib.blake2b(chunk.tobytes(),
-                                    digest_size=8).hexdigest()
-                buckets.append(f"{band}:{h}")
-                doc_ids.append(did)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             self.id_col: pa.array([], type=pa.int64())})
+        sigs = np.stack([self.signature(t or "") for t in texts])
+        bands = sigs.reshape(n, self.n_bands, self.rows_per_band)
+        bh = (bands * self.bandmix[None, None, :]).sum(axis=2)
+        bh = bh + self.bandoff[None, :]
         return pa.table({
-            "bucket": pa.array(buckets, type=pa.string()),
-            self.id_col: pa.array(doc_ids, type=pa.int64()),
+            "bucket": pa.array(bh.reshape(-1).view(np.int64)),
+            self.id_col: pa.array(
+                np.repeat(np.asarray(ids, dtype=np.int64), self.n_bands)),
         })
 
 
@@ -156,17 +173,73 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
-                            id_col="doc_id", col="text"):
-    """LSH bucket groupby → unique candidate pairs Dataset (a < b).
+def _split_bands(tbl: pa.Table, num_parts: int):
+    """One band-rows block → num_parts sub-tables by bucket hash."""
+    b = tbl.column("bucket").to_numpy().view(np.uint64)
+    part = ((b >> np.uint64(33)) % np.uint64(num_parts)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    s = tbl.take(pa.array(order))
+    counts = np.bincount(part, minlength=num_parts)
+    out, lo = [], 0
+    for n in counts:
+        out.append(s.slice(lo, n))
+        lo += n
+    return out
 
-    Almost every bucket holds exactly one doc; a per-group python call over
-    all of them dominated the op (observed ~90% of wall). So: two-phase
-    count per bucket first, broadcast the (tiny) multi-member bucket set,
-    and run the pair expansion only on the filtered rows.
+
+def _expand_pairs(id_col: str, pieces):
+    """Vectorized within-bucket pair expansion over one bucket partition:
+    sort by (bucket, id), segment, and emit every i<j pair per segment with
+    index arithmetic — no per-group Python calls."""
+    import ray
+    if pieces and isinstance(pieces[0], ray.ObjectRef):
+        pieces = ray.get(list(pieces))
+    pieces = [t for t in pieces if t.num_rows]
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64())})
+    if not pieces:
+        return empty
+    t = pa.concat_tables(pieces)
+    b = t.column("bucket").to_numpy()
+    ids = t.column(id_col).to_numpy()
+    order = np.lexsort((ids, b))
+    b, ids = b[order], ids[order]
+    # drop duplicate (bucket, id) rows
+    keep = np.ones(len(b), dtype=bool)
+    keep[1:] = (b[1:] != b[:-1]) | (ids[1:] != ids[:-1])
+    b, ids = b[keep], ids[keep]
+    starts = np.ones(len(b), dtype=bool)
+    starts[1:] = b[1:] != b[:-1]
+    seg_start = np.maximum.accumulate(
+        np.where(starts, np.arange(len(b)), 0))
+    within = np.arange(len(b)) - seg_start      # position j in its segment
+    tot = int(within.sum())                     # Σ j = Σ m(m-1)/2
+    if tot == 0:
+        return empty
+    row_for_pair = np.repeat(np.arange(len(b)), within)
+    block_start = np.cumsum(within) - within
+    i_in_block = np.arange(tot) - np.repeat(block_start, within)
+    i_row = np.repeat(seg_start, within) + i_in_block
+    id_a, id_b = ids[i_row], ids[row_for_pair]  # sorted → id_a < id_b
+    # dedup pairs within the partition (same pair from multiple bands)
+    uniq = np.unique(np.stack([id_a, id_b], axis=1), axis=0)
+    return pa.table({"id_a": pa.array(uniq[:, 0], type=pa.int64()),
+                     "id_b": pa.array(uniq[:, 1], type=pa.int64())})
+
+
+def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
+                            id_col="doc_id", col="text",
+                            num_parts: int = 16):
+    """LSH candidate pairs Dataset (id_a < id_b; may contain cross-
+    partition duplicates — callers dedup the small pair set).
+
+    One exchange: band rows (fixed-width ``(bucket int64, id)``) are
+    hash-partitioned by bucket in raw Ray tasks, and each partition expands
+    its buckets' i<j pairs fully vectorized (``np`` index arithmetic).
+    Singleton buckets cost nothing; no per-group Python, no second pass.
     """
-    import pandas as pd
-    from ray.data.aggregate import Sum
+    import ray
+    import ray.data as rd
 
     bands = ds.map_batches(
         MinHashStage,
@@ -174,45 +247,17 @@ def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
                                    shingle_k=shingle_k, id_col=id_col,
                                    col=col),
         batch_format="pyarrow", concurrency=(1, 8))
-    # (bucket, id) rows are fixed-width and n_docs x n_bands — materialize
-    # so the count pass and the filtered pass don't recompute signatures.
-    # At 10^12 docs this runs per corpus shard, not globally.
-    bands = bands.materialize()
-
-    def partial_counts(b: pa.Table) -> pa.Table:
-        g = b.select(["bucket"]).group_by(["bucket"]).aggregate(
-            [([], "count_all")])
-        return pa.table({"bucket": g.column("bucket"),
-                         "partial_n": g.column("count_all")})
-
-    counts = bands.map_batches(partial_counts, batch_format="pyarrow") \
-        .groupby("bucket").aggregate(Sum("partial_n", alias_name="n"))
-    hot = counts.map_batches(
-        lambda b: b.filter(pc.greater(b.column("n"), 1)).select(["bucket"]),
-        batch_format="pyarrow").to_pandas()
-    # an all-singleton corpus yields an empty frame with NO columns
-    hot_list = hot["bucket"].tolist() if "bucket" in hot.columns else []
-    hot_set = pa.array(hot_list, type=pa.string())
-    if len(hot_set) == 0:
-        import ray.data as rd
-        return rd.from_arrow(pa.table({
-            "id_a": pa.array([], type=pa.int64()),
-            "id_b": pa.array([], type=pa.int64())}))
-
-    filtered = bands.map_batches(
-        lambda b: b.filter(pc.is_in(b.column("bucket"),
-                                    value_set=hot_set)),
-        batch_format="pyarrow")
-
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame(out, columns=["id_a", "id_b"]) if out else \
-            pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64")})
-
-    return filtered.groupby("bucket").map_groups(
-        pairs_of_group, batch_format="pandas")
+    split = ray.remote(_split_bands)
+    expand = ray.remote(_expand_pairs)
+    per_part = [[] for _ in range(num_parts)]
+    for ref in bands.to_arrow_refs():
+        pieces = split.options(num_returns=num_parts).remote(ref, num_parts)
+        if num_parts == 1:
+            pieces = [pieces]
+        for i, p in enumerate(pieces):
+            per_part[i].append(p)
+    return rd.from_arrow_refs(
+        [expand.remote(id_col, pieces) for pieces in per_part])
 
 
 class _FilterByIdStage:

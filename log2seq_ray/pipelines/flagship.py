@@ -68,11 +68,18 @@ class RoutedWriter:
             sub = batch.filter(pc.equal(routes, route))
             keep = [c for c in self.cols if c in sub.column_names]
             tbl = sub.select(keep)
-            sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, tbl.schema) as w:
-                w.write_table(tbl)
-            digest = hashlib.blake2b(sink.getvalue(),
-                                     digest_size=12).hexdigest()
+            # digest the KEY columns' buffers only (url+line_no uniquely
+            # identify rows) — hashing the full content via IPC doubled the
+            # sink cost at bench scale
+            h = hashlib.blake2b(digest_size=12)
+            h.update(str(route).encode())
+            key_cols = [c for c in ("url", "line_no") if c in keep] or keep
+            for c in key_cols:
+                col = tbl.column(c).combine_chunks()
+                for buf in col.buffers():
+                    if buf is not None:
+                        h.update(buf)
+            digest = h.hexdigest()
             d = Path(self.out_dir) / f"route={route}"
             d.mkdir(parents=True, exist_ok=True)
             final = d / f"part-{digest}.parquet"
