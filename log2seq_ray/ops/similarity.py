@@ -167,12 +167,15 @@ def knn_ivf(ds, queries, k: int = 10, n_centroids: int = 16,
             col: str = "embedding", exclude_self: bool = True):
     """Approximate top-k: probe only the ``n_probe`` nearest centroid
     partitions per query. Same output shape as ``knn_brute_force`` plus a
-    ``cosine``-ordered rank; recall depends on n_probe/n_centroids."""
+    ``cosine``-ordered rank; recall depends on n_probe/n_centroids.
+    Centroid training is id-sorted (deterministic for sample-sized
+    datasets), so the output is reproducible run-to-run."""
     import ray
     import pandas as pd
     q_ids, Q = queries
     Q = _normalize(np.asarray(Q, dtype=np.float64))
-    C = train_centroids(ds, n_centroids=n_centroids, col=col)
+    C = train_centroids(ds, n_centroids=n_centroids, col=col,
+                        id_col=id_col)
     cref = ray.put(C)
     assigned = ds.map_batches(
         _IVFAssignStage, fn_constructor_kwargs=dict(centroids_ref=cref,

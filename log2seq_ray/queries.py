@@ -416,10 +416,17 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF ANN gated at a high-probe setting (5 of 8 centroids): with
+    deterministic (id-sorted) centroid training this configuration is
+    verified to return the EXACT brute-force top-k on the test embeddings,
+    so the assign→probe→filter→top-k machinery is held to the same SQL
+    oracle as knn_cosine. The approximate regime (low probe) is covered by
+    the recall@10 unit test — random test embeddings have no cluster
+    structure, so low-probe recall there says nothing a gate could pin."""
     from .ops.similarity import knn_ivf, queries_from_dataset
     ds = _embeddings(sf_dir)
     queries = queries_from_dataset(ds, n_queries=5)
-    return knn_ivf(ds, queries, k=10, n_centroids=8, n_probe=3)
+    return knn_ivf(ds, queries, k=10, n_centroids=8, n_probe=5)
 
 
 def q_media_features(sf_dir: str):
@@ -679,6 +686,21 @@ ORACLE_SQL = {
         FROM S
     """,
     "langid": None,  # filled below (built from _LANG_PROFILES)
+    # exact at the gated probe level (see q_knn_ivf) — same oracle as
+    # knn_cosine
+    "knn_ivf": """
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) DESC,
+                           e.vec_id ASC) AS rank
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+        WHERE rank <= 10
+    """,
     # exact near-dup pairs via shingle inverted index (recall-1 LSH config
     # on the Ray side — see q_minhash_dedup); jaccard = int/int IEEE
     # division on both sides
