@@ -80,7 +80,17 @@ def run_benchmarks() -> dict:
                             corpus_dir=corpus_dir).to_pandas()
 
     counts = timed("flagship_cold", _flagship)
-    counts = timed("flagship", _flagship)
+    if "--stats" in sys.argv:
+        # per-operator Ray Data stats for the headline pipeline (stderr so
+        # the stdout JSON contract is untouched)
+        ds = flagship.run(SF_DIR, cpus=NUM_CPUS, corpus_dir=corpus_dir)
+        t0 = time.perf_counter()
+        ds = ds.materialize()
+        timings["flagship"] = round(time.perf_counter() - t0, 3)
+        print(ds.stats(), file=sys.stderr)
+        counts = ds.to_pandas()
+    else:
+        counts = timed("flagship", _flagship)
     timings["flagship"] = min(timings["flagship"], timings["flagship_cold"])
     n_rows = int(counts["n"].sum())
 

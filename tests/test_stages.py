@@ -492,3 +492,25 @@ def test_modular_pipeline_deadletter_matches_fused(ray_session, tmp_path):
         .select_columns(["route", "error"]).to_pandas()
     assert set(modular.loc[modular["error"].notna(), "route"]) \
         == {"__deadletter__"}
+
+
+def test_hopping_counts_null_ts_filtered(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from log2seq_ray.ops.stats import hopping_counts
+    base = dt.datetime(2024, 1, 1, 10, 15)
+    tbl = pa.table({
+        "event_type": ["a", "a", "a"],
+        "ts": pa.array([base, None, base], type=pa.timestamp("us")),
+    })
+    out = hopping_counts(rd.from_arrow(tbl)).to_pandas()
+    # two valid events, each in 2 hopping windows; the null row is dropped
+    assert out["n"].sum() == 4
+    assert out["window_start"].notna().all()
+
+
+def test_webpages_repeat_guard():
+    from log2seq_ray.sources.webpages import synthesize_batch
+    b = pa.table({"doc_id": [1], "lang": ["en"], "source": ["s"]})
+    with pytest.raises(AssertionError):
+        synthesize_batch(b, repeat=1_000_000)
