@@ -76,9 +76,35 @@ class CompiledLogParser:
         ``([], [""])`` like the reference (``tests/test_statement.py:19-27``).
         """
         fn = self.statement_fn
+        into = getattr(fn, "into", None)
+        msgs = messages.to_pylist()
+        if into is not None:
+            # flat accumulation: one values array + offsets instead of a
+            # per-row nested list conversion (≈25% of statement wall)
+            flat_w: list = []
+            flat_s: list = []
+            n = len(msgs)
+            w_off = np.empty(n + 1, dtype=np.int32)
+            s_off = np.empty(n + 1, dtype=np.int32)
+            w_off[0] = s_off[0] = 0
+            null_mask = np.zeros(n, dtype=bool)
+            for i, s in enumerate(msgs):
+                if s is None:
+                    null_mask[i] = True
+                else:
+                    into(s, flat_w, flat_s)
+                w_off[i + 1] = len(flat_w)
+                s_off[i + 1] = len(flat_s)
+            off_mask = np.concatenate([null_mask, [False]])
+            w_offsets = pa.array(w_off, type=pa.int32(), mask=off_mask)
+            s_offsets = pa.array(s_off, type=pa.int32(), mask=off_mask)
+            return (pa.ListArray.from_arrays(
+                        w_offsets, pa.array(flat_w, type=pa.string())),
+                    pa.ListArray.from_arrays(
+                        s_offsets, pa.array(flat_s, type=pa.string())))
         words_out: list = []
         syms_out: list = []
-        for s in messages.to_pylist():
+        for s in msgs:
             if s is None:
                 words_out.append(None)
                 syms_out.append(None)

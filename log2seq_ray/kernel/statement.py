@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import ipaddress
 import re
-from typing import Callable, Iterable
+from typing import Callable, Iterable, Optional
 
 from ..rules import actions as A
 
@@ -333,6 +333,14 @@ def compile_action(spec) -> Callable:
 # non-UNKNOWN parts go straight to the output — no intermediate part lists
 # are materialized per action. Emission order equals the stream order of
 # the staged version, so words/symbols are byte-identical.
+#
+# Finalization is fused too: stages append straight into (words, syms),
+# using the invariant that the reference ``_separate``'s ``prev_word``
+# state is exactly ``len(syms) == len(words)`` (every word emission pads
+# syms to equal length; a separator emission makes syms one longer). No
+# (str, flag) tuples, no second pass. Only non-empty words reach emission
+# (split sites drop empty pieces; the empty statement is special-cased),
+# matching _finalize's empty-word skip.
 
 def _fuse_one(spec, nxt) -> Callable:
     if isinstance(spec, A.Split):
@@ -341,96 +349,228 @@ def _fuse_one(spec, nxt) -> Callable:
         if len(spec.separators) == 1:
             sep = spec.separators
 
-            def stage(s, out, split=split, nxt=nxt, sep=sep):
+            def stage(s, words, syms, split=split, nxt=nxt, sep=sep):
                 if sep not in s:
-                    nxt(s, out)
+                    nxt(s, words, syms)
                     return
                 pieces = split(s)
                 for i, piece in enumerate(pieces):
                     if i & 1:
-                        out.append((piece, S))
+                        if len(syms) == len(words):
+                            syms.append(piece)
+                        else:
+                            syms[-1] += piece
                     elif piece:
-                        nxt(piece, out)
+                        nxt(piece, words, syms)
             return stage
 
-        def stage(s, out, split=split, nxt=nxt):
+        def stage(s, words, syms, split=split, nxt=nxt):
             pieces = split(s)
             if len(pieces) == 1:
-                nxt(s, out)
+                nxt(s, words, syms)
                 return
             for i, piece in enumerate(pieces):
                 if i & 1:
-                    out.append((piece, S))
+                    if len(syms) == len(words):
+                        syms.append(piece)
+                    else:
+                        syms[-1] += piece
                 elif piece:
-                    nxt(piece, out)
+                    nxt(piece, words, syms)
         return stage
 
-    if isinstance(spec, (A.Fix, A.Remove)):
+    if isinstance(spec, A.Fix):
         pats = list(spec.patterns)
         match = re.compile(pats[0] if len(pats) == 1 else
                            "|".join(f"(?:{p})" for p in pats)).match
-        flag = F if isinstance(spec, A.Fix) else S
 
-        def stage(s, out, match=match, nxt=nxt, flag=flag):
+        def stage(s, words, syms, match=match, nxt=nxt):
             if match(s):
-                out.append((s, flag))
+                if len(syms) == len(words):
+                    syms.append("")
+                words.append(s)
             else:
-                nxt(s, out)
+                nxt(s, words, syms)
+        return stage
+
+    if isinstance(spec, A.Remove):
+        pats = list(spec.patterns)
+        match = re.compile(pats[0] if len(pats) == 1 else
+                           "|".join(f"(?:{p})" for p in pats)).match
+
+        def stage(s, words, syms, match=match, nxt=nxt):
+            if match(s):
+                if len(syms) == len(words):
+                    syms.append(s)
+                else:
+                    syms[-1] += s
+            else:
+                nxt(s, words, syms)
         return stage
 
     if isinstance(spec, A.FixIP):
         addr, net = spec.address, spec.network
 
-        def stage(s, out, nxt=nxt):
-            if _is_ip(s, addr, net):
-                out.append((s, F))
+        def stage(s, words, syms, nxt=nxt):
+            # inline the reference's cheap reject (no '.' and no ':') so
+            # the overwhelmingly common plain-word part skips the call
+            if ("." not in s and ":" not in s) \
+                    or not _is_ip(s, addr, net):
+                nxt(s, words, syms)
             else:
-                nxt(s, out)
+                if len(syms) == len(words):
+                    syms.append("")
+                words.append(s)
         return stage
 
     if isinstance(spec, A.ConditionalSplit):
         preds = [re.compile(p).match for p in spec.patterns]
         split = re.compile(r"([" + re.escape(spec.separators) + r"]+)").split
 
-        def stage(s, out, preds=preds, split=split, nxt=nxt):
+        def stage(s, words, syms, preds=preds, split=split, nxt=nxt):
             if any(m(s) for m in preds):
                 pieces = split(s)
                 for i, piece in enumerate(pieces):
                     if i & 1:
-                        out.append((piece, S))
+                        if len(syms) == len(words):
+                            syms.append(piece)
+                        else:
+                            syms[-1] += piece
                     elif piece:
-                        nxt(piece, out)
+                        nxt(piece, words, syms)
             else:
-                nxt(s, out)
+                nxt(s, words, syms)
         return stage
 
     raise TypeError(spec)
 
 
 def _compile_fused(specs) -> Callable[[str], tuple[list[str], list[str]]]:
-    terminal = None
-
-    def terminal(s, out):
-        out.append((s, U))
+    def terminal(s, words, syms):
+        # s is never empty here (split sites drop empty pieces)
+        if len(syms) == len(words):
+            syms.append("")
+        words.append(s)
 
     head = terminal
     for spec in reversed(list(specs)):
         head = _fuse_one(spec, head)
 
     def parse_statement(statement: str, head=head) -> tuple[list, list]:
-        out: list = []
-        if statement:
-            head(statement, out)
-        else:
-            out.append(("", U))
-        return _finalize(out)
+        if not statement:
+            return [], [""]
+        words: list = []
+        syms: list = []
+        head(statement, words, syms)
+        if len(syms) == len(words):
+            syms.append("")
+        return words, syms
 
+    return parse_statement
+
+
+def _compile_default_shape(specs) -> Optional[Callable]:
+    """Fully hand-fused fast path for the preset chain shape
+    ``[Split, FixIP, Fix, Split(single-char)]`` (the reference's default
+    statement parser, used by 15/16 loghub configs and the flagship):
+    ONE function, zero per-part closure-chain calls. Byte-identical to the
+    staged semantics — covered by the differential parity suite."""
+    if len(specs) != 4:
+        return None
+    s1, ip, fx, s2 = specs
+    if not (isinstance(s1, A.Split) and isinstance(ip, A.FixIP)
+            and isinstance(fx, A.Fix) and isinstance(s2, A.Split)
+            and len(s2.separators) == 1):
+        return None
+    split1 = re.compile(r"([" + re.escape(s1.separators) + r"]+)").split
+    split2 = re.compile(r"([" + re.escape(s2.separators) + r"]+)").split
+    sep2 = s2.separators
+    pats = list(fx.patterns)
+    match_fix = re.compile(pats[0] if len(pats) == 1 else
+                           "|".join(f"(?:{p})" for p in pats)).match
+    addr, net = ip.address, ip.network
+    is_ip = _is_ip
+
+    def parse_statement(statement: str) -> tuple[list, list]:
+        if not statement:
+            return [], [""]
+        words: list = []
+        syms: list = []
+        for i, piece in enumerate(split1(statement)):
+            if i & 1:
+                if len(syms) == len(words):
+                    syms.append(piece)
+                else:
+                    syms[-1] += piece
+            elif piece:
+                has_dot_colon = "." in piece or ":" in piece
+                if (has_dot_colon and is_ip(piece, addr, net)) \
+                        or match_fix(piece) or sep2 not in piece:
+                    if len(syms) == len(words):
+                        syms.append("")
+                    words.append(piece)
+                    continue
+                for j, q in enumerate(split2(piece)):
+                    if j & 1:
+                        if len(syms) == len(words):
+                            syms.append(q)
+                        else:
+                            syms[-1] += q
+                    elif q:
+                        if len(syms) == len(words):
+                            syms.append("")
+                        words.append(q)
+        if len(syms) == len(words):
+            syms.append("")
+        return words, syms
+
+    def parse_into(statement: str, flat_w: list, flat_s: list) -> None:
+        """Append one row's words/symbols into SHARED flat lists (the
+        caller records offsets) — skips per-row list allocation and lets
+        ``parse_statements`` build the Arrow list arrays from one flat
+        values array. Same emission sites; ``prev_word`` becomes
+        (len(flat_s)-bs) == (len(flat_w)-bw) against the row's bases."""
+        bw, bs = len(flat_w), len(flat_s)
+        if not statement:
+            flat_s.append("")
+            return
+        for i, piece in enumerate(split1(statement)):
+            if i & 1:
+                if len(flat_s) - bs == len(flat_w) - bw:
+                    flat_s.append(piece)
+                else:
+                    flat_s[-1] += piece
+            elif piece:
+                has_dot_colon = "." in piece or ":" in piece
+                if (has_dot_colon and is_ip(piece, addr, net)) \
+                        or match_fix(piece) or sep2 not in piece:
+                    if len(flat_s) - bs == len(flat_w) - bw:
+                        flat_s.append("")
+                    flat_w.append(piece)
+                    continue
+                for j, q in enumerate(split2(piece)):
+                    if j & 1:
+                        if len(flat_s) - bs == len(flat_w) - bw:
+                            flat_s.append(q)
+                        else:
+                            flat_s[-1] += q
+                    elif q:
+                        if len(flat_s) - bs == len(flat_w) - bw:
+                            flat_s.append("")
+                        flat_w.append(q)
+        if len(flat_s) - bs == len(flat_w) - bw:
+            flat_s.append("")
+
+    parse_statement.into = parse_into
     return parse_statement
 
 
 def compile_actions(specs) -> Callable[[str], tuple[list[str], list[str]]]:
     """Compile an ordered action chain into ``str -> (words, symbols)``."""
     specs = list(specs)
+    fast = _compile_default_shape(specs)
+    if fast is not None:
+        return fast
     if specs and all(isinstance(s, (A.Split, A.Fix, A.Remove, A.FixIP,
                                     A.ConditionalSplit)) for s in specs):
         return _compile_fused(specs)
