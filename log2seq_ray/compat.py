@@ -225,9 +225,14 @@ def load_parser_script(script_path: str):
     code. The shim modules are installed only for the duration of the
     exec (previous ``log2seq*`` entries in ``sys.modules`` are restored).
     """
+    import os.path
     mods = build_shim_modules()
     saved = {k: sys.modules.get(k) for k in mods}
     sys.modules.update(mods)
+    # like the reference loader, let the script import helpers from its
+    # own directory (sys.path entry removed afterwards)
+    script_dir = os.path.abspath(os.path.dirname(script_path))
+    sys.path.insert(0, script_dir)
     try:
         name = f"_l2sr_user_parser_{next(_counter)}"
         spec = importlib.util.spec_from_file_location(name, script_path)
@@ -240,6 +245,10 @@ def load_parser_script(script_path: str):
                 f"got {type(lp).__name__}")
         return lp.rules, lp.actions, lp.ignore_failure
     finally:
+        try:
+            sys.path.remove(script_dir)
+        except ValueError:
+            pass
         for k, v in saved.items():
             if v is None:
                 sys.modules.pop(k, None)
