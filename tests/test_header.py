@@ -287,3 +287,37 @@ def test_nonascii_rule_priority_matches_python_re():
     assert of["rule_id"].to_pylist() == os_["rule_id"].to_pylist() == [0, 0]
     assert of["v"].to_pylist() == os_["v"].to_pylist()
     assert of["message"].to_pylist() == os_["message"].to_pylist()
+
+
+def test_hostile_input_probes_never_raise():
+    # verify-skill probes: empty line, CRLF, 100KB statement, embedded NUL,
+    # garbage — all must become rows (parsed or error), never exceptions,
+    # and parsed rows keep the lossless reconstruction invariant.
+    import pyarrow as pa
+    from log2seq_ray.kernel.parse import CompiledLogParser
+    from log2seq_ray.rules.presets import default_parser_spec
+    p = CompiledLogParser(*default_parser_spec(year=2024))
+    big = "Jan  1 12:34:56 host1 app: " + "x " * 50_000  # ~100KB statement
+    lines = [
+        "",
+        "Jan  1 12:34:56 host1 app: hello\r\n",
+        big,
+        "Jan  1 12:34:56 host1 app: nul\x00byte inside",
+        "\x7f\x01\x02 total garbage \xff-ish",
+        "Jan  1 12:34:56",  # header-only, no statement match for rule
+    ]
+    tbl = p.parse_lines(pa.array(lines, type=pa.string()))
+    assert tbl.num_rows == len(lines)
+    errs = tbl.column("error").to_pylist()
+    assert errs[0] == "empty line"
+    assert errs[1] is None
+    msgs = tbl.column("message").to_pylist()
+    words = tbl.column("words").to_pylist()
+    syms = tbl.column("symbols").to_pylist()
+    for m, w, s in zip(msgs, words, syms):
+        if m is None:
+            continue
+        # lossless reconstruction: message == syms[0] + Σ(words[i]+syms[i+1])
+        rebuilt = s[0] + "".join(a + b for a, b in zip(w, s[1:]))
+        assert rebuilt == m
+        assert len(s) == len(w) + 1
