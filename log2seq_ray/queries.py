@@ -434,6 +434,16 @@ def q_media_features(sf_dir: str):
     return media_pipeline(sf_dir)
 
 
+def q_audio_features(sf_dir: str):
+    from .ops.multimodal import audio_pipeline
+    return audio_pipeline(sf_dir)
+
+
+def q_video_frames(sf_dir: str):
+    from .ops.multimodal import frame_pipeline
+    return frame_pipeline(sf_dir)
+
+
 def q_embedding_dups(sf_dir: str):
     """Cosine near-dup pairs over the embeddings table augmented with a
     deterministic perturbed copy of every 5th vector (the raw table has no
@@ -498,6 +508,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "knn_ivf": q_knn_ivf,
     "media_features": q_media_features,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "embedding_dups": q_embedding_dups,
 }
 

@@ -514,3 +514,27 @@ def test_webpages_repeat_guard():
     b = pa.table({"doc_id": [1], "lang": ["en"], "source": ["s"]})
     with pytest.raises(AssertionError):
         synthesize_batch(b, repeat=1_000_000)
+
+
+def test_multimodal_resize_audio_frames():
+    from log2seq_ray.ops.multimodal import (
+        synthesize_media, ImageResizeStage, AudioFeatureStage,
+        VideoFrameSampleStage)
+    media = synthesize_media(pa.table({"doc_id": list(range(9))}))
+    imgs = media.filter(pc.equal(media.column("kind"), "image"))
+    auds = media.filter(pc.equal(media.column("kind"), "audio"))
+    vids = media.filter(pc.equal(media.column("kind"), "video"))
+    rz = ImageResizeStage(max_side=128)(imgs)
+    assert rz.num_rows == imgs.num_rows
+    assert max(rz.column("width").to_pylist()
+               + rz.column("height").to_pylist()) <= 128
+    af = AudioFeatureStage()(auds)
+    assert af.num_rows == auds.num_rows
+    assert all(len(v) == 13 for v in af.column("mfcc").to_pylist())
+    fr = VideoFrameSampleStage(n_frames=4)(vids)
+    assert fr.num_rows == 4 * vids.num_rows
+    # deterministic
+    assert fr.equals(VideoFrameSampleStage(n_frames=4)(vids))
+    # real backends are honestly stubbed in this container
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(backend="librosa")
