@@ -1,10 +1,13 @@
 """Windowed / stream-shaped operators over the ``events`` table.
 
 Ray Data has no event-time windows (ray_guide "Streaming-shaped
-workloads"); the idiom is: partition by key, sort within the group, and
-compute windows in pandas inside ``groupby(key).map_groups``. Ordering
-assumption: per-key ordering only (established by the in-group sort);
-no cross-key ordering is required.
+workloads"). Sessionization here is a two-stage exchange (the hash_join
+pattern): rows hash-partition by key in raw Ray tasks, and each partition
+computes sessions for ALL its keys in ONE vectorized pass (lexsort +
+boundary masks + ``np.reduceat``) — no per-group Python callable, so a
+web-scale key space (millions of users) costs one task per partition,
+not one interpreter call per user. Ordering assumption: per-key ordering
+only, established by the in-partition sort.
 """
 
 from __future__ import annotations
@@ -14,45 +17,137 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_GAP_SENTINEL = np.int64(1 << 62)
+
+
+def _split_by_key(tbl: pa.Table, key: str, num_parts: int):
+    """One block → num_parts sub-tables by hash(key)."""
+    col = tbl.column(key)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    h = pd.util.hash_array(col.to_pandas().to_numpy())
+    part = (h % np.uint64(num_parts)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    s = tbl.take(pa.array(order))
+    counts = np.bincount(part, minlength=num_parts)
+    out, lo = [], 0
+    for n in counts:
+        out.append(s.slice(lo, n))
+        lo += n
+    return out
+
+
+def _session_segments(t: pa.Table, key: str, ts_col: str, gap_sec: int):
+    """Vectorized per-partition sessionization core. Returns
+    (key_dictionary, per-session (key_code, session_no, start_idx) plus the
+    sorted ts int64 array and session row counts)."""
+    ts = np.asarray(pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                            pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    enc = pc.dictionary_encode(t.column(key).combine_chunks()
+                               if isinstance(t.column(key), pa.ChunkedArray)
+                               else t.column(key))
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    order = np.lexsort((ts, codes))
+    k, s = codes[order], ts[order]
+    n = len(k)
+    new_key = np.ones(n, dtype=bool)
+    new_key[1:] = k[1:] != k[:-1]
+    gap = np.empty(n, dtype=np.int64)
+    gap[0] = _GAP_SENTINEL
+    gap[1:] = s[1:] - s[:-1]
+    new_sess = new_key | (gap > gap_sec * 1_000_000)
+    starts = np.nonzero(new_sess)[0]
+    n_events = np.diff(np.append(starts, n))
+    # session_no: 1-based cumulative count within each key
+    sess_key = k[starts]
+    sess_new_key = np.ones(len(starts), dtype=bool)
+    sess_new_key[1:] = sess_key[1:] != sess_key[:-1]
+    grp_start = np.maximum.accumulate(
+        np.where(sess_new_key, np.arange(len(starts)), 0))
+    session_no = np.arange(len(starts)) - grp_start + 1
+    return enc.dictionary, sess_key, session_no, starts, n_events, s, \
+        sess_new_key
+
+
+def _sessionize_partition(key: str, ts_col: str, gap_sec: int, mode: str,
+                          pieces):
+    import ray
+    if pieces and isinstance(pieces[0], ray.ObjectRef):
+        pieces = ray.get(list(pieces))
+    pieces = [p for p in pieces if p.num_rows]
+    if not pieces:
+        if mode == "sessions":
+            return pa.table({
+                key: pa.array([], type=pa.int64()),
+                "session_no": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "t_start": pa.array([], type=pa.timestamp("us")),
+                "t_end": pa.array([], type=pa.timestamp("us"))})
+        return pa.table({
+            key: pa.array([], type=pa.int64()),
+            "n_sessions": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64())})
+    t = pa.concat_tables(pieces)
+    dictionary, sess_key, session_no, starts, n_events, s, sess_new_key = \
+        _session_segments(t, key, ts_col, gap_sec)
+    key_vals = dictionary.take(pa.array(sess_key))
+    if mode == "sessions":
+        t_start = s[starts]
+        ends = np.append(starts[1:], len(s)) - 1
+        return pa.table({
+            key: key_vals,
+            "session_no": pa.array(session_no, type=pa.int64()),
+            "n_events": pa.array(n_events, type=pa.int64()),
+            "t_start": pa.array(t_start, type=pa.int64()).cast(
+                pa.timestamp("us")),
+            "t_end": pa.array(s[ends], type=pa.int64()).cast(
+                pa.timestamp("us")),
+        })
+    # counts mode: collapse sessions per key (sessions of one key are
+    # contiguous in the sorted session list)
+    kstarts = np.nonzero(sess_new_key)[0]
+    n_sessions = np.diff(np.append(kstarts, len(sess_key)))
+    ev_cum = np.concatenate([[0], np.cumsum(n_events)])
+    n_events_per_key = ev_cum[np.append(kstarts[1:], len(sess_key))] \
+        - ev_cum[kstarts]
+    return pa.table({
+        key: key_vals.take(pa.array(kstarts)),
+        "n_sessions": pa.array(n_sessions, type=pa.int64()),
+        "n_events": pa.array(n_events_per_key, type=pa.int64()),
+    })
+
+
+def _session_exchange(ds, key: str, ts_col: str, gap_sec: int, mode: str,
+                      num_parts: int):
+    import ray
+    import ray.data as rd
+    split = ray.remote(_split_by_key)
+    work = ray.remote(_sessionize_partition)
+    per_part = [[] for _ in range(num_parts)]
+    for ref in ds.to_arrow_refs():
+        pieces = split.options(num_returns=num_parts).remote(
+            ref, key, num_parts)
+        if num_parts == 1:
+            pieces = [pieces]
+        for i, p in enumerate(pieces):
+            per_part[i].append(p)
+    return rd.from_arrow_refs(
+        [work.remote(key, ts_col, gap_sec, mode, pieces)
+         for pieces in per_part])
+
 
 def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
-               gap_sec: int = 1800):
+               gap_sec: int = 1800, num_parts: int = 16):
     """Gap-based session windows: one output row per (key, session) with
-    n_events and session bounds. A new session starts when the gap from
-    the previous event exceeds ``gap_sec``."""
-
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("datetime64[us]")
-        gap = ts.diff().dt.total_seconds()
-        new_sess = (gap.isna() | (gap > gap_sec)).astype("int64")
-        sess_id = new_sess.cumsum()
-        out = g.assign(__sess=sess_id).groupby("__sess").agg(
-            n_events=(ts_col, "size"),
-            t_start=(ts_col, "min"),
-            t_end=(ts_col, "max"),
-        ).reset_index()
-        out[key] = g[key].iloc[0]
-        out = out.rename(columns={"__sess": "session_no"})
-        return out[[key, "session_no", "n_events", "t_start", "t_end"]]
-
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    1-based ``session_no``, ``n_events`` and session bounds. A new session
+    starts when the gap from the previous event exceeds ``gap_sec``."""
+    return _session_exchange(ds, key, ts_col, gap_sec, "sessions", num_parts)
 
 
 def session_counts(ds, key: str = "user_id", ts_col: str = "ts",
-                   gap_sec: int = 1800):
+                   gap_sec: int = 1800, num_parts: int = 16):
     """(key, n_sessions, n_events) per key — compact, SQL-checkable."""
-    sess = sessionize(ds, key, ts_col, gap_sec)
-
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            key: [g[key].iloc[0]],
-            "n_sessions": np.array([g["session_no"].nunique()],
-                                   dtype="int64"),
-            "n_events": np.array([int(g["n_events"].sum())], dtype="int64"),
-        })
-
-    return sess.groupby(key).map_groups(collapse, batch_format="pandas")
+    return _session_exchange(ds, key, ts_col, gap_sec, "counts", num_parts)
 
 
 def distinct_counts(ds, group_col: str, value_col: str):

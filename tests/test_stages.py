@@ -538,3 +538,22 @@ def test_multimodal_resize_audio_frames():
     # real backends are honestly stubbed in this container
     with pytest.raises(NotImplementedError):
         AudioFeatureStage(backend="librosa")
+
+
+def test_sessionize_rows_vectorized(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from log2seq_ray.ops.windows import sessionize
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"user_id": 1, "ts": base},
+        {"user_id": 1, "ts": base + dt.timedelta(seconds=10)},
+        {"user_id": 1, "ts": base + dt.timedelta(hours=2)},
+        {"user_id": 2, "ts": base + dt.timedelta(seconds=5)},
+    ]
+    out = sessionize(rd.from_items(rows), gap_sec=1800).to_pandas() \
+        .sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    assert out[["user_id", "session_no", "n_events"]].values.tolist() == [
+        [1, 1, 2], [1, 2, 1], [2, 1, 1]]
+    assert out.loc[0, "t_start"] == base
+    assert out.loc[0, "t_end"] == base + dt.timedelta(seconds=10)
