@@ -70,16 +70,48 @@ def asof_join(left, right, key: str, ts_col: str,
     return union.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def _topk_frame(df: pd.DataFrame, group_col: str, order_col: str, k: int,
+                descending: bool, tiebreak, with_rank: bool) -> pd.DataFrame:
+    """Vectorized multi-group top-k over one frame: one sort + one
+    C-level cumcount — no per-group Python."""
+    by = [group_col, order_col] + ([tiebreak] if tiebreak else [])
+    asc = [True, not descending] + ([True] if tiebreak else [])
+    df = df.sort_values(by, ascending=asc, kind="mergesort")
+    r = df.groupby(group_col, sort=False).cumcount() + 1
+    out = df[r <= k]
+    if with_rank:
+        out = out.assign(rank=r[r <= k].astype("int64"))
+    return out.reset_index(drop=True)
+
+
+def _topk_partition(group_col, order_col, k, descending, tiebreak, pieces):
+    from .exchange import resolve_pieces
+    pieces = resolve_pieces(pieces)
+    if not pieces:
+        return pa.table({})
+    df = pa.concat_tables(pieces).to_pandas()
+    return pa.Table.from_pandas(
+        _topk_frame(df, group_col, order_col, k, descending, tiebreak,
+                    with_rank=True), preserve_index=False)
+
+
 def top_k_per_group(ds, group_col: str, order_col: str, k: int,
-                    descending: bool = True, tiebreak: str | None = None):
-    """Top-k rows per group with deterministic tie-break; adds ``rank``."""
+                    descending: bool = True, tiebreak: str | None = None,
+                    num_parts: int = 16):
+    """Top-k rows per group with deterministic tie-break; adds ``rank``.
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        by = [order_col] + ([tiebreak] if tiebreak else [])
-        asc = [not descending] + ([True] if tiebreak else [])
-        g = g.sort_values(by, ascending=asc).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g
+    Two phases, both vectorized: each batch prunes to its LOCAL per-group
+    top-k (the global top-k rows survive any local prune), then a hash
+    exchange by group computes the final ranks one task per partition —
+    no per-group Python callable, no full-group shuffle of pruned-away
+    rows."""
+    from .exchange import hash_exchange
 
-    return ds.groupby(group_col).map_groups(per_group,
-                                            batch_format="pandas")
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return _topk_frame(df, group_col, order_col, k, descending,
+                           tiebreak, with_rank=False)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return hash_exchange(pruned, group_col, _topk_partition, num_parts,
+                         fn_args=(group_col, order_col, k, descending,
+                                  tiebreak))

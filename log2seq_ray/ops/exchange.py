@@ -1,0 +1,66 @@
+"""Shared two-stage hash exchange over raw Ray tasks.
+
+The one pattern the Dataset API can't express without per-group Python
+callables or padded unions: hash-partition blocks by a key column
+(``num_returns`` fan-out, narrow rows), then run ONE vectorized task per
+partition over all of its keys. Used by sessionization, per-group top-k,
+group quantiles and the partitioned hash join; ``groupby().map_groups``
+remains the right tool only when a per-group Python UDF is genuinely
+needed.
+
+Fault tolerance: both stages are deterministic side-effect-free tasks, so
+Ray lineage reconstructs any lost partition block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def split_by_key(tbl: pa.Table, key: str, num_parts: int):
+    """One block → num_parts sub-tables by a deterministic vectorized hash
+    of ``key`` (pandas.util.hash_array — ints AND strings, never raw %)."""
+    col = tbl.column(key)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    h = pd.util.hash_array(col.to_pandas().to_numpy())
+    part = (h % np.uint64(num_parts)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    s = tbl.take(pa.array(order))
+    counts = np.bincount(part, minlength=num_parts)
+    out, lo = [], 0
+    for n in counts:
+        out.append(s.slice(lo, n))
+        lo += n
+    return out
+
+
+def resolve_pieces(pieces):
+    """Task-side: resolve a list of (possibly ref) pieces and drop empties."""
+    import ray
+    if pieces and isinstance(pieces[0], ray.ObjectRef):
+        pieces = ray.get(list(pieces))
+    return [p for p in pieces if p.num_rows]
+
+
+def hash_exchange(ds, key: str, partition_fn, num_parts: int = 16,
+                  fn_args: tuple = ()):
+    """ds → hash-partition by ``key`` → ``partition_fn(*fn_args, pieces)``
+    per partition (a plain function run as a Ray task; receives the list
+    of piece refs, use :func:`resolve_pieces`) → Dataset of the returned
+    Arrow tables. Blocks never pass through the driver."""
+    import ray
+    import ray.data as rd
+    split = ray.remote(split_by_key)
+    work = ray.remote(partition_fn)
+    per_part = [[] for _ in range(num_parts)]
+    for ref in ds.to_arrow_refs():
+        pieces = split.options(num_returns=num_parts).remote(
+            ref, key, num_parts)
+        if num_parts == 1:
+            pieces = [pieces]
+        for i, p in enumerate(pieces):
+            per_part[i].append(p)
+    return rd.from_arrow_refs(
+        [work.remote(*fn_args, pieces) for pieces in per_part])

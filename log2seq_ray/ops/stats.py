@@ -2,8 +2,8 @@
 
 * ``group_quantile`` — exact discrete quantile per group (the element at
   sorted index ``floor((n-1) * q)``, matching DuckDB ``quantile_disc``).
-  Needs the group's values together → ``map_groups``; the shuffle moves
-  (group, value) pairs only.
+  Needs the group's values together → hash exchange of (group, value)
+  pairs + one vectorized pass per partition (ops.exchange).
 * ``hopping_counts`` — hopping (sliding) window counts: window ``size``
   advancing by ``hop``; each event is emitted into size/hop windows
   vectorially inside ``map_batches`` (partials), then one small merge —
@@ -20,16 +20,46 @@ import pyarrow.compute as pc
 US = 1_000_000
 
 
-def group_quantile(ds, group_col: str, value_col: str, q: float = 0.5,
-                   alias: str = "q"):
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(g[value_col].to_numpy())
-        idx = int(np.floor((len(vals) - 1) * q))
-        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
-                             alias: [vals[idx]]})
+def _quantile_partition(group_col, value_col, q, alias, pieces):
+    """All groups of one partition in one vectorized pass: lexsort by
+    (group, value), segment boundaries, per-segment index pick."""
+    import pyarrow as pa
+    from .exchange import resolve_pieces
+    pieces = resolve_pieces(pieces)
+    if not pieces:
+        return pa.table({})
+    t = pa.concat_tables(pieces)
+    gcol = t.column(group_col)
+    gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) \
+        else gcol
+    enc = pc.dictionary_encode(gcol)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    vals = np.asarray(t.column(value_col).to_numpy(zero_copy_only=False))
+    order = np.lexsort((vals, codes))
+    k, v = codes[order], vals[order]
+    starts = np.ones(len(k), dtype=bool)
+    starts[1:] = k[1:] != k[:-1]
+    sidx = np.nonzero(starts)[0]
+    m = np.diff(np.append(sidx, len(k)))
+    pick = sidx + np.floor((m - 1) * q).astype(np.int64)
+    return pa.table({
+        group_col: enc.dictionary.take(pa.array(k[sidx])),
+        alias: pa.array(v[pick]),
+    })
 
-    return ds.groupby(group_col).map_groups(per_group,
-                                            batch_format="pandas")
+
+def group_quantile(ds, group_col: str, value_col: str, q: float = 0.5,
+                   alias: str = "q", num_parts: int = 16):
+    """Exact discrete quantile per group (sorted index ``floor((n-1)*q)``,
+    = DuckDB ``quantile_disc``). Needs each group's values together by
+    definition — one hash exchange of (group, value) pairs, then every
+    partition computes ALL its groups' quantiles in one vectorized pass
+    (no per-group Python)."""
+    from .exchange import hash_exchange
+    pairs = ds.map_batches(
+        lambda b: b.select([group_col, value_col]), batch_format="pyarrow")
+    return hash_exchange(pairs, group_col, _quantile_partition, num_parts,
+                         fn_args=(group_col, value_col, q, alias))
 
 
 def hopping_counts(ds, ts_col: str = "ts", by: str = "event_type",

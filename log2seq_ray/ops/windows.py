@@ -17,23 +17,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .exchange import hash_exchange, resolve_pieces
+
 _GAP_SENTINEL = np.int64(1 << 62)
-
-
-def _split_by_key(tbl: pa.Table, key: str, num_parts: int):
-    """One block → num_parts sub-tables by hash(key)."""
-    col = tbl.column(key)
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    h = pd.util.hash_array(col.to_pandas().to_numpy())
-    part = (h % np.uint64(num_parts)).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    s = tbl.take(pa.array(order))
-    counts = np.bincount(part, minlength=num_parts)
-    out, lo = [], 0
-    for n in counts:
-        out.append(s.slice(lo, n))
-        lo += n
-    return out
 
 
 def _session_segments(t: pa.Table, key: str, ts_col: str, gap_sec: int):
@@ -71,10 +57,7 @@ def _session_segments(t: pa.Table, key: str, ts_col: str, gap_sec: int):
 
 def _sessionize_partition(key: str, ts_col: str, gap_sec: int, mode: str,
                           pieces):
-    import ray
-    if pieces and isinstance(pieces[0], ray.ObjectRef):
-        pieces = ray.get(list(pieces))
-    pieces = [p for p in pieces if p.num_rows]
+    pieces = resolve_pieces(pieces)
     if not pieces:
         if mode == "sessions":
             return pa.table({
@@ -119,21 +102,8 @@ def _sessionize_partition(key: str, ts_col: str, gap_sec: int, mode: str,
 
 def _session_exchange(ds, key: str, ts_col: str, gap_sec: int, mode: str,
                       num_parts: int):
-    import ray
-    import ray.data as rd
-    split = ray.remote(_split_by_key)
-    work = ray.remote(_sessionize_partition)
-    per_part = [[] for _ in range(num_parts)]
-    for ref in ds.to_arrow_refs():
-        pieces = split.options(num_returns=num_parts).remote(
-            ref, key, num_parts)
-        if num_parts == 1:
-            pieces = [pieces]
-        for i, p in enumerate(pieces):
-            per_part[i].append(p)
-    return rd.from_arrow_refs(
-        [work.remote(key, ts_col, gap_sec, mode, pieces)
-         for pieces in per_part])
+    return hash_exchange(ds, key, _sessionize_partition, num_parts,
+                         fn_args=(key, ts_col, gap_sec, mode))
 
 
 def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
