@@ -14,60 +14,73 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _asof_partition(key, ts_col, keep_right, suffix, strict,
+                    l_pieces, r_pieces):
+    """All keys of one partition in ONE ``pd.merge_asof(by=key)`` call —
+    the grouped as-of is a single C pass over the (ts, key)-sorted sides,
+    no per-key Python loop."""
+    from .exchange import resolve_pieces
+    l_pieces = resolve_pieces(l_pieces)
+    r_pieces = resolve_pieces(r_pieces)
+    if not l_pieces:
+        return pa.table({})
+    lg = pa.concat_tables(l_pieces).to_pandas() \
+        .sort_values([ts_col, key], kind="mergesort").reset_index(drop=True)
+    if r_pieces:
+        rg = pa.concat_tables(r_pieces).to_pandas()[[key] + keep_right] \
+            .sort_values([ts_col, key], kind="mergesort") \
+            .reset_index(drop=True)
+        rg = rg.rename(columns={c: c + suffix for c in rg.columns
+                                if c not in (key, ts_col)})
+        rg[ts_col + suffix] = rg[ts_col]
+        out = pd.merge_asof(lg, rg, on=ts_col, by=key,
+                            allow_exact_matches=not strict,
+                            direction="backward")
+    else:
+        out = lg.copy()
+        for c in keep_right:
+            if c != ts_col:
+                out[c + suffix] = pd.Series([None] * len(out))
+        out[ts_col + suffix] = pd.Series(
+            [pd.NaT] * len(out), dtype=lg[ts_col].dtype)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def asof_join(left, right, key: str, ts_col: str,
               right_cols: list[str], suffix: str = "_prev",
-              strict: bool = True):
+              strict: bool = True, num_parts: int = 16):
     """For each left row, the latest right row of the same ``key`` with
     ``right.ts < left.ts`` (strict) or ``<=``. Returns left columns +
     ``<col><suffix>`` for each of ``right_cols`` (+ ``ts_prev``).
 
-    Implementation: tag-union both sides, group by key, and merge_asof the
-    sorted sides per group — one shuffle total.
-    """
+    Implementation: both sides hash-partition by key (narrow rows, no
+    tagged union padding) and matching partitions run one vectorized
+    ``merge_asof(by=key)`` each — one exchange total, one Python call per
+    partition."""
+    import ray
+    import ray.data as rd
+    from .exchange import split_by_key
 
-    def tag(side):
-        def fn(b: pa.Table) -> pa.Table:
-            return b.append_column("__side",
-                                   pa.array([side] * len(b)))
-        return fn
-
-    l = left.map_batches(tag("l"), batch_format="pyarrow")
-    r = right.map_batches(tag("r"), batch_format="pyarrow")
-
-    l_schema = left.schema()
-    l_schema_names = l_schema.names
-    # the tagged union pads each side's missing columns with nulls, which
-    # floats pandas int columns; restore the left dtypes after the merge
-    l_int_cols = []
-    base = getattr(l_schema, "base_schema", l_schema)
-    if isinstance(base, pa.Schema):
-        l_int_cols = [f.name for f in base
-                      if pa.types.is_integer(f.type)]
     keep_right = [ts_col] + [c for c in right_cols if c != ts_col]
+    split = ray.remote(split_by_key)
+    work = ray.remote(_asof_partition)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"].drop(columns="__side") \
-            .sort_values(ts_col).reset_index(drop=True)
-        rg = g.loc[g["__side"] == "r", [key] + keep_right] \
-            .sort_values(ts_col).reset_index(drop=True)
-        if lg.empty:
-            return pd.DataFrame()
-        lg = lg[[c for c in lg.columns if c in l_schema_names]]
-        # carry the matched right ts as a value column
-        rg = rg.drop(columns=[key]).rename(
-            columns={c: c + suffix for c in rg.columns
-                     if c not in (key, ts_col)})
-        rg[ts_col + suffix] = rg[ts_col]
-        out = pd.merge_asof(
-            lg, rg, on=ts_col,
-            allow_exact_matches=not strict, direction="backward")
-        for c in l_int_cols:
-            if c in out.columns and out[c].dtype == "float64":
-                out[c] = out[c].astype("int64")
-        return out
+    def fan_out(ds):
+        parts = [[] for _ in range(num_parts)]
+        for ref in ds.to_arrow_refs():
+            pieces = split.options(num_returns=num_parts).remote(
+                ref, key, num_parts)
+            if num_parts == 1:
+                pieces = [pieces]
+            for i, p in enumerate(pieces):
+                parts[i].append(p)
+        return parts
 
-    union = l.union(r)
-    return union.groupby(key).map_groups(per_key, batch_format="pandas")
+    l_parts = fan_out(left)
+    r_parts = fan_out(right)
+    return rd.from_arrow_refs(
+        [work.remote(key, ts_col, keep_right, suffix, strict, lp, rp)
+         for lp, rp in zip(l_parts, r_parts)])
 
 
 def _topk_frame(df: pd.DataFrame, group_col: str, order_col: str, k: int,

@@ -145,27 +145,55 @@ _LANG_PROFILES = {
 
 class LangIdStage:
     """Actor-pool heuristic language ID: stopword-hit profile per language
-    (sets built once per actor). Emits ``lang_pred`` + ``lang_hits``."""
+    (value sets built once per actor). Emits ``lang_pred`` + ``lang_hits``.
+
+    Vectorized: split to tokens, dedup (row, token) pairs with the
+    dictionary-encode + lexsort boundary trick, then one ``pc.is_in`` +
+    ``bincount`` per language — no per-row Python, no per-row sets.
+    Tie-break: first language in sorted order with the (strictly) maximal
+    hit count; zero hits → ``unknown``."""
 
     def __init__(self, profiles=None):
-        self.profiles = {k: frozenset(v)
-                         for k, v in (profiles or _LANG_PROFILES).items()}
-        self.order = sorted(self.profiles)
+        profiles = {k: sorted(v)
+                    for k, v in (profiles or _LANG_PROFILES).items()}
+        self.order = sorted(profiles)
+        self.value_sets = {k: pa.array(v, type=pa.string())
+                           for k, v in profiles.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, hits = [], []
-        for text in batch.column("text").to_pylist():
-            toks = set(text.split(" ")) if text else set()
-            best, best_n = "unknown", 0
-            for lang in self.order:
-                n = len(toks & self.profiles[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
-            hits.append(best_n)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(batch)
+        # raw split(" ") like the scalar version (empties are harmless:
+        # no profile contains "")
+        lists = pc.split_pattern(pc.fill_null(text, ""), pattern=" ")
+        flat = pc.list_flatten(lists)
+        counts = np.asarray(pc.list_value_length(lists),
+                            dtype=np.int64)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # distinct (row, token): set semantics for the hit counts
+        codes = np.asarray(pc.dictionary_encode(flat).indices,
+                           dtype=np.int64)
+        order = np.lexsort((codes, row_ids))
+        rc, cc = row_ids[order], codes[order]
+        first = np.ones(len(cc), dtype=bool)
+        first[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
+        uniq_rows = rc[first]
+        uniq_toks = flat.take(pa.array(order[first]))
+        hits = np.zeros((len(self.order), n), dtype=np.int64)
+        for i, lang in enumerate(self.order):
+            m = np.asarray(pc.is_in(uniq_toks,
+                                    value_set=self.value_sets[lang]))
+            if m.any():
+                hits[i] = np.bincount(uniq_rows[m], minlength=n)
+        best_n = hits.max(axis=0)
+        best_i = hits.argmax(axis=0)  # first max wins (sorted lang order)
+        langs = np.array(self.order + ["unknown"])
+        pred = langs[np.where(best_n > 0, best_i, len(self.order))]
         return batch.append_column(
-            "lang_pred", pa.array(preds, type=pa.string())).append_column(
-            "lang_hits", pa.array(hits, type=pa.int64()))
+            "lang_pred", pa.array(pred)).append_column(
+            "lang_hits", pa.array(best_n, type=pa.int64()))
 
 
 def split_by_hash(ds, key_col: str, percent: int, take_lower: bool = True):
