@@ -1,10 +1,11 @@
 """As-of join and per-group top-k (rank) operators.
 
-As-of join (ray_guide "Joins and lookups"): both sides are bucketed by
-key, sorted by (key, ts) within the bucket, and matched with
-``pandas.merge_asof`` inside ``map_groups``. Partitioning assumption:
-rows of one key land in one group (guaranteed by the groupby); per-key
-ordering is established inside the group, no global order needed.
+As-of join (ray_guide "Joins and lookups"): both sides hash-partition by
+key (ops.exchange), and each pair of matching partitions is matched with
+ONE grouped ``pandas.merge_asof(by=key)`` call. Partitioning assumption:
+rows of one key land in one partition (guaranteed by the shared key
+hash); per-key ordering is established inside the partition sort, no
+global order needed.
 """
 
 from __future__ import annotations

@@ -557,3 +557,24 @@ def test_sessionize_rows_vectorized(ray_session):
         [1, 1, 2], [1, 2, 1], [2, 1, 1]]
     assert out.loc[0, "t_start"] == base
     assert out.loc[0, "t_end"] == base + dt.timedelta(seconds=10)
+
+
+def test_topk_and_quantile_string_keys(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.asof import top_k_per_group
+    from log2seq_ray.ops.stats import group_quantile
+    rows = [{"g": f"grp{i % 7}", "v": float((i * 13) % 50), "id": i}
+            for i in range(200)]
+    out = top_k_per_group(rd.from_items(rows), "g", "v", k=3,
+                          tiebreak="id").to_pandas()
+    exp = pd.DataFrame(rows).sort_values(["g", "v", "id"],
+                                         ascending=[True, False, True]) \
+        .groupby("g").head(3)
+    assert len(out) == len(exp)
+    assert sorted(out["id"]) == sorted(exp["id"])
+    assert set(out["rank"]) == {1, 2, 3}
+    q = group_quantile(rd.from_items(rows), "g", "v", q=0.5,
+                       alias="med").to_pandas().set_index("g")["med"]
+    for g, sub in pd.DataFrame(rows).groupby("g"):
+        vals = np.sort(sub["v"].to_numpy())
+        assert q[g] == vals[int(np.floor((len(vals) - 1) * 0.5))]
