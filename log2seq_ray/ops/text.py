@@ -303,3 +303,47 @@ def fingerprint(batch: pa.Table, col: str = "text",
             out[vrows[starts]] = mins
     return pa.table({"doc_id": batch.column("doc_id"),
                      "fingerprint": pa.array(out, type=pa.int64())})
+
+
+def repetition_scores(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signal per document: bigram count
+    and the multiplicity of the most-repeated bigram (high values flag
+    boilerplate/spam). Vectorized: bigram strings via one
+    ``binary_join_element_wise`` over shifted token views, per-row max
+    multiplicity via dictionary-encode + lexsort run-length counting."""
+    toks_arr = _token_lists(batch.column(col))
+    offsets = np.asarray(toks_arr.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    flat = pc.list_flatten(toks_arr)
+    n = len(batch)
+    n_bigrams = np.maximum(counts - 1, 0)
+    max_rep = np.zeros(n, dtype=np.int64)
+    n_flat = len(flat)
+    if n_flat >= 2:
+        w = n_flat - 1
+        bigrams = pc.binary_join_element_wise(
+            flat.slice(0, w), flat.slice(1, w), " ")
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        valid = row_of[:w] == row_of[1:]
+        if valid.any():
+            vi = np.nonzero(valid)[0]
+            codes = np.asarray(pc.dictionary_encode(bigrams).indices,
+                               dtype=np.int64)[vi]
+            rows = row_of[vi]
+            order = np.lexsort((codes, rows))
+            rc, cc = rows[order], codes[order]
+            run_start = np.ones(len(cc), dtype=bool)
+            run_start[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
+            sidx = np.nonzero(run_start)[0]
+            run_len = np.diff(np.append(sidx, len(cc)))
+            run_row = rc[sidx]
+            row_start = np.ones(len(run_row), dtype=bool)
+            row_start[1:] = run_row[1:] != run_row[:-1]
+            seg_max = np.maximum.reduceat(run_len,
+                                          np.nonzero(row_start)[0])
+            max_rep[run_row[row_start]] = seg_max
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bigrams": pa.array(n_bigrams, type=pa.int64()),
+        "max_bigram_n": pa.array(max_rep, type=pa.int64()),
+    })

@@ -434,6 +434,14 @@ def q_media_features(sf_dir: str):
     return media_pipeline(sf_dir)
 
 
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition signal: per-doc bigram count + multiplicity
+    of the most-repeated bigram."""
+    from .ops.text import repetition_scores
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_scores, batch_format="pyarrow")
+
+
 def q_audio_features(sf_dir: str):
     from .ops.multimodal import audio_pipeline
     return audio_pipeline(sf_dir)
@@ -507,6 +515,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "knn_ivf": q_knn_ivf,
+    "repetition_scores": q_repetition_scores,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
@@ -698,6 +707,23 @@ ORACLE_SQL = {
         FROM S
     """,
     "langid": None,  # filled below (built from _LANG_PROFILES)
+    "repetition_scores": f"""
+        WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        B AS (SELECT doc_id,
+                     CASE WHEN len(t) < 2 THEN []
+                          ELSE list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])
+                     END AS bg
+              FROM T),
+        C AS (SELECT doc_id, g, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(bg) AS g FROM B)
+              GROUP BY doc_id, g),
+        M AS (SELECT doc_id, MAX(c) AS mx FROM C GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(len(b.bg) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(m.mx, 0) AS BIGINT) AS max_bigram_n
+        FROM B b LEFT JOIN M m USING (doc_id)
+    """,
     # exact at the gated probe level (see q_knn_ivf) — same oracle as
     # knn_cosine
     "knn_ivf": """

@@ -578,3 +578,13 @@ def test_topk_and_quantile_string_keys(ray_session):
     for g, sub in pd.DataFrame(rows).groupby("g"):
         vals = np.sort(sub["v"].to_numpy())
         assert q[g] == vals[int(np.floor((len(vals) - 1) * 0.5))]
+
+
+def test_repetition_scores_edges():
+    from log2seq_ray.ops.text import repetition_scores
+    b = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b a b a", "", "x", "y y y y"]})
+    out = repetition_scores(b)
+    assert out.column("n_bigrams").to_pylist() == [4, 0, 0, 3]
+    # "a b" x2, "b a" x2 -> max 2; "y y" x3
+    assert out.column("max_bigram_n").to_pylist() == [2, 0, 0, 3]
