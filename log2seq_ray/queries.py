@@ -434,6 +434,13 @@ def q_media_features(sf_dir: str):
     return media_pipeline(sf_dir)
 
 
+def q_simhash_dups(sf_dir: str):
+    """Within-bucket SimHash near-dup pairs (Hamming ≤ 12), gated by a
+    DuckDB xor/bit_count self-join under the same bucket constraint."""
+    from .ops.dedup import simhash_dups
+    return simhash_dups(_docs(sf_dir, ["doc_id", "text"]), max_hamming=12)
+
+
 def q_repetition_scores(sf_dir: str):
     """Gopher-style repetition signal: per-doc bigram count + multiplicity
     of the most-repeated bigram."""
@@ -516,6 +523,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "knn_ivf": q_knn_ivf,
     "repetition_scores": q_repetition_scores,
+    "simhash_dups": q_simhash_dups,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
@@ -707,6 +715,39 @@ ORACLE_SQL = {
         FROM S
     """,
     "langid": None,  # filled below (built from _LANG_PROFILES)
+    # same simhash derivation as the `simhash` oracle, then a within-
+    # bucket Hamming self-join (the engine applies the identical bucket
+    # constraint)
+    "simhash_dups": f"""
+        WITH tc AS (
+            SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS w
+            FROM (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents)
+            GROUP BY doc_id, tk),
+        th AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h,
+                      w
+               FROM tc),
+        bits AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN ((h >> b) & 1) = 1 THEN w ELSE -w END) AS s
+            FROM th, (SELECT unnest(range(0, 60)) AS b)
+            GROUP BY doc_id, b),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id),
+        S AS (SELECT d.doc_id,
+                     COALESCE(a.simhash, 0) AS simhash,
+                     COALESCE(a.simhash, 0) >> 44 AS bkt
+              FROM documents d LEFT JOIN agg a USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM S a JOIN S b
+          ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    """,
     "repetition_scores": f"""
         WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
         B AS (SELECT doc_id,
