@@ -260,51 +260,50 @@ def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
         [expand.remote(id_col, pieces) for pieces in per_part])
 
 
-class _FilterByIdStage:
-    """Distributed candidate-doc fetch: broadcast id set (``ray.put``
-    once), vectorized ``pc.is_in`` filter per batch."""
+def _filter_by_id_fn(ids_ref, id_col: str, keep_cols):
+    """Distributed candidate-doc fetch as a plain TASK function (no actor
+    pool to spin up): the broadcast id set is a per-task zero-copy plasma
+    get, the filter a vectorized ``pc.is_in``."""
+    keep = list(keep_cols)
 
-    def __init__(self, ids_ref, id_col: str, keep_cols):
+    def fn(batch: pa.Table) -> pa.Table:
         import ray
         ids = ids_ref if isinstance(ids_ref, pa.Array) else ray.get(ids_ref)
-        self.ids, self.id_col, self.keep = ids, id_col, list(keep_cols)
+        return batch.select(keep).filter(
+            pc.is_in(batch.column(id_col), value_set=ids))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return batch.select(self.keep).filter(
-            pc.is_in(batch.column(self.id_col), value_set=self.ids))
+    return fn
 
 
-class _VerifyJaccardStage:
-    """Exact shingle-Jaccard verification of candidate pairs inside the
-    actor pool. The candidate docs' text blocks stay in the object store
-    (block refs); each actor resolves them ONCE in ``__init__`` (zero-copy
-    plasma reads, shared per node) and pre-computes shingle sets."""
+def _verify_jaccard_fn(block_refs, threshold: float, shingle_k: int,
+                       id_col: str, col: str):
+    """Exact shingle-Jaccard verification of candidate pairs as a task
+    function. The candidate docs' text blocks stay in the object store;
+    the (single, small) pairs block resolves them with one zero-copy get
+    and pre-computes shingle sets per task."""
 
-    def __init__(self, block_refs, threshold: float, shingle_k: int,
-                 id_col: str, col: str):
+    def fn(pairs: pa.Table) -> pa.Table:
         import ray
-        self.threshold, self.k = threshold, shingle_k
-        self.shingles: dict = {}
+        shingles: dict = {}
         for tbl in ray.get(list(block_refs)):
             for i, t in zip(tbl.column(id_col).to_pylist(),
                             tbl.column(col).to_pylist()):
-                self.shingles[i] = _shingle_strings(t or "", shingle_k)
-
-    def __call__(self, pairs: pa.Table) -> pa.Table:
+                shingles[i] = _shingle_strings(t or "", shingle_k)
         out_a, out_b, out_j = [], [], []
-        sh = self.shingles
         for a, b in zip(pairs.column("id_a").to_pylist(),
                         pairs.column("id_b").to_pylist()):
-            sa, sb = sh[a], sh[b]
+            sa, sb = shingles[a], shingles[b]
             inter = len(sa & sb)
             j = inter / (len(sa) + len(sb) - inter)
-            if j >= self.threshold:
+            if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(j)
         return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
                          "id_b": pa.array(out_b, type=pa.int64()),
                          "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return fn
 
 
 def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
@@ -341,18 +340,12 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
                                      pairs_pdf["id_b"].to_numpy()]))
     ids_ref = ray.put(pa.array(cand, type=pa.int64()))
     cand_docs = ds.map_batches(
-        _FilterByIdStage,
-        fn_constructor_kwargs=dict(ids_ref=ids_ref, id_col=id_col,
-                                   keep_cols=[id_col, col]),
-        batch_format="pyarrow", concurrency=(1, 8))
+        _filter_by_id_fn(ids_ref, id_col, [id_col, col]),
+        batch_format="pyarrow")
     block_refs = cand_docs.to_arrow_refs()
     verified = rd.from_pandas(pairs_pdf).map_batches(
-        _VerifyJaccardStage,
-        fn_constructor_kwargs=dict(block_refs=block_refs,
-                                   threshold=threshold, shingle_k=shingle_k,
-                                   id_col=id_col, col=col),
-        batch_format="pyarrow", batch_size=8192,
-        concurrency=(1, 8)).to_pandas()
+        _verify_jaccard_fn(block_refs, threshold, shingle_k, id_col, col),
+        batch_format="pyarrow", batch_size=65536).to_pandas()
     if len(verified) == 0:
         return empty
     return verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
