@@ -549,15 +549,44 @@ def _simhash_bucket_pairs(max_hamming: int, pieces):
 
 
 def simhash_dups(ds, max_hamming: int = 8, id_col: str = "doc_id",
-                 col: str = "text", num_parts: int = 16):
+                 col: str = "text", num_parts: int = 16,
+                 rotations: int = 1):
     """SimHash near-dup pairs WITHIN a simhash bucket (the high 16 of the
-    60 bits): pairs whose Hamming distance ≤ ``max_hamming``. Bucketing is
-    part of the op's semantics (the SQL oracle applies the same equal-
-    bucket constraint), so recall vs all-pairs is exactly the bucket
-    collision probability — extend with bit-rotation re-bucketing for
-    higher recall at scale. One hash exchange of (bucket, simhash, id)
-    rows; all pair scans are vectorized (XOR + byte-LUT popcount)."""
+    60 bits): pairs whose Hamming distance ≤ ``max_hamming``. With
+    ``rotations=1`` bucketing is part of the op's semantics (the SQL
+    oracle applies the same equal-bucket constraint). ``rotations > 1``
+    is the recall path: the 60-bit hash is bit-rotated ``rotations``
+    times and re-bucketed per rotation, so a near-dup pair is caught
+    whenever ANY rotation puts its (few) differing bits outside the
+    16-bit bucket window; output may then contain the same pair from
+    several rotations — dedup downstream (pairs are small).
+
+    One hash exchange of (bucket, simhash, id) rows; all pair scans are
+    vectorized (XOR + byte-LUT popcount)."""
     from .exchange import hash_exchange
     sims = simhash_table(ds, id_col=id_col, col=col)
+    if rotations > 1:
+        step = 60 // rotations
+
+        def rebucket(b: pa.Table) -> pa.Table:
+            h = b.column("simhash").to_numpy().astype(np.uint64)
+            mask60 = np.uint64((1 << 60) - 1)
+            tabs = []
+            for r in range(rotations):
+                s = np.uint64(r * step)
+                rot = ((h << s) | (h >> np.uint64(60) - s)) & mask60 \
+                    if r else h
+                tabs.append(pa.table({
+                    id_col: b.column(id_col),
+                    "simhash": b.column("simhash"),
+                    # rotation folded into the bucket key so different
+                    # rotations never share a bucket
+                    "simhash_bucket": pa.array(
+                        ((rot >> np.uint64(44)).astype(np.int64)
+                         + (1 << 20) * r)),
+                }))
+            return pa.concat_tables(tabs)
+
+        sims = sims.map_batches(rebucket, batch_format="pyarrow")
     return hash_exchange(sims, "simhash_bucket", _simhash_bucket_pairs,
                          num_parts, fn_args=(max_hamming,))

@@ -588,3 +588,21 @@ def test_repetition_scores_edges():
     assert out.column("n_bigrams").to_pylist() == [4, 0, 0, 3]
     # "a b" x2, "b a" x2 -> max 2; "y y" x3
     assert out.column("max_bigram_n").to_pylist() == [2, 0, 0, 3]
+
+
+def test_simhash_dups_rotations_raise_recall(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import simhash_dups
+    toks = [f"tok{i}" for i in range(60)]
+    docs = [{"doc_id": 1, "text": " ".join(toks)},
+            {"doc_id": 2, "text": " ".join(toks[:-1] + ["changed"])},
+            {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(40))}]
+    ds = rd.from_items(docs)
+    r1 = simhash_dups(ds, max_hamming=4, num_parts=2).to_pandas()
+    pairs1 = set(map(tuple, r1[["id_a", "id_b"]].values.tolist()))
+    assert pairs1 == {(1, 2)}        # hamming-1 pair, same bucket
+    r4 = simhash_dups(ds, max_hamming=4, num_parts=2,
+                      rotations=4).to_pandas().drop_duplicates(
+        subset=["id_a", "id_b"])
+    pairs4 = set(map(tuple, r4[["id_a", "id_b"]].values.tolist()))
+    assert pairs1 <= pairs4          # rotations only ADD candidate buckets
