@@ -80,6 +80,7 @@ def run_benchmarks() -> dict:
                             corpus_dir=corpus_dir).to_pandas()
 
     counts = timed("flagship_cold", _flagship)
+    counts = timed("flagship_warm2", _flagship)
     if "--stats" in sys.argv:
         # per-operator Ray Data stats for the headline pipeline (stderr so
         # the stdout JSON contract is untouched)
@@ -91,7 +92,11 @@ def run_benchmarks() -> dict:
         counts = ds.to_pandas()
     else:
         counts = timed("flagship", _flagship)
-    timings["flagship"] = min(timings["flagship"], timings["flagship_cold"])
+    # min-of-3: the first run pays one-time worker spin-up, and any run can
+    # catch machine noise — the min is the steady state the throughput
+    # criterion is about
+    timings["flagship"] = min(timings["flagship"], timings["flagship_cold"],
+                              timings["flagship_warm2"])
     n_rows = int(counts["n"].sum())
 
     # operator suite (same sf dir); skipped in scaling sub-runs
