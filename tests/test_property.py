@@ -77,3 +77,31 @@ def test_flat_offsets_protocol_matches(text):
     _FAST.into(text, flat_w, flat_s)
     w, s = _FAST(text)
     assert flat_w == w and flat_s == s
+
+
+_linegen = st.lists(st.sampled_from([
+    "Jan", "Féb", "1", "12", "2024-01-02", "12:34:56", "host-1",
+    "h.example.com", "app", "sshd[123]:", "ERROR", "münchen", "日志",
+    "10.0.0.1", "msg", "ログ", "text", ":", "[", "]", "1700000000",
+]), max_size=10).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(_texts, _linegen))
+def test_re2_and_pyre_cascades_agree(line):
+    # with non-ASCII rows routed to the CPython cascade, the fast (RE2)
+    # and slow (pyre) rule sets must agree on EVERY input
+    import pyarrow as pa
+    from log2seq_ray.kernel.header import CompiledRuleSet
+    from log2seq_ray.rules.presets import default_header_rules
+    global _FAST_RS, _SLOW_RS
+    try:
+        _FAST_RS
+    except NameError:
+        _FAST_RS = CompiledRuleSet(default_header_rules(2024))
+        _SLOW_RS = CompiledRuleSet(default_header_rules(2024),
+                                   force_python_re=True)
+    arr = pa.array([line], type=pa.string())
+    f, s = _FAST_RS.parse(arr), _SLOW_RS.parse(arr)
+    for k in s:
+        assert f[k].to_pylist() == s[k].to_pylist(), k
