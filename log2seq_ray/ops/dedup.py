@@ -187,10 +187,18 @@ def _split_bands(tbl: pa.Table, num_parts: int):
     return out
 
 
-def _expand_pairs(id_col: str, pieces):
+def _expand_pairs(id_col: str, max_bucket, pieces):
     """Vectorized within-bucket pair expansion over one bucket partition:
     sort by (bucket, id), segment, and emit every i<j pair per segment with
-    index arithmetic — no per-group Python calls."""
+    index arithmetic — no per-group Python calls.
+
+    ``max_bucket`` (optional) is the degenerate-hot-bucket escape hatch: a
+    bucket with m members yields m(m-1)/2 pairs, so a pathological bucket
+    (e.g. millions of empty docs sharing a band signature) is O(m²) memory
+    in one task. When set, buckets are truncated to their first
+    ``max_bucket`` members (id order — deterministic) and a warning names
+    how many rows were dropped. Default None = exact semantics (the SQL
+    oracle's contract)."""
     import ray
     if pieces and isinstance(pieces[0], ray.ObjectRef):
         pieces = ray.get(list(pieces))
@@ -213,6 +221,20 @@ def _expand_pairs(id_col: str, pieces):
     seg_start = np.maximum.accumulate(
         np.where(starts, np.arange(len(b)), 0))
     within = np.arange(len(b)) - seg_start      # position j in its segment
+    if max_bucket is not None:
+        over = within >= max_bucket
+        if over.any():
+            import logging
+            logging.getLogger(__name__).warning(
+                "minhash pair expansion: truncated %d rows beyond "
+                "max_bucket=%d (hot LSH bucket) — candidate recall reduced",
+                int(over.sum()), max_bucket)
+            b, ids = b[~over], ids[~over]
+            starts = np.ones(len(b), dtype=bool)
+            starts[1:] = b[1:] != b[:-1]
+            seg_start = np.maximum.accumulate(
+                np.where(starts, np.arange(len(b)), 0))
+            within = np.arange(len(b)) - seg_start
     tot = int(within.sum())                     # Σ j = Σ m(m-1)/2
     if tot == 0:
         return empty
@@ -227,19 +249,23 @@ def _expand_pairs(id_col: str, pieces):
                      "id_b": pa.array(uniq[:, 1], type=pa.int64())})
 
 
-def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
-                            id_col="doc_id", col="text",
-                            num_parts: int = 16):
-    """LSH candidate pairs Dataset (id_a < id_b; may contain cross-
-    partition duplicates — callers dedup the small pair set).
+def _expand_pairs_with_ids(id_col: str, max_bucket, pieces):
+    """Pair expansion + the partition's needed-doc id set (for the
+    co-partitioned verify): returns (pairs table, unique int64 id array)."""
+    pairs = _expand_pairs(id_col, max_bucket, pieces)
+    if pairs.num_rows == 0:
+        return pairs, pa.array([], type=pa.int64())
+    need = np.unique(np.concatenate([
+        pairs.column("id_a").to_numpy(), pairs.column("id_b").to_numpy()]))
+    return pairs, pa.array(need, type=pa.int64())
 
-    One exchange: band rows (fixed-width ``(bucket int64, id)``) are
-    hash-partitioned by bucket in raw Ray tasks, and each partition expands
-    its buckets' i<j pairs fully vectorized (``np`` index arithmetic).
-    Singleton buckets cost nothing; no per-group Python, no second pass.
-    """
+
+def _band_partitions(ds, n_hashes, n_bands, shingle_k, id_col, col,
+                     num_parts):
+    """MinHash band rows hash-partitioned by bucket: returns
+    ``per_part`` — num_parts lists of piece refs (never through the
+    driver)."""
     import ray
-    import ray.data as rd
 
     bands = ds.map_batches(
         MinHashStage,
@@ -247,8 +273,11 @@ def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
                                    shingle_k=shingle_k, id_col=id_col,
                                    col=col),
         batch_format="pyarrow", concurrency=(1, 8))
-    split = ray.remote(_split_bands)
-    expand = ray.remote(_expand_pairs)
+    if num_parts == 1:
+        # num_returns=1 would hand back the 1-element LIST as one object
+        split = ray.remote(lambda ref, n: _split_bands(ref, n)[0])
+    else:
+        split = ray.remote(_split_bands)
     per_part = [[] for _ in range(num_parts)]
     for ref in bands.to_arrow_refs():
         pieces = split.options(num_returns=num_parts).remote(ref, num_parts)
@@ -256,8 +285,29 @@ def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
             pieces = [pieces]
         for i, p in enumerate(pieces):
             per_part[i].append(p)
+    return per_part
+
+
+def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
+                            id_col="doc_id", col="text",
+                            num_parts: int = 16, max_bucket=None):
+    """LSH candidate pairs Dataset (id_a < id_b; may contain cross-
+    partition duplicates — callers dedup the small pair set).
+
+    One exchange: band rows (fixed-width ``(bucket int64, id)``) are
+    hash-partitioned by bucket in raw Ray tasks, and each partition expands
+    its buckets' i<j pairs fully vectorized (``np`` index arithmetic).
+    Singleton buckets cost nothing; no per-group Python, no second pass.
+    ``max_bucket`` caps degenerate hot buckets (see :func:`_expand_pairs`).
+    """
+    import ray
+    import ray.data as rd
+
+    per_part = _band_partitions(ds, n_hashes, n_bands, shingle_k, id_col,
+                                col, num_parts)
+    expand = ray.remote(_expand_pairs)
     return rd.from_arrow_refs(
-        [expand.remote(id_col, pieces) for pieces in per_part])
+        [expand.remote(id_col, max_bucket, pieces) for pieces in per_part])
 
 
 def _filter_by_id_fn(ids_ref, id_col: str, keep_cols):
@@ -275,49 +325,56 @@ def _filter_by_id_fn(ids_ref, id_col: str, keep_cols):
     return fn
 
 
-def _verify_jaccard_fn(block_refs, threshold: float, shingle_k: int,
-                       id_col: str, col: str):
-    """Exact shingle-Jaccard verification of candidate pairs as a task
-    function. The candidate docs' text blocks stay in the object store;
-    the (single, small) pairs block resolves them with one zero-copy get
-    and pre-computes shingle sets per task."""
+def _take_ids(block: pa.Table, ids: pa.Array, id_col: str,
+              col: str) -> pa.Table:
+    """Task: one candidate-doc block → only the rows a verify partition
+    needs (zero-copy plasma read + vectorized ``is_in``)."""
+    return block.select([id_col, col]).filter(
+        pc.is_in(block.column(id_col), value_set=ids))
 
-    def fn(pairs: pa.Table) -> pa.Table:
-        import ray
-        shingles: dict = {}
-        for tbl in ray.get(list(block_refs)):
-            for i, t in zip(tbl.column(id_col).to_pylist(),
-                            tbl.column(col).to_pylist()):
-                shingles[i] = _shingle_strings(t or "", shingle_k)
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(pairs.column("id_a").to_pylist(),
-                        pairs.column("id_b").to_pylist()):
-            sa, sb = shingles[a], shingles[b]
-            inter = len(sa & sb)
-            j = inter / (len(sa) + len(sb) - inter)
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(j)
-        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
-                         "id_b": pa.array(out_b, type=pa.int64()),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
 
-    return fn
+def _verify_partition(threshold: float, shingle_k: int, id_col: str,
+                      col: str, pairs: pa.Table, doc_pieces) -> pa.Table:
+    """Task: verify ONE bucket partition's candidate pairs against ONLY
+    that partition's docs — per-task memory is bounded by the partition's
+    bucket membership, never the global candidate set."""
+    from .exchange import resolve_pieces
+    shingles: dict = {}
+    for tbl in resolve_pieces(doc_pieces):
+        for i, t in zip(tbl.column(id_col).to_pylist(),
+                        tbl.column(col).to_pylist()):
+            shingles[i] = _shingle_strings(t or "", shingle_k)
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pairs.column("id_a").to_pylist(),
+                    pairs.column("id_b").to_pylist()):
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(j)
+    return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                     "id_b": pa.array(out_b, type=pa.int64()),
+                     "jaccard": pa.array(out_j, type=pa.float64())})
 
 
 def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
-                  shingle_k=5, id_col="doc_id", col="text"):
+                  shingle_k=5, id_col="doc_id", col="text",
+                  num_parts: int = 16, max_bucket=None):
     """Near-dup pairs verified by exact shingle Jaccard ≥ threshold.
 
     Returns a pandas DataFrame (id_a, id_b, jaccard), deduplicated and
-    sorted. Fully distributed verify: the (small, LSH-pruned) candidate-id
-    set is broadcast into a ``pc.is_in`` corpus filter, the matching docs'
-    text blocks stay in plasma, and pairs are verified batch-wise in an
-    actor pool — the driver only ever holds integer id pairs. (At larger
-    candidate volumes, swap the driver-side pair distinct for a
-    ``groupby(id_a,id_b)`` and the broadcast for a bucketed join — the
-    corpus itself is never scanned driver-side either way.)
+    sorted. The verify is CO-PARTITIONED with the LSH pair expansion:
+    each bucket partition's expansion task also emits its needed-doc id
+    set, the corpus filter pulls only globally-candidate docs into plasma,
+    and a per-partition ``is_in`` routes each partition ONLY its own docs
+    — so no verify task ever materializes the global candidate-shingle
+    dict (per-task memory = that partition's bucket membership). The
+    driver holds integer id arrays and the final (small) verified pair
+    set only. A pair expanded in several partitions (bands in different
+    partitions) is verified redundantly — bounded by n_bands — and
+    deduplicated at the end.
 
     With ``n_bands == n_hashes`` (one row per band) LSH recall at Jaccard
     ``j`` is ``1-(1-j)^n_hashes`` — for n_hashes=128, threshold 0.5 the
@@ -331,24 +388,42 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64"),
                           "jaccard": pd.Series([], dtype="float64")})
-    pairs_pdf = minhash_candidate_pairs(
-        ds, n_hashes, n_bands, shingle_k, id_col, col).to_pandas()
-    if len(pairs_pdf) == 0:
+    per_part = _band_partitions(ds, n_hashes, n_bands, shingle_k, id_col,
+                                col, num_parts)
+    expand = ray.remote(num_returns=2)(_expand_pairs_with_ids)
+    pair_refs, id_refs = [], []
+    for pieces in per_part:
+        pr, ir = expand.remote(id_col, max_bucket, pieces)
+        pair_refs.append(pr)
+        id_refs.append(ir)
+    # global candidate-id union: int64 arrays only — tiny vs the corpus
+    id_arrays = ray.get(id_refs)
+    nonempty = [np.asarray(a) for a in id_arrays if len(a)]
+    if not nonempty:
         return empty
-    pairs_pdf = pairs_pdf.drop_duplicates().reset_index(drop=True)
-    cand = np.unique(np.concatenate([pairs_pdf["id_a"].to_numpy(),
-                                     pairs_pdf["id_b"].to_numpy()]))
+    cand = np.unique(np.concatenate(nonempty))
     ids_ref = ray.put(pa.array(cand, type=pa.int64()))
     cand_docs = ds.map_batches(
         _filter_by_id_fn(ids_ref, id_col, [id_col, col]),
         batch_format="pyarrow")
     block_refs = cand_docs.to_arrow_refs()
-    verified = rd.from_pandas(pairs_pdf).map_batches(
-        _verify_jaccard_fn(block_refs, threshold, shingle_k, id_col, col),
-        batch_format="pyarrow", batch_size=65536).to_pandas()
+    take = ray.remote(_take_ids)
+    verify = ray.remote(_verify_partition)
+    out_refs = []
+    for p in range(num_parts):
+        if len(id_arrays[p]) == 0:
+            continue
+        doc_pieces = [take.remote(b, id_refs[p], id_col, col)
+                      for b in block_refs]
+        out_refs.append(verify.remote(threshold, shingle_k, id_col, col,
+                                      pair_refs[p], doc_pieces))
+    if not out_refs:
+        return empty
+    verified = rd.from_arrow_refs(out_refs).to_pandas()
     if len(verified) == 0:
         return empty
-    return verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return verified.drop_duplicates(["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def minhash_clusters(ds, threshold: float = 0.8, **kw):

@@ -58,6 +58,17 @@ def _session_segments(t: pa.Table, key: str, ts_col: str, gap_sec: int):
 def _sessionize_partition(key: str, ts_col: str, gap_sec: int, mode: str,
                           pieces):
     pieces = resolve_pieces(pieces)
+    if pieces:
+        # Null timestamps would become NaN → INT64_MIN garbage in the
+        # int64 cast and silently corrupt session boundaries; drop them
+        # before segmenting (same guard as hopping_counts in stats.py).
+        # permissive: an all-null input block may carry a null-typed ts
+        t = pa.concat_tables(pieces, promote_options="permissive")
+        valid = pc.is_valid(t.column(ts_col))
+        if not pc.all(valid).as_py():
+            t = t.filter(valid)
+        if t.num_rows == 0:
+            pieces = []
     if not pieces:
         if mode == "sessions":
             return pa.table({
@@ -70,7 +81,6 @@ def _sessionize_partition(key: str, ts_col: str, gap_sec: int, mode: str,
             key: pa.array([], type=pa.int64()),
             "n_sessions": pa.array([], type=pa.int64()),
             "n_events": pa.array([], type=pa.int64())})
-    t = pa.concat_tables(pieces)
     dictionary, sess_key, session_no, starts, n_events, s, sess_new_key = \
         _session_segments(t, key, ts_col, gap_sec)
     key_vals = dictionary.take(pa.array(sess_key))

@@ -292,6 +292,27 @@ def test_session_counts(ray_session):
     assert out.loc[2, "n_sessions"] == 1
 
 
+def test_sessionize_null_ts_dropped(ray_session):
+    """Null timestamps must be dropped, not cast to INT64_MIN garbage
+    (which would fuse every session into one starting at -inf)."""
+    import datetime as dt
+    import ray.data as rd
+    from log2seq_ray.ops.windows import session_counts, sessionize
+    base = dt.datetime(2024, 1, 1)
+    rows = [{"user_id": 1, "ts": base},
+            {"user_id": 1, "ts": None},
+            {"user_id": 1, "ts": base + dt.timedelta(seconds=5000)},
+            {"user_id": 2, "ts": None}]
+    out = session_counts(rd.from_items(rows), gap_sec=1800).to_pandas()
+    out = out.set_index("user_id")
+    assert out.loc[1, "n_sessions"] == 2
+    assert out.loc[1, "n_events"] == 2
+    assert 2 not in out.index  # all-null key disappears entirely
+    sess = sessionize(rd.from_items(rows), gap_sec=1800).to_pandas()
+    assert len(sess) == 2
+    assert sess["t_start"].notna().all()
+
+
 def test_strip_html_and_normalize():
     from log2seq_ray.ops.normalize import strip_html, normalize_text
     b = pa.table({"html": [b"<html><body>Hello  <b>World</b></body></html>",
@@ -313,6 +334,42 @@ def test_minhash_clusters(ray_session):
     out = minhash_clusters(rd.from_arrow(docs), threshold=0.5)
     assert set(out["cluster_id"]) == {1}          # 1,2,3 cluster to min id 1
     assert 4 not in set(out["doc_id"])            # singleton not listed
+
+
+def test_minhash_dedup_copartitioned_verify(ray_session):
+    """The co-partitioned verify (each task sees only its bucket
+    partition's docs) must equal the single-partition result exactly."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import minhash_dedup
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = pa.table({
+        "doc_id": list(range(12)),
+        "text": [base + f" tail{i % 3}" if i < 9
+                 else f"totally unrelated words group {i} " * 3
+                 for i in range(12)]})
+    a = minhash_dedup(rd.from_arrow(docs), threshold=0.5, n_hashes=32,
+                      n_bands=32, num_parts=1)
+    b = minhash_dedup(rd.from_arrow(docs), threshold=0.5, n_hashes=32,
+                      n_bands=32, num_parts=8)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 3  # the three tail-groups produce near-dup pairs
+
+
+def test_expand_pairs_max_bucket_cap():
+    """Hot-bucket escape hatch: a degenerate bucket is truncated to its
+    first max_bucket members (deterministic by id), bounding pair memory."""
+    from log2seq_ray.ops.dedup import _expand_pairs
+    t = pa.table({"bucket": pa.array([7] * 10 + [9] * 2, type=pa.int64()),
+                  "doc_id": pa.array(list(range(10)) + [100, 101],
+                                     type=pa.int64())})
+    full = _expand_pairs("doc_id", None, [t])
+    assert full.num_rows == 45 + 1
+    capped = _expand_pairs("doc_id", 4, [t])
+    pairs = set(zip(capped.column("id_a").to_pylist(),
+                    capped.column("id_b").to_pylist()))
+    assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b} \
+        | {(100, 101)}
 
 
 def test_asof_join(ray_session):
