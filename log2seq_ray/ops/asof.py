@@ -20,14 +20,17 @@ def _asof_partition(key, ts_col, keep_right, suffix, strict,
     """All keys of one partition in ONE ``pd.merge_asof(by=key)`` call —
     the grouped as-of is a single C pass over the (ts, key)-sorted sides,
     no per-key Python loop."""
-    from .exchange import resolve_pieces
-    l_pieces = resolve_pieces(l_pieces)
-    r_pieces = resolve_pieces(r_pieces)
+    from .exchange import resolve_all_pieces
+    # keep empty pieces: their schema types the empty-partition output
+    l_pieces = resolve_all_pieces(l_pieces)
+    r_pieces = resolve_all_pieces(r_pieces)
     if not l_pieces:
-        return pa.table({})
+        return pa.table({})  # zero-block input: no schema available at all
     lg = pa.concat_tables(l_pieces).to_pandas() \
         .sort_values([ts_col, key], kind="mergesort").reset_index(drop=True)
     if r_pieces:
+        # an all-empty right side still flows through merge_asof (empty rg
+        # with the right dtypes → all-null <col><suffix> columns)
         rg = pa.concat_tables(r_pieces).to_pandas()[[key] + keep_right] \
             .sort_values([ts_col, key], kind="mergesort") \
             .reset_index(drop=True)
@@ -99,10 +102,11 @@ def _topk_frame(df: pd.DataFrame, group_col: str, order_col: str, k: int,
 
 
 def _topk_partition(group_col, order_col, k, descending, tiebreak, pieces):
-    from .exchange import resolve_pieces
-    pieces = resolve_pieces(pieces)
+    from .exchange import resolve_all_pieces
+    # keep empty pieces: their schema types the empty-partition output
+    pieces = resolve_all_pieces(pieces)
     if not pieces:
-        return pa.table({})
+        return pa.table({})  # zero-block input: no schema available at all
     df = pa.concat_tables(pieces).to_pandas()
     return pa.Table.from_pandas(
         _topk_frame(df, group_col, order_col, k, descending, tiebreak,

@@ -44,6 +44,17 @@ def resolve_pieces(pieces):
     return [p for p in pieces if p.num_rows]
 
 
+def resolve_all_pieces(pieces):
+    """Task-side resolve KEEPING empty pieces — an empty piece still
+    carries the input schema, letting an empty partition produce a
+    correctly-typed empty output instead of a zero-column ``pa.table({})``
+    (mixed block schemas break ``Dataset.schema()`` / ``union``)."""
+    import ray
+    if pieces and isinstance(pieces[0], ray.ObjectRef):
+        pieces = ray.get(list(pieces))
+    return list(pieces)
+
+
 def hash_exchange(ds, key: str, partition_fn, num_parts: int = 16,
                   fn_args: tuple = ()):
     """ds → hash-partition by ``key`` → ``partition_fn(*fn_args, pieces)``

@@ -97,6 +97,18 @@ def _split_by_bucket(tbl: pa.Table, key: str, num_buckets: int,
     return out
 
 
+def _concat_filtered(schema: pa.Schema, pieces) -> pa.Table:
+    """Task: concat already-filtered pieces; typed empty table when every
+    piece is empty (``pa.concat_tables([])`` raises)."""
+    import ray
+    if pieces and isinstance(pieces[0], ray.ObjectRef):
+        pieces = ray.get(list(pieces))
+    pieces = [t for t in pieces if t.num_rows]
+    if not pieces:
+        return schema.empty_table()
+    return pa.concat_tables(pieces).combine_chunks()
+
+
 def _join_bucket(left_key: str, right_key: str, empty_schema: pa.Schema,
                  l_pieces, r_pieces):
     import ray
@@ -179,12 +191,16 @@ def hash_join(left, right, left_key: str, right_key: str,
     hot_result = None
     if hot_keys:
         hot_arr = pa.array(list(hot_keys))
-        r_hot_tbl = pa.concat_tables(
-            [b.select(r_names).filter(pc.is_in(b.column(right_key),
-                                               value_set=hot_arr))
-             for b in right.iter_batches(batch_size=65536,
-                                         batch_format="pyarrow")])
-        r_hot_ref = ray.put(r_hot_tbl)
+        r_schema = pa.schema([pa.field(n, rt[n]) for n in r_names])
+        # distributed hot-row collect: filter in tasks (the right dataset
+        # never streams through the driver), concat the tiny survivors in
+        # ONE task whose output ref the HotJoin actors read from plasma
+        r_hot_blocks = right.map_batches(
+            lambda b: b.select(r_names).filter(
+                pc.is_in(b.column(right_key), value_set=hot_arr)),
+            batch_format="pyarrow").to_arrow_refs()
+        r_hot_ref = ray.remote(_concat_filtered).remote(
+            r_schema, r_hot_blocks)
 
         class HotJoin:
             def __init__(self):

@@ -67,7 +67,15 @@ def hll_estimate_int(registers: dict[int, int], p: int) -> int:
     s = (m - len(registers)) << r_exp
     for rho in registers.values():
         s += 1 << (r_exp - rho)
-    return (num * m * m * (1 << r_exp)) // (den * s)
+    est = (num * m * m * (1 << r_exp)) // (den * s)
+    if est <= 5 * m // 2 and len(registers) < m:
+        import warnings
+        warnings.warn(
+            f"hll_estimate_int: raw estimate {est} is in the uncorrected "
+            f"small-range regime (<= 2.5*m = {5 * m // 2} with zero "
+            "registers); expect 20-35% error — use estimator='float' or a "
+            "larger p for accuracy", stacklevel=2)
+    return est
 
 
 def hll_estimate_float(registers: dict[int, int], p: int) -> float:
@@ -86,13 +94,15 @@ def hll_estimate_float(registers: dict[int, int], p: int) -> float:
     return float(est)
 
 
-def approx_distinct(ds, group_col: str, value_col: str, p: int = 5,
-                    estimator: str = "int"):
+def approx_distinct(ds, group_col: str, value_col: str, p: int = 12,
+                    estimator: str = "float"):
     """(group, n_approx) via per-batch HLL register partials + one register
     max-merge; the estimate is computed from the merged (tiny) register
-    table driver-side. ``estimator='int'`` = exact integer arithmetic
-    (SQL-gated, m in {16,32,64}); ``'float'`` = classic corrected estimate
-    for accuracy-sensitive use (any p)."""
+    table driver-side. Defaults are the ACCURATE configuration (p=12,
+    corrected float estimate, ~1.6% error). ``estimator='int'`` with
+    p in {4,5,6} is the exact-integer raw estimate the SQL oracle
+    reproduces bit-for-bit — callers wanting SQL determinism pass those
+    explicitly (it warns in the uncorrected small-range regime)."""
     from ray.data.aggregate import Max
 
     def partial(b: pa.Table) -> pd.DataFrame:

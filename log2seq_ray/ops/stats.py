@@ -24,10 +24,11 @@ def _quantile_partition(group_col, value_col, q, alias, pieces):
     """All groups of one partition in one vectorized pass: lexsort by
     (group, value), segment boundaries, per-segment index pick."""
     import pyarrow as pa
-    from .exchange import resolve_pieces
-    pieces = resolve_pieces(pieces)
+    from .exchange import resolve_all_pieces
+    # keep empty pieces: their schema types the empty-partition output
+    pieces = resolve_all_pieces(pieces)
     if not pieces:
-        return pa.table({})
+        return pa.table({})  # zero-block input: no schema available at all
     t = pa.concat_tables(pieces)
     gcol = t.column(group_col)
     gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) \

@@ -276,6 +276,30 @@ def test_hash_join_matches_pandas(ray_session):
     assert sorted(out2["rv"]) == sorted(exp2["rv"])
 
 
+def test_hash_join_hot_keys_multiblock_right(ray_session):
+    """hot_keys with a multi-block right Dataset: the hot rows are
+    collected in tasks (never a driver scan) and the join stays exact;
+    a hot key matching NO right rows must not crash (empty concat)."""
+    import pandas as pd
+    import ray.data as rd
+    from log2seq_ray.ops.join import hash_join
+    rng = np.random.default_rng(11)
+    l = pd.DataFrame({"lk": rng.integers(0, 30, 400), "lv": np.arange(400)})
+    r = pd.DataFrame({"rk": np.arange(30), "rv": rng.integers(0, 99, 30)})
+    right = rd.from_pandas(r).repartition(6)  # genuinely multi-block
+    out = hash_join(rd.from_pandas(l).repartition(4), right, "lk", "rk",
+                    num_buckets=4, hot_keys=[3, 7]).to_pandas()
+    exp = l.merge(r, left_on="lk", right_on="rk")
+    assert len(out) == len(exp)
+    assert out["rv"].sum() == exp["rv"].sum()
+    # hot key absent from the right side: the hot collect concatenates
+    # ZERO non-empty pieces and must yield a typed empty, not a crash
+    out2 = hash_join(rd.from_pandas(l), right, "lk", "rk",
+                     num_buckets=4, hot_keys=[999]).to_pandas()
+    assert len(out2) == len(exp)  # 999 never occurs on the left either
+    assert out2["rv"].sum() == exp["rv"].sum()
+
+
 def test_session_counts(ray_session):
     import datetime as dt
     import ray.data as rd
@@ -391,6 +415,33 @@ def test_asof_join(ray_session):
     assert pd.isna(out.loc[11, "ts_prev"])        # nothing earlier
     assert pd.isna(out.loc[12, "ts_prev"])        # strict: equal ts no match
     assert out.index.dtype == "int64"
+
+
+def test_empty_partitions_keep_typed_schema(ray_session):
+    """Exchange ops with more partitions than keys: empty partitions must
+    emit typed empty blocks (zero-column blocks break Dataset.schema(),
+    union and downstream map_batches)."""
+    import datetime as dt
+    import ray.data as rd
+    from log2seq_ray.ops.asof import asof_join, top_k_per_group
+    from log2seq_ray.ops.stats import group_quantile
+    ds = rd.from_items([{"g": "a", "v": 1.5}, {"g": "a", "v": 2.5},
+                        {"g": "b", "v": 9.0}])
+    q = group_quantile(ds, "g", "v", q=0.5, num_parts=16)
+    assert set(q.schema().names) == {"g", "q"}
+    assert len(q.union(q).to_pandas()) == 4
+    tk = top_k_per_group(rd.from_items(
+        [{"g": 1, "id": 1, "v": 5.0}]), "g", "v", k=1, num_parts=16)
+    assert "rank" in tk.schema().names
+    b = dt.datetime(2024, 1, 1)
+    left = rd.from_items([{"k": i, "ts": b + dt.timedelta(seconds=i)}
+                          for i in range(8)])
+    right = rd.from_items([{"k": 1, "ts": b}])  # most partitions: no right
+    aj = asof_join(left, right, key="k", ts_col="ts", right_cols=[],
+                   num_parts=16).to_pandas()
+    assert len(aj) == 8
+    assert aj.loc[aj.k == 1, "ts_prev"].notna().all()
+    assert aj.loc[aj.k == 5, "ts_prev"].isna().all()
 
 
 def test_top_k_per_group(ray_session):
