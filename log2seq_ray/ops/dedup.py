@@ -426,19 +426,169 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def minhash_clusters(ds, threshold: float = 0.8, **kw):
+def _lp_split(tbl: pa.Table, key: str, num_parts: int):
+    """One block → num_parts sub-tables by id hash (ids are int64)."""
+    h = np.asarray(tbl.column(key).to_numpy(), dtype=np.uint64)
+    part = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)) \
+        .astype(np.int64) % num_parts
+    order = np.argsort(part, kind="stable")
+    s = tbl.take(pa.array(order))
+    counts = np.bincount(part, minlength=num_parts)
+    out, lo = [], 0
+    for n in counts:
+        out.append(s.slice(lo, n))
+        lo += n
+    return out
+
+
+def _lp_edge_partition(pieces) -> pa.Table:
+    """Concat one partition's symmetrized edges; attach initial labels
+    (label(id) = id for every src in the partition)."""
+    from .exchange import resolve_all_pieces
+    pieces = resolve_all_pieces(pieces)
+    if not pieces:
+        return pa.table({"src": pa.array([], type=pa.int64()),
+                         "dst": pa.array([], type=pa.int64())})
+    return pa.concat_tables(pieces).combine_chunks()
+
+
+def _lp_propagate(edges: pa.Table, labels: pa.Table,
+                  num_parts: int):
+    """One BSP round, sender side: label[src] flows along each edge;
+    messages are pre-aggregated (min per dst) before the exchange and
+    split by dst hash — returns num_parts message pieces."""
+    if edges.num_rows == 0 or labels.num_rows == 0:
+        empty = pa.table({"id": pa.array([], type=pa.int64()),
+                          "label": pa.array([], type=pa.int64())})
+        return [empty] * num_parts
+    src = edges.column("src").combine_chunks() \
+        if isinstance(edges.column("src"), pa.ChunkedArray) \
+        else edges.column("src")
+    idx = pc.index_in(src, value_set=labels.column("id").combine_chunks())
+    lab = labels.column("label").combine_chunks().take(idx).to_numpy()
+    dst = edges.column("dst").to_numpy()
+    # pre-aggregate: min label per dst (vectorized lexsort + boundary)
+    order = np.lexsort((lab, dst))
+    d, l = dst[order], lab[order]
+    first = np.ones(len(d), dtype=bool)
+    first[1:] = d[1:] != d[:-1]
+    msgs = pa.table({"id": pa.array(d[first], type=pa.int64()),
+                     "label": pa.array(l[first], type=pa.int64())})
+    return _lp_split(msgs, "id", num_parts)
+
+
+def _lp_update(labels: pa.Table, msg_pieces):
+    """One BSP round, receiver side: label(id) = min(old, incoming).
+    Returns (new labels table, changed count)."""
+    from .exchange import resolve_all_pieces
+    pieces = [t for t in resolve_all_pieces(msg_pieces) if t.num_rows]
+    if not pieces or labels.num_rows == 0:
+        return labels, 0
+    m = pa.concat_tables(pieces)
+    ids = labels.column("id").combine_chunks()
+    idx = pc.index_in(m.column("id"), value_set=ids)
+    old = labels.column("label").to_numpy().copy()
+    pos = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    np.minimum.at(old, pos, m.column("label").to_numpy())
+    changed = int((old < labels.column("label").to_numpy()).sum())
+    return pa.table({"id": ids, "label": pa.array(old, type=pa.int64())}), \
+        changed
+
+
+def label_propagation_clusters(pairs, num_parts: int = 8,
+                               max_rounds: int = 64):
+    """Distributed connected components by min-label propagation (BSP):
+    symmetrized edges hash-partition by src ONCE; each round every edge
+    partition sends ``min(label[src])`` per dst (pre-aggregated, narrow
+    int64 rows) to the dst's label partition, which takes the element-wise
+    min — fixpoint when no label changes. Rounds = component diameter;
+    per-task memory = one partition's edges + labels, never the graph.
+
+    ``pairs``: a pandas DataFrame or Ray Dataset with id_a/id_b columns.
+    Returns (doc_id, cluster_id = min id of the component) for every node.
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    if isinstance(pairs, pd.DataFrame):
+        if len(pairs) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "cluster_id": pd.Series([], dtype="int64")})
+        pairs = rd.from_pandas(pairs[["id_a", "id_b"]])
+    sym = pairs.map_batches(
+        lambda b: pa.table({
+            "src": pa.concat_arrays([
+                b.column("id_a").combine_chunks().cast(pa.int64()),
+                b.column("id_b").combine_chunks().cast(pa.int64())]),
+            "dst": pa.concat_arrays([
+                b.column("id_b").combine_chunks().cast(pa.int64()),
+                b.column("id_a").combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow")
+    split = ray.remote(_lp_split)
+    per_part = [[] for _ in range(num_parts)]
+    for ref in sym.to_arrow_refs():
+        pieces = split.options(num_returns=num_parts).remote(
+            ref, "src", num_parts)
+        if num_parts == 1:
+            pieces = [pieces]
+        for i, p in enumerate(pieces):
+            per_part[i].append(p)
+    edge_task = ray.remote(_lp_edge_partition)
+    edge_refs = [edge_task.remote(pieces) for pieces in per_part]
+
+    def _init_labels(edges: pa.Table) -> pa.Table:
+        ids = np.unique(edges.column("src").to_numpy()) \
+            if edges.num_rows else np.array([], dtype=np.int64)
+        return pa.table({"id": pa.array(ids, type=pa.int64()),
+                         "label": pa.array(ids, type=pa.int64())})
+
+    init_task = ray.remote(_init_labels)
+    label_refs = [init_task.remote(e) for e in edge_refs]
+    prop = ray.remote(num_returns=num_parts)(_lp_propagate) \
+        if num_parts > 1 else ray.remote(
+            lambda e, l, n: _lp_propagate(e, l, n)[0])
+    upd = ray.remote(num_returns=2)(_lp_update)
+    for _ in range(max_rounds):
+        msg_pieces = [[] for _ in range(num_parts)]
+        for p in range(num_parts):
+            out = prop.remote(edge_refs[p], label_refs[p], num_parts)
+            if num_parts == 1:
+                out = [out]
+            for q, piece in enumerate(out):
+                msg_pieces[q].append(piece)
+        changed_refs = []
+        new_labels = []
+        for q in range(num_parts):
+            lref, cref = upd.remote(label_refs[q], msg_pieces[q])
+            new_labels.append(lref)
+            changed_refs.append(cref)
+        label_refs = new_labels
+        if sum(ray.get(changed_refs)) == 0:
+            break
+    out = rd.from_arrow_refs(label_refs).to_pandas()
+    return pd.DataFrame({
+        "doc_id": out["id"].astype("int64"),
+        "cluster_id": out["label"].astype("int64"),
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_clusters(ds, threshold: float = 0.8, method: str = "auto",
+                     **kw):
     """Near-dup clusters: verified pairs → connected components →
     (doc_id, cluster_id = min doc_id of component), survivors =
     cluster representatives.
 
-    The component step runs driver-side union-find over the VERIFIED pair
-    set only — bounded by true near-dup volume, not corpus size (the LSH
-    bucching already shrank candidates; at 10^12 rows swap this step for a
-    few rounds of min-label propagation: explode pairs to (id, label) rows,
-    groupby(id).min, join back, repeat until fixpoint).
-    """
+    ``method``: 'unionfind' = driver-side union-find over the verified
+    pair set (bounded by true near-dup volume — fastest when pairs fit
+    the driver); 'labelprop' = distributed min-label propagation
+    (:func:`label_propagation_clusters` — the 10^12-row path where even
+    verified pairs exceed driver memory); 'auto' picks union-find below
+    1M pairs. Both produce identical output (min-id components)."""
     import pandas as pd
     pairs = minhash_dedup(ds, threshold=threshold, **kw)
+    if method == "labelprop" or (method == "auto" and len(pairs) > 1_000_000):
+        return label_propagation_clusters(pairs)
     parent: dict = {}
 
     def find(x):
@@ -544,17 +694,73 @@ class _MultiAssignStage:
             "__centroid", pa.array(top.reshape(-1).astype(np.int32)))
 
 
+class _SaltStage:
+    """Sub-bucket fan-out for oversized centroid buckets. A centroid with
+    S sub-buckets (S = ceil(count / max_bucket)) replicates each vector
+    into its S sub-bucket-PAIR groups — one within group (s, s) and S-1
+    cross groups (min(s,s'), max(s,s')) — so pair generation touches at
+    most ~2·max_bucket vectors per task while still emitting EVERY
+    within-centroid pair exactly once (a pair with subs (sa, sb) exists
+    only in group (min, max)). S=1 centroids pass through untouched."""
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)  # deterministic id → sub-bucket
+
+    def __init__(self, s_map_ref, id_col: str):
+        import ray
+        self.s_map = s_map_ref if isinstance(s_map_ref, dict) \
+            else ray.get(s_map_ref)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cent = batch.column("__centroid").to_numpy().astype(np.int64)
+        n = len(batch)
+        if not self.s_map:  # no hot buckets: one within group per row
+            out = batch.append_column(
+                "__gk", pa.array(cent << 32, type=pa.int64()))
+            out = out.append_column(
+                "__side", pa.array(np.zeros(n, np.int8)))
+            return out.append_column(
+                "__cross", pa.array(np.zeros(n, np.int8)))
+        ids = batch.column(self.id_col).to_numpy().astype(np.uint64)
+        s_of = np.array([self.s_map.get(int(c), 1) for c in cent],
+                        dtype=np.int64)
+        sub = ((ids * self._MIX) >> np.uint64(17)).astype(np.int64) % s_of
+        # vectorized fan-out: row i emits S_i rows, one per sub-bucket p
+        total = int(s_of.sum())
+        row_for = np.repeat(np.arange(n, dtype=np.int64), s_of)
+        p_idx = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(s_of) - s_of, s_of)
+        s_rep, S_rep = sub[row_for], s_of[row_for]
+        lo = np.minimum(p_idx, s_rep)
+        hi = np.maximum(p_idx, s_rep)
+        k = lo * S_rep - lo * (lo - 1) // 2 + (hi - lo)
+        out = batch.take(pa.array(row_for))
+        out = out.append_column(
+            "__gk", pa.array((cent[row_for] << 32) + k, type=pa.int64()))
+        out = out.append_column(
+            "__side", pa.array((p_idx < s_rep).astype(np.int8)))
+        return out.append_column(
+            "__cross", pa.array((p_idx != s_rep).astype(np.int8)))
+
+
 def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
                    col: str = "embedding", n_centroids: int = 16,
-                   n_assign: int = 3):
+                   n_assign: int = 3, max_bucket: int = 4096):
     """Near-dup id pairs by cosine ≥ threshold, bucketed by coarse k-means
     centroid (trained on a driver-side sample, broadcast once): each
     vector is multi-assigned to its ``n_assign`` nearest centroids, pairs
-    are generated ONLY within a centroid bucket (``groupby(centroid)``
-    shuffles vectors, not the O(n²) pair space), and duplicates from
-    multi-assignment are dropped at the end. Partitioning assumption: a
-    bucket's vectors fit one worker — salt oversized buckets into
-    sub-buckets before the groupby at larger scales."""
+    are generated ONLY within a centroid bucket (``groupby`` shuffles
+    vectors, not the O(n²) pair space), and duplicates from
+    multi-assignment are dropped at the end.
+
+    Hot buckets are SALTED: a centroid owning more than ``max_bucket``
+    vectors is split into S = ceil(count / max_bucket) sub-buckets by a
+    deterministic id hash, and each vector fans out to its S sub-bucket-
+    pair groups (one within + S-1 cross), so per-task pair work is
+    bounded by ~(2·max_bucket)² regardless of embedding skew while the
+    pair set stays EXACTLY the within-centroid pair set (each unordered
+    pair lives in exactly one sub-bucket-pair group). Replication factor
+    for a hot bucket is S — linear in its oversize, quadratic never."""
     import pandas as pd
     import ray
     from .similarity import train_centroids, _normalize
@@ -567,19 +773,45 @@ def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
         fn_constructor_kwargs=dict(centroids_ref=cref, id_col=id_col,
                                    col=col, n_assign=n_assign),
         batch_format="pyarrow", concurrency=(1, 8))
+    # bucket-size census: a second streaming pass over the (deterministic)
+    # assignment — cheaper at scale than materializing n_assign × corpus
+    # vectors in the object store just to count them
+    counts = assigned.select_columns(["__centroid"]) \
+        .groupby("__centroid").count().to_pandas()
+    cnt_col = [c for c in counts.columns if c != "__centroid"][0]
+    s_map = {int(c): int(-(-n // max_bucket))
+             for c, n in zip(counts["__centroid"], counts[cnt_col])
+             if n > max_bucket}
+    salted = assigned.map_batches(
+        _SaltStage,
+        fn_constructor_kwargs=dict(s_map_ref=ray.put(s_map), id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 8))
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         X = _normalize(np.asarray(list(g[col]), dtype=np.float64))
-        sims = X @ X.T
-        ai, bi = np.nonzero(sims >= threshold)
-        keep = ids[ai] < ids[bi]
+        if g["__cross"].iloc[0]:
+            # cross group: side0 × side1 only (within-side pairs belong
+            # to the two within groups)
+            m0 = (g["__side"].to_numpy() == 0)
+            ids0, ids1 = ids[m0], ids[~m0]
+            if not len(ids0) or not len(ids1):
+                return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                     "id_b": pd.Series([], dtype="int64")})
+            sims = X[m0] @ X[~m0].T
+            ai, bi = np.nonzero(sims >= threshold)
+            ia, ib = ids0[ai], ids1[bi]
+        else:
+            sims = X @ X.T
+            ai, bi = np.nonzero(sims >= threshold)
+            keep = ids[ai] < ids[bi]
+            ia, ib = ids[ai[keep]], ids[bi[keep]]
         return pd.DataFrame({
-            "id_a": pd.Series(ids[ai[keep]], dtype="int64"),
-            "id_b": pd.Series(ids[bi[keep]], dtype="int64")})
+            "id_a": pd.Series(np.minimum(ia, ib), dtype="int64"),
+            "id_b": pd.Series(np.maximum(ia, ib), dtype="int64")})
 
-    pairs = assigned.groupby("__centroid").map_groups(
-        pairs_of_bucket, batch_format="pandas").to_pandas()
+    pairs = salted.groupby("__gk").map_groups(
+        pairs_of_group, batch_format="pandas").to_pandas()
     return pairs.drop_duplicates().sort_values(["id_a", "id_b"]) \
         .reset_index(drop=True)
 

@@ -397,6 +397,16 @@ def q_minhash_clusters(sf_dir: str):
                             threshold=0.5, n_hashes=128, n_bands=128)
 
 
+def q_minhash_clusters_lp(sf_dir: str):
+    """Same clusters via the distributed min-label-propagation path (the
+    10^12-row alternative to driver union-find); gated by the identical
+    recursive-CTE components oracle."""
+    from .ops.dedup import minhash_clusters
+    return minhash_clusters(_docs(sf_dir, ["doc_id", "text"]),
+                            threshold=0.5, n_hashes=128, n_bands=128,
+                            method="labelprop")
+
+
 def q_simhash(sf_dir: str):
     from .ops.dedup import simhash_table
     return simhash_table(_docs(sf_dir, ["doc_id", "text"]))
@@ -518,6 +528,7 @@ QUERIES = {
     "flagship_template_counts": q_flagship,
     "minhash_dedup": q_minhash_dedup,
     "minhash_clusters": q_minhash_clusters,
+    "minhash_clusters_lp": q_minhash_clusters_lp,
     "simhash": q_simhash,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
@@ -949,3 +960,5 @@ def _langid_sql() -> str:
 
 
 ORACLE_SQL["langid"] = _langid_sql()
+# label propagation computes the same min-id components as union-find
+ORACLE_SQL["minhash_clusters_lp"] = ORACLE_SQL["minhash_clusters"]

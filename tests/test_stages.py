@@ -358,6 +358,23 @@ def test_minhash_clusters(ray_session):
     out = minhash_clusters(rd.from_arrow(docs), threshold=0.5)
     assert set(out["cluster_id"]) == {1}          # 1,2,3 cluster to min id 1
     assert 4 not in set(out["doc_id"])            # singleton not listed
+    # the distributed label-propagation path must agree exactly
+    lp = minhash_clusters(rd.from_arrow(docs), threshold=0.5,
+                          method="labelprop")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), lp)
+
+
+def test_label_propagation_chain(ray_session):
+    """Min-label propagation over a multi-round chain (diameter > 1) and
+    a disjoint component; must match exact connected components."""
+    from log2seq_ray.ops.dedup import label_propagation_clusters
+    pairs = pd.DataFrame({
+        "id_a": pd.Series([9, 2, 3, 4, 10, 30], dtype="int64"),
+        "id_b": pd.Series([2, 3, 4, 5, 11, 31], dtype="int64")})
+    out = label_propagation_clusters(pairs, num_parts=4)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 9: 2,
+                   10: 10, 11: 10, 30: 30, 31: 30}
 
 
 def test_minhash_dedup_copartitioned_verify(ray_session):
@@ -415,6 +432,41 @@ def test_asof_join(ray_session):
     assert pd.isna(out.loc[11, "ts_prev"])        # nothing earlier
     assert pd.isna(out.loc[12, "ts_prev"])        # strict: equal ts no match
     assert out.index.dtype == "int64"
+
+
+def test_embedding_dups_hot_bucket_salted(ray_session):
+    """One centroid owning ~all vectors: salting must bound per-group pair
+    work while emitting EXACTLY the brute-force cosine pair set."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import embedding_dups, _SaltStage
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    # 48 vectors = 12 near-dup families of 4 tight copies each
+    vecs = np.stack([base + 0.01 * rng.normal(size=8) + 0.5 * (i // 4)
+                     for i in range(48)])
+    tbl = pa.table({"vec_id": pa.array(np.arange(48), type=pa.int64()),
+                    "embedding": [list(map(float, v)) for v in vecs]})
+    ds = rd.from_arrow(tbl)
+    out = embedding_dups(ds, threshold=0.999, n_centroids=1, n_assign=1,
+                         max_bucket=8)
+    # brute-force oracle
+    X = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = X @ X.T
+    ai, bi = np.nonzero(sims >= 0.999)
+    exp = sorted({(int(min(a, b)), int(max(a, b)))
+                  for a, b in zip(ai, bi) if a != b})
+    got = sorted(zip(out["id_a"], out["id_b"]))
+    assert got == exp and len(exp) > 10
+    # per-group size bound: S = ceil(48/8) = 6 sub-buckets, each group
+    # holds at most 2 sub-buckets' members
+    st = _SaltStage({0: 6}, "vec_id")
+    fan = st(tbl.append_column("__centroid",
+                               pa.array(np.zeros(48, np.int32))))
+    gk, counts = np.unique(fan.column("__gk").to_numpy(),
+                           return_counts=True)
+    assert len(gk) == 6 * 7 // 2  # all sub-bucket pairs materialize
+    assert counts.max() <= 2 * (48 // 6 + 8)  # ~2 sub-buckets per group
+    assert fan.num_rows == 48 * 6  # replication factor S, not S²
 
 
 def test_empty_partitions_keep_typed_schema(ray_session):
