@@ -375,10 +375,31 @@ def q_strip_html(sf_dir: str):
 # heuristics, stubs)
 # ---------------------------------------------------------------------------
 
+#: fixed location the flagship oracle SQL re-reads; q_flagship overwrites
+#: it atomically on every invocation (content is deterministic per sf_dir)
+FLAGSHIP_PAGES_DIR = "/tmp/l2sr_flagship_pages"
+
+
 def q_flagship(sf_dir: str):
-    """Full parse→enrich→route→aggregate over the synthesized web corpus."""
+    """Full parse→enrich→route→aggregate over the synthesized web corpus.
+
+    SQL-gated: the deterministic synthesized pages are materialized to
+    ``FLAGSHIP_PAGES_DIR`` (atomic dir swap) and the Ray pipeline consumes
+    that SAME corpus in file-shard mode, so the engine and the DuckDB
+    oracle (which re-implements line explode → 3-format header cascade →
+    statement split → variable-token masking → routing in SQL) see
+    identical input bytes."""
+    import os
+    import shutil
+    import uuid
     from .pipelines import flagship
-    return flagship.run(sf_dir)
+    from .sources.webpages import read_webpages
+    tmp = FLAGSHIP_PAGES_DIR + ".tmp-" + uuid.uuid4().hex[:6]
+    read_webpages(sf_dir).repartition(8).write_parquet(tmp)
+    if os.path.exists(FLAGSHIP_PAGES_DIR):
+        shutil.rmtree(FLAGSHIP_PAGES_DIR)
+    os.replace(tmp, FLAGSHIP_PAGES_DIR)
+    return flagship.run(sf_dir, corpus_dir=FLAGSHIP_PAGES_DIR)
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -522,7 +543,6 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
-    # rows-only
     "approx_distinct": q_approx_distinct,
     "strip_html": q_strip_html,
     "flagship_template_counts": q_flagship,
@@ -962,3 +982,71 @@ def _langid_sql() -> str:
 ORACLE_SQL["langid"] = _langid_sql()
 # label propagation computes the same min-id components as union-find
 ORACLE_SQL["minhash_clusters_lp"] = ORACLE_SQL["minhash_clusters"]
+
+
+def _flagship_sql() -> str:
+    """DuckDB re-implementation of the flagship pipeline over the pages
+    corpus q_flagship materializes: explode lines → first-match-wins
+    3-format header cascade (syslog / ISO+level / epoch+level) → statement
+    tokenization (the default action chain reduces to splitting on
+    space/[/]/: for this corpus — no IPv6/time/mac words occur inside
+    messages, so the FixIP/Fix protections never fire) → variable-token
+    masking with the ENGINE'S OWN regex → lang_class ∘ severity routing →
+    counts. Shares ``_VARIABLE_TOKEN_RE`` with stages/aggregate.py."""
+    from .stages.aggregate import _VARIABLE_TOKEN_RE
+    syslog = (r"^[A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:"
+              r"[0-9]{2} [A-Za-z0-9.-]+ [A-Za-z0-9()._-]+\[[0-9]+\]: ")
+    iso = (r"^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:"
+           r"[0-9]{2},[0-9]{3} [A-Z]+ [A-Za-z0-9()._-]+: ")
+    epoch = r"^[0-9]+ [A-Za-z0-9.-]+ [A-Z]+ "
+    return f"""
+        WITH pages AS (SELECT lang, text
+                       FROM read_parquet('{FLAGSHIP_PAGES_DIR}/*.parquet')),
+        L AS (SELECT lang, unnest(string_split(text, chr(10))) AS line
+              FROM pages),
+        P AS (SELECT lang, line,
+                 CASE
+                   WHEN regexp_matches(line, '{syslog}')
+                     THEN regexp_extract(line, '{syslog}(.*)$', 1)
+                   WHEN regexp_matches(line, '{iso}')
+                     THEN regexp_extract(line, '{iso}(.*)$', 1)
+                   WHEN regexp_matches(line, '{epoch}')
+                     THEN regexp_extract(line, '{epoch}(.*)$', 1)
+                   ELSE NULL END AS msg,
+                 CASE
+                   WHEN regexp_matches(line, '^[A-Z][a-z]{{2}} ') THEN ''
+                   WHEN regexp_matches(line, '^[0-9]{{4}}-')
+                     THEN regexp_extract(line,
+                       '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}} [0-9]{{2}}:'
+                       || '[0-9]{{2}}:[0-9]{{2}},[0-9]{{3}} ([A-Z]+) ', 1)
+                   ELSE regexp_extract(line,
+                       '^[0-9]+ [A-Za-z0-9.-]+ ([A-Z]+) ', 1)
+                 END AS level
+              FROM L WHERE line <> ''),
+        R AS (SELECT
+                CASE WHEN lang IN ({_LATIN}) THEN 'latin'
+                     WHEN lang IN ({_CJK}) THEN 'cjk'
+                     WHEN lang IN ({_CYR}) THEN 'cyrillic'
+                     WHEN lang IN ({_RTL}) THEN 'rtl'
+                     ELSE 'other' END
+                || '_' ||
+                CASE WHEN level IN ('ERROR','FATAL','CRIT','CRITICAL')
+                       THEN 'error'
+                     WHEN level IN ('WARN','WARNING') THEN 'warn'
+                     ELSE 'info' END AS route0,
+                CASE WHEN msg IS NULL THEN '__deadletter__'
+                     ELSE route0 END AS route,
+                CASE WHEN msg IS NULL THEN '<unparsed>' ELSE
+                  array_to_string(list_transform(
+                    list_filter(string_split(
+                        translate(msg, '[]:', '   '), ' '), x -> x <> ''),
+                    x -> CASE WHEN regexp_matches(x, '{_VARIABLE_TOKEN_RE}')
+                              THEN '<*>' ELSE x END), ' ')
+                END AS template
+              FROM P)
+        SELECT template, route, CAST(count(*) AS BIGINT) AS n
+        FROM R GROUP BY template, route
+    """
+
+
+ORACLE_SQL["flagship_template_counts"] = _flagship_sql()
