@@ -38,10 +38,10 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
-    import zlib
-    texts = batch.column(col).to_pylist()
-    h = [hashlib.sha1(t.encode() if t else b"").hexdigest()
-         for t in texts]
+    from .hashutil import bytes_list
+    # sha1 per value is inherent (digest-bound, measured); one vectorized
+    # cast-to-binary replaces the per-row str.encode
+    h = [hashlib.sha1(v).hexdigest() for v in bytes_list(batch.column(col))]
     return batch.append_column("content_hash",
                                pa.array(h, type=pa.string()))
 

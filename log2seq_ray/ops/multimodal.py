@@ -37,6 +37,19 @@ IMAGE_FEATURES_SCHEMA = pa.schema([
 ])
 
 
+def _stacked_digests(payload_col, digest_size: int) -> np.ndarray:
+    """blake2b per payload (hashing is inherently per-value), digests
+    stacked into ONE (n, digest_size) uint8 matrix so all downstream
+    feature math is vectorized."""
+    col = payload_col.combine_chunks() \
+        if isinstance(payload_col, pa.ChunkedArray) else payload_col
+    buf = bytearray()
+    for p in col.to_pylist():
+        buf += hashlib.blake2b(p, digest_size=digest_size).digest()
+    return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+        -1, digest_size)
+
+
 def synthesize_media(batch: pa.Table) -> pa.Table:
     """documents batch → deterministic fake media rows (payload = seeded
     bytes; stands in for WARC image/audio payloads)."""
@@ -80,26 +93,23 @@ class ImageDecodeStage:
         elif backend != "fake":
             raise ValueError(f"unknown backend {backend!r}")
 
-    def _fake_decode(self, payload: bytes):
-        h = hashlib.blake2b(payload, digest_size=40).digest()
-        width = 64 + h[0] * 8
-        height = 64 + h[1] * 8
-        emb = (np.frombuffer(h[8:], dtype=np.uint16).astype(np.float32)
-               / 65535.0)
-        return width, height, 3, emb
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = {"media_id": [], "width": [], "height": [], "channels": [],
-                "embedding": []}
-        for mid, payload in zip(batch.column("media_id").to_pylist(),
-                                batch.column("payload").to_pylist()):
-            w, h, c, emb = self._fake_decode(payload)
-            rows["media_id"].append(mid)
-            rows["width"].append(w)
-            rows["height"].append(h)
-            rows["channels"].append(c)
-            rows["embedding"].append(emb)
-        return pa.Table.from_pydict(rows, schema=IMAGE_FEATURES_SCHEMA)
+        # per-row hashing is inherent; the feature math runs BATCHED over
+        # one stacked digest buffer so a real decode backend swap inherits
+        # batch shape (no per-row Python in the math)
+        H = _stacked_digests(batch.column("payload"), 40)
+        width = (64 + H[:, 0].astype(np.int32) * 8)
+        height = (64 + H[:, 1].astype(np.int32) * 8)
+        emb = (np.ascontiguousarray(H[:, 8:]).view(np.uint16)
+               .astype(np.float32) / 65535.0)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "width": pa.array(width, type=pa.int32()),
+            "height": pa.array(height, type=pa.int32()),
+            "channels": pa.array(np.full(len(batch), 3, np.int32)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1)), 16),
+        }, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def media_pipeline(sf_dir: str):
@@ -157,18 +167,18 @@ class ImageResizeStage:
             raise ValueError(f"unknown backend {backend!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = {"media_id": [], "width": [], "height": [], "thumb": []}
-        m = self.max_side
-        for mid, payload in zip(batch.column("media_id").to_pylist(),
-                                batch.column("payload").to_pylist()):
-            h = hashlib.blake2b(payload, digest_size=8).digest()
-            w0, h0 = 64 + h[0] * 8, 64 + h[1] * 8
-            scale = min(1.0, m / max(w0, h0))
-            rows["media_id"].append(mid)
-            rows["width"].append(int(w0 * scale))
-            rows["height"].append(int(h0 * scale))
-            rows["thumb"].append(payload[:64])
-        return pa.Table.from_pydict(rows, schema=RESIZED_SCHEMA)
+        import pyarrow.compute as pc
+        H = _stacked_digests(batch.column("payload"), 8)
+        w0 = (64 + H[:, 0].astype(np.int64) * 8).astype(np.float64)
+        h0 = (64 + H[:, 1].astype(np.int64) * 8).astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w0, h0))
+        thumb = pc.binary_slice(batch.column("payload"), 0, 64)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "width": pa.array((w0 * scale).astype(np.int32)),
+            "height": pa.array((h0 * scale).astype(np.int32)),
+            "thumb": thumb,
+        }, schema=RESIZED_SCHEMA)
 
 
 class AudioFeatureStage:
@@ -188,18 +198,18 @@ class AudioFeatureStage:
             raise ValueError(f"unknown backend {backend!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = {"media_id": [], "sample_rate": [], "duration_ms": [],
-                "mfcc": []}
-        for mid, payload in zip(batch.column("media_id").to_pylist(),
-                                batch.column("payload").to_pylist()):
-            h = hashlib.blake2b(payload, digest_size=32).digest()
-            rows["media_id"].append(mid)
-            rows["sample_rate"].append(16000 if h[0] % 2 else 44100)
-            rows["duration_ms"].append(200 + h[1] * 37)
-            rows["mfcc"].append(
-                (np.frombuffer(h[6:], dtype=np.uint16)[:13]
-                 .astype(np.float32) / 65535.0))
-        return pa.Table.from_pydict(rows, schema=AUDIO_FEATURES_SCHEMA)
+        H = _stacked_digests(batch.column("payload"), 32)
+        sr = np.where(H[:, 0] % 2, 16000, 44100).astype(np.int32)
+        dur = (200 + H[:, 1].astype(np.int32) * 37)
+        mfcc = (np.ascontiguousarray(H[:, 6:]).view(np.uint16)[:, :13]
+                .astype(np.float32) / 65535.0)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "sample_rate": pa.array(sr),
+            "duration_ms": pa.array(dur),
+            "mfcc": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(mfcc).reshape(-1)), 13),
+        }, schema=AUDIO_FEATURES_SCHEMA)
 
 
 class VideoFrameSampleStage:
@@ -219,18 +229,21 @@ class VideoFrameSampleStage:
             raise ValueError(f"unknown backend {backend!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = {"media_id": [], "frame_no": [], "frame_hash": []}
         n = self.n_frames
-        for mid, payload in zip(batch.column("media_id").to_pylist(),
-                                batch.column("payload").to_pylist()):
-            step = max(1, len(payload) // n)
-            for i in range(n):
-                chunk = payload[i * step:(i + 1) * step]
-                rows["media_id"].append(mid)
-                rows["frame_no"].append(i)
-                rows["frame_hash"].append(
-                    hashlib.blake2b(chunk, digest_size=8).hexdigest())
-        return pa.Table.from_pydict(rows, schema=FRAME_SAMPLE_SCHEMA)
+        payloads = batch.column("payload").to_pylist()
+        # per-frame hashing is inherent; ids/frame_nos are vectorized
+        hashes = [hashlib.blake2b(
+                      p[i * max(1, len(p) // n):
+                        (i + 1) * max(1, len(p) // n)],
+                      digest_size=8).hexdigest()
+                  for p in payloads for i in range(n)]
+        mids = np.repeat(batch.column("media_id").to_numpy(), n)
+        return pa.table({
+            "media_id": pa.array(mids, type=pa.int64()),
+            "frame_no": pa.array(np.tile(np.arange(n, dtype=np.int32),
+                                         len(payloads))),
+            "frame_hash": pa.array(hashes, type=pa.string()),
+        }, schema=FRAME_SAMPLE_SCHEMA)
 
 
 def audio_pipeline(sf_dir: str):

@@ -33,9 +33,10 @@ _ALPHA = {16: (673, 1000), 32: (697, 1000), 64: (709, 1000)}
 
 
 def _hash60(values) -> np.ndarray:
+    from .hashutil import value_bytes
     return np.fromiter(
-        (int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-         for v in values), dtype=np.int64, count=len(values))
+        (int(hashlib.md5(v).hexdigest()[:15], 16)
+         for v in value_bytes(values)), dtype=np.int64, count=len(values))
 
 
 def hll_rows(values, p: int) -> tuple[np.ndarray, np.ndarray]:

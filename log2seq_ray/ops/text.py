@@ -208,9 +208,10 @@ def split_by_hash(ds, key_col: str, percent: int, take_lower: bool = True):
     import hashlib
 
     def part(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_pylist()
+        from .hashutil import value_bytes
+        keys = value_bytes(b.column(key_col).to_numpy(zero_copy_only=False))
         mod = np.fromiter(
-            (int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 100
+            (int(hashlib.md5(k).hexdigest()[:8], 16) % 100
              for k in keys), dtype=np.int64, count=len(keys))
         mask = mod < percent if take_lower else mod >= percent
         return b.filter(pa.array(mask))
@@ -235,9 +236,10 @@ def stratified_sample(ds, stratum_col: str, key_col: str, k: int):
     cols = None
 
     def partial(b: pa.Table) -> pa.Table:
+        from .hashutil import value_bytes
         df = b.to_pandas()
-        df["__h"] = [hashlib.md5(str(v).encode()).hexdigest()
-                     for v in df[key_col]]
+        df["__h"] = [hashlib.md5(v).hexdigest()
+                     for v in value_bytes(df[key_col].to_numpy())]
         df = df.sort_values(["__h", key_col]) \
             .groupby(stratum_col, sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)

@@ -148,6 +148,45 @@ def test_minhash_jaccard():
     assert jaccard("a b c d e f", "x y z w v u") == 0.0
 
 
+def test_multimodal_batched_kernels_match_per_row_reference():
+    """The batched fake kernels must reproduce the per-row math exactly
+    (hash → features), so a real backend swap inherits batch shape."""
+    import hashlib
+    from log2seq_ray.ops.multimodal import (
+        synthesize_media, ImageDecodeStage, ImageResizeStage,
+        AudioFeatureStage, VideoFrameSampleStage)
+    media = synthesize_media(pa.table({"doc_id": list(range(30))}))
+    payloads = media.column("payload").to_pylist()
+    img = ImageDecodeStage()(media)
+    res = ImageResizeStage(max_side=256)(media)
+    aud = AudioFeatureStage()(media)
+    vid = VideoFrameSampleStage(n_frames=3)(media)
+    for i, p in enumerate(payloads):
+        h = hashlib.blake2b(p, digest_size=40).digest()
+        assert img.column("width")[i].as_py() == 64 + h[0] * 8
+        assert img.column("embedding")[i].as_py() == list(
+            np.frombuffer(h[8:], dtype=np.uint16).astype(np.float32)
+            / 65535.0)
+        h8 = hashlib.blake2b(p, digest_size=8).digest()
+        w0, h0 = 64 + h8[0] * 8, 64 + h8[1] * 8
+        sc = min(1.0, 256 / max(w0, h0))
+        assert res.column("width")[i].as_py() == int(w0 * sc)
+        assert res.column("height")[i].as_py() == int(h0 * sc)
+        assert res.column("thumb")[i].as_py() == p[:64]
+        h32 = hashlib.blake2b(p, digest_size=32).digest()
+        assert aud.column("sample_rate")[i].as_py() == \
+            (16000 if h32[0] % 2 else 44100)
+        assert aud.column("duration_ms")[i].as_py() == 200 + h32[1] * 37
+        assert aud.column("mfcc")[i].as_py() == list(
+            np.frombuffer(h32[6:], dtype=np.uint16)[:13]
+            .astype(np.float32) / 65535.0)
+        step = max(1, len(p) // 3)
+        for f in range(3):
+            assert vid.column("frame_hash")[i * 3 + f].as_py() == \
+                hashlib.blake2b(p[f * step:(f + 1) * step],
+                                digest_size=8).hexdigest()
+
+
 def test_multimodal_fake_decode_and_stub():
     from log2seq_ray.ops.multimodal import ImageDecodeStage, synthesize_media
     media = synthesize_media(pa.table({"doc_id": [0, 1, 2, 3]}))
