@@ -134,40 +134,72 @@ def top_tokens(ds, k: int = 20):
 # language-ID heuristic (n-gram/stopword profile)
 # ---------------------------------------------------------------------------
 
+#: stopword profiles for space-delimited scripts (hit = distinct token
+#: membership). 11 languages — the classes the enrich lookup knows.
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "on"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"},
     "es": {"el", "la", "de", "que", "y", "en", "un", "es", "por", "con"},
     "fr": {"le", "la", "de", "et", "un", "est", "pour", "que", "dans"},
-    "zh": {"的", "了", "是", "在", "我", "有", "和", "就"},
+    "pt": {"de", "que", "e", "o", "do", "da", "em", "um", "para", "não"},
+    "it": {"di", "che", "e", "il", "la", "per", "non", "con", "sono",
+           "una"},
+    "nl": {"de", "het", "een", "en", "van", "ik", "te", "dat", "niet",
+           "voor"},
+    "ru": {"и", "в", "не", "на", "я", "что", "он", "с", "как", "это"},
+    "uk": {"і", "в", "не", "на", "що", "як", "це", "до", "за", "ми"},
+    "ar": {"في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "كان",
+           "لا"},
+    "he": {"של", "את", "על", "לא", "זה", "הוא", "גם", "אבל", "עם",
+           "כל"},
+}
+
+#: character-gram profiles for SPACE-FREE scripts (hit = the gram occurs
+#: anywhere in the space-stripped text — whitespace tokenization yields
+#: nothing useful for zh/ja/ko, so the fallback counts substring presence;
+#: UTF-8 self-synchronization makes byte-level contains == char-level)
+_LANG_SUBSTRINGS = {
+    "zh": {"我们", "他们", "这个", "一个", "什么", "没有", "的", "是"},
+    "ja": {"です", "ます", "した", "から", "こと", "して", "という",
+           "ない"},
+    "ko": {"니다", "하는", "에서", "으로", "습니", "있는", "하고",
+           "것이"},
 }
 
 
 class LangIdStage:
-    """Actor-pool heuristic language ID: stopword-hit profile per language
-    (value sets built once per actor). Emits ``lang_pred`` + ``lang_hits``.
+    """Actor-pool heuristic language ID over 14 languages: stopword-hit
+    profiles for space-delimited scripts + substring-gram profiles for
+    space-free scripts (zh/ja/ko), value sets built once per actor. Emits
+    ``lang_pred`` + ``lang_hits`` (= word hits + gram hits).
 
     Vectorized: split to tokens, dedup (row, token) pairs with the
-    dictionary-encode + lexsort boundary trick, then one ``pc.is_in`` +
-    ``bincount`` per language — no per-row Python, no per-row sets.
-    Tie-break: first language in sorted order with the (strictly) maximal
-    hit count; zero hits → ``unknown``."""
+    dictionary-encode + lexsort boundary trick, one ``pc.is_in`` +
+    ``bincount`` per language, and one ``pc.match_substring`` per profile
+    gram over the space-stripped text — no per-row Python, no per-row
+    sets. Tie-break: first language in sorted order with the maximal hit
+    count; zero hits → ``unknown``."""
 
-    def __init__(self, profiles=None):
+    def __init__(self, profiles=None, substrings=None):
         profiles = {k: sorted(v)
                     for k, v in (profiles or _LANG_PROFILES).items()}
-        self.order = sorted(profiles)
+        substrings = {k: sorted(v) for k, v in
+                      (_LANG_SUBSTRINGS if substrings is None
+                       else substrings).items()}
+        self.order = sorted(set(profiles) | set(substrings))
         self.value_sets = {k: pa.array(v, type=pa.string())
                            for k, v in profiles.items()}
+        self.substrings = substrings
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        text = pc.fill_null(text, "")
         n = len(batch)
         # raw split(" ") like the scalar version (empties are harmless:
         # no profile contains "")
-        lists = pc.split_pattern(pc.fill_null(text, ""), pattern=" ")
+        lists = pc.split_pattern(text, pattern=" ")
         flat = pc.list_flatten(lists)
         counts = np.asarray(pc.list_value_length(lists),
                             dtype=np.int64)
@@ -182,11 +214,19 @@ class LangIdStage:
         uniq_rows = rc[first]
         uniq_toks = flat.take(pa.array(order[first]))
         hits = np.zeros((len(self.order), n), dtype=np.int64)
+        nospace = None
         for i, lang in enumerate(self.order):
-            m = np.asarray(pc.is_in(uniq_toks,
-                                    value_set=self.value_sets[lang]))
-            if m.any():
-                hits[i] = np.bincount(uniq_rows[m], minlength=n)
+            vs = self.value_sets.get(lang)
+            if vs is not None:
+                m = np.asarray(pc.is_in(uniq_toks, value_set=vs))
+                if m.any():
+                    hits[i] = np.bincount(uniq_rows[m], minlength=n)
+            for g in self.substrings.get(lang, ()):
+                if nospace is None:
+                    nospace = pc.replace_substring(text, pattern=" ",
+                                                   replacement="")
+                hits[i] += np.asarray(pc.match_substring(nospace, g)) \
+                    .astype(np.int64)
         best_n = hits.max(axis=0)
         best_i = hits.argmax(axis=0)  # first max wins (sorted lang order)
         langs = np.array(self.order + ["unknown"])

@@ -955,19 +955,32 @@ ORACLE_SQL = {
 
 
 def _langid_sql() -> str:
-    from .ops.text import _LANG_PROFILES
-    langs = sorted(_LANG_PROFILES)
+    """Regenerated from the ENGINE'S OWN profiles: word-stopword
+    intersection per space-delimited language + substring-gram ``contains``
+    terms over the space-stripped text for zh/ja/ko."""
+    from .ops.text import _LANG_PROFILES, _LANG_SUBSTRINGS
+    langs = sorted(set(_LANG_PROFILES) | set(_LANG_SUBSTRINGS))
 
     def lst(lang):
-        return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])) + "]"
+        return "[" + ", ".join(
+            f"'{w}'" for w in sorted(_LANG_PROFILES[lang])) + "]"
 
-    hits = ",\n               ".join(
-        f"len(list_intersect(toks, {lst(lg)})) AS h_{lg}" for lg in langs)
+    def h_expr(lg):
+        terms = []
+        if lg in _LANG_PROFILES:
+            terms.append(f"len(list_intersect(toks, {lst(lg)}))")
+        for g in sorted(_LANG_SUBSTRINGS.get(lg, ())):
+            terms.append(f"CASE WHEN contains(ns, '{g}') THEN 1 ELSE 0 END")
+        return " + ".join(terms)
+
+    hits = ",\n               ".join(f"{h_expr(lg)} AS h_{lg}"
+                                     for lg in langs)
     g = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
     case = " ".join(f"WHEN h_{lg} = {g} THEN '{lg}'" for lg in langs)
     return f"""
         WITH T AS (SELECT doc_id,
-                          list_distinct(string_split(text, ' ')) AS toks
+                          list_distinct(string_split(text, ' ')) AS toks,
+                          replace(text, ' ', '') AS ns
                    FROM documents),
         H AS (SELECT doc_id,
                {hits}

@@ -21,6 +21,25 @@ def test_loghub_specs_roundtrip(dataset):
     assert [r.defaults for r in r2] == [r.defaults for r in rules]
 
 
+@pytest.mark.parametrize("dataset", sorted(loghub.DATASETS))
+def test_loghub_frozen_snapshot_equals_compat_load(dataset, monkeypatch):
+    """The offline JSON snapshot path must produce the same specs as the
+    live compat-load of the reference script."""
+    from pathlib import Path
+    factory, _, takes_year = loghub.DATASETS[dataset]
+    live = factory(year=2024) if takes_year else factory()
+    monkeypatch.setattr(loghub, "_REF_EXAMPLE", Path("/nonexistent"))
+    loghub._load_specs.cache_clear()
+    try:
+        frozen = factory(year=2024) if takes_year else factory()
+    finally:
+        monkeypatch.undo()
+        loghub._load_specs.cache_clear()
+    assert [r.pattern for r in frozen[0]] == [r.pattern for r in live[0]]
+    assert [r.defaults for r in frozen[0]] == [r.defaults for r in live[0]]
+    assert frozen[1] == live[1]
+
+
 def test_default_preset_roundtrip_parses_identically():
     from log2seq_ray.kernel.parse import CompiledLogParser
     rules, actions = presets.default_parser_spec(year=2020)

@@ -115,6 +115,27 @@ def test_langid_profiles():
     assert out.column("lang_pred").to_pylist() == ["en", "de"]
 
 
+def test_langid_expanded_languages_and_spacefree_fallback():
+    """14-language profiles: cyrillic/rtl word sets and the substring-gram
+    fallback for space-free scripts (zh/ja/ko have no useful whitespace
+    tokens)."""
+    from log2seq_ray.ops.text import LangIdStage
+    st = LangIdStage()
+    out = st(pa.table({"text": [
+        "я не знаю что это как он",                 # ru
+        "هذا من في على مع",                          # ar
+        "זה לא על של הוא",                           # he
+        "o que para um não em",                      # pt
+        "这个没有什么我们都去了一个地方",                # zh — no spaces
+        "これはですますしたからことです",               # ja — no spaces
+        "습니다하는것이에서으로하고",                    # ko — no spaces
+        "zzz qqq www",                               # unknown
+        None]}))
+    assert out.column("lang_pred").to_pylist() == [
+        "ru", "ar", "he", "pt", "zh", "ja", "ko", "unknown", "unknown"]
+    assert out.column("lang_hits")[4].as_py() >= 3  # several zh grams hit
+
+
 def test_fingerprint_deterministic():
     from log2seq_ray.ops.text import fingerprint
     b = pa.table({"doc_id": [1, 2], "text": ["a b c d e f g h i j", ""]})
