@@ -743,6 +743,33 @@ class _SaltStage:
             "__cross", pa.array((p_idx != s_rep).astype(np.int8)))
 
 
+def _group_cosine_pairs(threshold: float, id_col: str, col: str, g):
+    """Cosine ≥ threshold pairs of one sub-bucket-pair group: within-group
+    i<j pairs for a within group; side0 × side1 only for a cross group
+    (within-side pairs belong to the two within groups)."""
+    import pandas as pd
+    from .similarity import _normalize
+    ids = g[id_col].to_numpy()
+    X = _normalize(np.asarray(list(g[col]), dtype=np.float64))
+    if g["__cross"].iloc[0]:
+        m0 = (g["__side"].to_numpy() == 0)
+        ids0, ids1 = ids[m0], ids[~m0]
+        if not len(ids0) or not len(ids1):
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        sims = X[m0] @ X[~m0].T
+        ai, bi = np.nonzero(sims >= threshold)
+        ia, ib = ids0[ai], ids1[bi]
+    else:
+        sims = X @ X.T
+        ai, bi = np.nonzero(sims >= threshold)
+        keep = ids[ai] < ids[bi]
+        ia, ib = ids[ai[keep]], ids[bi[keep]]
+    return pd.DataFrame({
+        "id_a": pd.Series(np.minimum(ia, ib), dtype="int64"),
+        "id_b": pd.Series(np.maximum(ia, ib), dtype="int64")})
+
+
 def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
                    col: str = "embedding", n_centroids: int = 16,
                    n_assign: int = 3, max_bucket: int = 4096):
@@ -787,31 +814,10 @@ def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
         fn_constructor_kwargs=dict(s_map_ref=ray.put(s_map), id_col=id_col),
         batch_format="pyarrow", concurrency=(1, 8))
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        X = _normalize(np.asarray(list(g[col]), dtype=np.float64))
-        if g["__cross"].iloc[0]:
-            # cross group: side0 × side1 only (within-side pairs belong
-            # to the two within groups)
-            m0 = (g["__side"].to_numpy() == 0)
-            ids0, ids1 = ids[m0], ids[~m0]
-            if not len(ids0) or not len(ids1):
-                return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                     "id_b": pd.Series([], dtype="int64")})
-            sims = X[m0] @ X[~m0].T
-            ai, bi = np.nonzero(sims >= threshold)
-            ia, ib = ids0[ai], ids1[bi]
-        else:
-            sims = X @ X.T
-            ai, bi = np.nonzero(sims >= threshold)
-            keep = ids[ai] < ids[bi]
-            ia, ib = ids[ai[keep]], ids[bi[keep]]
-        return pd.DataFrame({
-            "id_a": pd.Series(np.minimum(ia, ib), dtype="int64"),
-            "id_b": pd.Series(np.maximum(ia, ib), dtype="int64")})
-
+    import functools
     pairs = salted.groupby("__gk").map_groups(
-        pairs_of_group, batch_format="pandas").to_pandas()
+        functools.partial(_group_cosine_pairs, threshold, id_col, col),
+        batch_format="pandas").to_pandas()
     return pairs.drop_duplicates().sort_values(["id_a", "id_b"]) \
         .reset_index(drop=True)
 

@@ -1,0 +1,109 @@
+"""Property-based guards for the round-3 distributed algorithms, driven
+through their PURE per-partition functions (no Ray session per example):
+
+* min-label propagation (the BSP loop of ``_lp_split`` / ``_lp_propagate``
+  / ``_lp_update``) must equal union-find connected components on
+  arbitrary edge sets and any partition count;
+* salted embedding pair generation (``_SaltStage`` fan-out +
+  ``_group_cosine_pairs`` per group) must emit EXACTLY the brute-force
+  cosine pair set for any vectors, threshold and sub-bucket count.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from log2seq_ray.ops.dedup import (_SaltStage, _group_cosine_pairs,
+                                   _lp_propagate, _lp_split, _lp_update)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    nodes = sorted({x for p in pairs for x in p})
+    return {n: find(n) for n in nodes}
+
+
+def _bsp_label_prop(pairs, num_parts):
+    """Local (in-process) replica of label_propagation_clusters' BSP loop
+    over the same pure functions the Ray tasks run."""
+    src = np.array([p[0] for p in pairs] + [p[1] for p in pairs],
+                   dtype=np.int64)
+    dst = np.array([p[1] for p in pairs] + [p[0] for p in pairs],
+                   dtype=np.int64)
+    edges_all = pa.table({"src": src, "dst": dst})
+    edge_parts = _lp_split(edges_all, "src", num_parts)
+    labels = []
+    for e in edge_parts:
+        ids = np.unique(e.column("src").to_numpy()) if e.num_rows \
+            else np.array([], dtype=np.int64)
+        labels.append(pa.table({"id": pa.array(ids, type=pa.int64()),
+                                "label": pa.array(ids, type=pa.int64())}))
+    for _ in range(200):
+        msg_pieces = [[] for _ in range(num_parts)]
+        for p in range(num_parts):
+            for q, piece in enumerate(
+                    _lp_propagate(edge_parts[p], labels[p], num_parts)):
+                msg_pieces[q].append(piece)
+        changed = 0
+        for q in range(num_parts):
+            labels[q], c = _lp_update(labels[q], msg_pieces[q])
+            changed += c
+        if changed == 0:
+            break
+    out = pa.concat_tables(labels)
+    return dict(zip(out.column("id").to_pylist(),
+                    out.column("label").to_pylist()))
+
+
+_pairs = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(
+        lambda p: p[0] != p[1]),
+    min_size=0, max_size=60)
+
+
+@settings(max_examples=120, deadline=None)
+@given(pairs=_pairs, num_parts=st.integers(1, 7))
+def test_label_propagation_equals_union_find(pairs, num_parts):
+    assert _bsp_label_prop(pairs, num_parts) == _union_find(pairs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(2, 40),
+       n_sub=st.integers(1, 6),
+       threshold=st.sampled_from([0.3, 0.8, 0.95, 0.999]))
+def test_salted_pair_generation_equals_brute_force(seed, n, n_sub,
+                                                   threshold):
+    rng = np.random.default_rng(seed)
+    # clustered vectors so thresholds produce non-trivial pair sets
+    X = rng.normal(size=(n, 6)) + 3.0 * rng.integers(0, 3, size=(n, 1))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": [list(map(float, v)) for v in X],
+        "__centroid": pa.array(np.zeros(n, np.int32)),
+    })
+    fan = _SaltStage({0: n_sub} if n_sub > 1 else {}, "vec_id")(tbl)
+    got = set()
+    df = fan.to_pandas()
+    if "__gk" not in df.columns:
+        raise AssertionError("fan-out must add __gk")
+    for _, g in df.groupby("__gk"):
+        p = _group_cosine_pairs(threshold, "vec_id", "embedding", g)
+        got |= set(zip(p["id_a"], p["id_b"]))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    ai, bi = np.nonzero(sims >= threshold)
+    exp = {(int(a), int(b)) for a, b in zip(ai, bi) if a < b}
+    assert got == exp
