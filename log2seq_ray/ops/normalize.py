@@ -71,3 +71,119 @@ def collapse_whitespace(batch: pa.Table, col: str = "text",
         text = text.combine_chunks()
     text = pc.replace_substring_regex(text, pattern=_WS_RE, replacement=" ")
     return batch.append_column(out_col, pc.utf8_trim_whitespace(text))
+
+
+# ---------------------------------------------------------------------------
+# PII masking
+# ---------------------------------------------------------------------------
+
+#: RE2 patterns shared verbatim with the SQL oracle (DuckDB is also RE2,
+#: so replacement semantics match exactly). Masked in this order.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{9,15}", "<PHONE>"),
+)
+
+
+def mask_pii(batch: pa.Table, col: str = "text",
+             out_col: str = "text_masked") -> pa.Table:
+    """Mask emails / IPv4s / international phone numbers — the standard
+    pre-training redaction pass. Fully vectorized: one
+    ``replace_substring_regex`` per pattern, plus ``n_pii`` counted over
+    the ORIGINAL text (so the count is order-independent)."""
+    text = batch.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = np.zeros(len(batch), dtype=np.int64)
+    masked = text
+    for pat, repl in PII_PATTERNS:
+        n += np.asarray(pc.fill_null(
+            pc.count_substring_regex(text, pattern=pat), 0)
+        ).astype(np.int64)
+        masked = pc.replace_substring_regex(masked, pattern=pat,
+                                            replacement=repl)
+    return batch.append_column(out_col, masked).append_column(
+        "n_pii", pa.array(n))
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate line removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def boilerplate_lines(ds, id_col: str, col: str = "text",
+                      min_docs: int = 2, sep: str = "\n"):
+    """The set of lines occurring in ≥ ``min_docs`` distinct documents
+    (navigation chrome, footers, repeated log templates). Per-batch
+    partials: each doc's DISTINCT lines (one row holds one whole doc, so
+    within-row distinct == per-doc distinct) → groupby(line) sum — the
+    shuffle carries one (line, partial_n) row per distinct line per
+    batch, never documents."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column(col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(text, ""), pattern=sep)
+        flat = pc.list_flatten(lists)
+        counts = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        codes = np.asarray(pc.dictionary_encode(flat).indices,
+                           dtype=np.int64)
+        order = np.lexsort((codes, rows))
+        rc, cc = rows[order], codes[order]
+        first = np.ones(len(cc), dtype=bool)
+        first[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
+        uniq = flat.take(pa.array(order[first]))
+        g = pa.table({"line": uniq}).group_by(["line"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"line": g.column("line"),
+                         "partial_n": g.column("count_all")})
+
+    counted = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("line").aggregate(Sum("partial_n", alias_name="n_docs"))
+    return counted.filter(expr=f"n_docs >= {int(min_docs)}")
+
+
+def remove_boilerplate_lines(ds, id_col: str, col: str = "text",
+                             min_docs: int = 2, sep: str = "\n"):
+    """Drop cross-document boilerplate lines from every document: lines
+    present in ≥ ``min_docs`` distinct docs are removed, text is rebuilt
+    with the original separator. Returns (id, text_clean, n_removed).
+
+    Two passes: the boilerplate line set (small — bounded by lines that
+    REPEAT across docs) is collected and broadcast via ``ray.put`` into a
+    vectorized ``pc.is_in`` filter; the corpus itself streams through both
+    passes. At 10^12 rows swap the broadcast strings for their 60-bit
+    hashes (same shape, fixed-width set)."""
+    import ray
+
+    boiler = boilerplate_lines(ds, id_col, col, min_docs, sep).to_pandas()
+    lines = boiler["line"].astype(str).tolist() \
+        if "line" in boiler.columns else []  # empty result loses schema
+    bl_ref = ray.put(pa.array(lines, type=pa.string()))
+
+    def clean(b: pa.Table) -> pa.Table:
+        bl = bl_ref if isinstance(bl_ref, pa.Array) else ray.get(bl_ref)
+        text = b.column(col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(text, ""), pattern=sep)
+        flat = pc.list_flatten(lists)
+        drop = pc.is_in(flat, value_set=bl)
+        keep = pc.invert(drop)
+        counts = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        keep_np = np.asarray(keep)
+        kept_per_row = np.bincount(rows[keep_np], minlength=len(b))
+        offsets = np.concatenate([[0], np.cumsum(kept_per_row)])
+        relist = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat.filter(keep))
+        return pa.table({
+            id_col: b.column(id_col),
+            "text_clean": pc.binary_join(relist, sep),
+            "n_removed": pa.array(counts - kept_per_row, type=pa.int64()),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -375,6 +375,47 @@ def q_strip_html(sf_dir: str):
 # heuristics, stubs)
 # ---------------------------------------------------------------------------
 
+def q_pii_masked(sf_dir: str):
+    """PII masking (emails / IPv4 / intl phone → placeholder tokens) with
+    per-doc PII counts. Every 5th doc is augmented with a deterministic
+    email+ip+phone suffix so the positive path is hash-gated (the raw
+    word-soup docs carry no PII)."""
+    from .ops.normalize import mask_pii
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pc.cast(ids, pa.string())
+        m256 = pc.cast(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 256), 256)), pa.string())
+        m10 = pc.cast(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 10), 10)), pa.string())
+        suffix = pc.binary_join_element_wise(
+            pa.scalar("contact user"), s, pa.scalar("@example.com ip 10."),
+            m256, pa.scalar(".0.1 tel +14155550"), m10, "")
+        mask = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 5), 5)), 0)
+        t = pc.if_else(mask,
+                       pc.binary_join_element_wise(text, suffix, " "), text)
+        return pa.table({"doc_id": ids, "text": t})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(aug, batch_format="pyarrow") \
+        .map_batches(mask_pii, batch_format="pyarrow") \
+        .select_columns(["doc_id", "text_masked", "n_pii"])
+
+
+def q_boilerplate_tokens(sf_dir: str):
+    """Cross-document boilerplate removal at token granularity (vocabulary
+    pruning): words occurring in ≥ 450 distinct docs are dropped from
+    every doc; returns (doc_id, text_clean, n_removed)."""
+    from .ops.normalize import remove_boilerplate_lines
+    return remove_boilerplate_lines(_docs(sf_dir, ["doc_id", "text"]),
+                                    "doc_id", min_docs=450, sep=" ")
+
+
 #: fixed location the flagship oracle SQL re-reads; q_flagship overwrites
 #: it atomically on every invocation (content is deterministic per sf_dir)
 FLAGSHIP_PAGES_DIR = "/tmp/l2sr_flagship_pages"
@@ -537,6 +578,8 @@ QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "lineitem_join": q_lineitem_join,
     "normalize_text": q_normalize_text,
+    "pii_masked": q_pii_masked,
+    "boilerplate_tokens": q_boilerplate_tokens,
     "asof_prev_error": q_asof_prev_error,
     "top_events_per_user": q_top_events_per_user,
     "median_value": q_median_value,
@@ -993,6 +1036,48 @@ def _langid_sql() -> str:
 
 
 ORACLE_SQL["langid"] = _langid_sql()
+
+
+def _pii_sql() -> str:
+    """Shares PII_PATTERNS with the engine; DuckDB is RE2 like Arrow, so
+    replace semantics match byte-for-byte."""
+    from .ops.normalize import PII_PATTERNS
+    (email, e_t), (ip, i_t), (ph, p_t) = PII_PATTERNS
+    return f"""
+        WITH A AS (SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.1 tel +14155550' || CAST(doc_id % 10 AS VARCHAR)
+            ELSE text END AS t FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(
+              t, '{email}', '{e_t}', 'g'), '{ip}', '{i_t}', 'g'),
+              '{ph}', '{p_t}', 'g') AS text_masked,
+          CAST(len(regexp_extract_all(t, '{email}'))
+               + len(regexp_extract_all(t, '{ip}'))
+               + len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_pii
+        FROM A
+    """
+
+
+ORACLE_SQL["pii_masked"] = _pii_sql()
+ORACLE_SQL["boilerplate_tokens"] = """
+    WITH P AS (SELECT doc_id, string_split(text, ' ') AS lines
+               FROM documents),
+    L AS (SELECT doc_id, unnest(lines) AS line FROM P),
+    C AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS c
+                            FROM L GROUP BY line) WHERE c >= 450),
+    BL AS (SELECT list(line) AS bl FROM C)
+    SELECT doc_id,
+      array_to_string(CASE WHEN bl IS NULL THEN lines
+          ELSE list_filter(lines, x -> NOT list_contains(bl, x)) END,
+          ' ') AS text_clean,
+      CAST(len(lines) - len(CASE WHEN bl IS NULL THEN lines
+          ELSE list_filter(lines, x -> NOT list_contains(bl, x)) END)
+          AS BIGINT) AS n_removed
+    FROM P, BL
+"""
 # label propagation computes the same min-id components as union-find
 ORACLE_SQL["minhash_clusters_lp"] = ORACLE_SQL["minhash_clusters"]
 

@@ -408,6 +408,43 @@ def test_strip_html_and_normalize():
     assert out.column("text_norm").to_pylist() == ["hello wérld", "abc"]
 
 
+def test_mask_pii():
+    from log2seq_ray.ops.normalize import mask_pii
+    b = pa.table({"text": [
+        "write to alice.smith+x@sub.example.co.uk or call +4915112345678",
+        "server 192.168.0.1 and 10.0.0.255 rebooted",
+        "no pii here", None]})
+    out = mask_pii(b)
+    assert out.column("text_masked").to_pylist() == [
+        "write to <EMAIL> or call <PHONE>",
+        "server <IP> and <IP> rebooted",
+        "no pii here", None]
+    assert out.column("n_pii").to_pylist() == [2, 2, 0, 0]
+
+
+def test_remove_boilerplate_lines(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.normalize import remove_boilerplate_lines
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["COOKIE BANNER\nreal content one\nfooter",
+                 "COOKIE BANNER\nanother article\nfooter",
+                 "COOKIE BANNER\nunique text"]})
+    out = remove_boilerplate_lines(rd.from_arrow(docs), "doc_id",
+                                   min_docs=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "text_clean"] == "real content one"
+    assert out.loc[2, "text_clean"] == "another article"
+    assert out.loc[3, "text_clean"] == "unique text"
+    assert list(out["n_removed"]) == [2, 2, 1]
+    # no line repeats → nothing removed, no crash on the empty boiler set
+    uniq = pa.table({"doc_id": [1, 2], "text": ["a\nb", "c\nd"]})
+    out2 = remove_boilerplate_lines(rd.from_arrow(uniq), "doc_id",
+                                    min_docs=2).to_pandas()
+    assert list(out2["n_removed"]) == [0, 0]
+    assert sorted(out2["text_clean"]) == ["a\nb", "c\nd"]
+
+
 def test_minhash_clusters(ray_session):
     import ray.data as rd
     base = "the quick brown fox jumps over the lazy dog and then some more"
