@@ -100,6 +100,68 @@ def quality_scores(batch: pa.Table) -> pa.Table:
     })
 
 
+#: Gopher-style quality thresholds (integer-exact: the mean-token-length
+#: band is checked as 3·n ≤ chars ≤ 10·n, no float division anywhere)
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_LEN = 3
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_UNIQ_RATIO_DEN = 4  # drop when distinct tokens < n_tokens / 4
+
+
+def gopher_filter(batch: pa.Table, col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Composite Gopher-style document quality filter: token-count band,
+    mean-token-length band, distinct-token ratio, minimum stopword hits.
+    Emits (id, n_tokens, reasons bitmask, keep) — ``reasons == 0`` keeps.
+    Bits: 1 token count · 2 mean length · 4 repetition · 8 stopwords.
+    Fully vectorized (reduceat segment sums + distinct-pair boundary
+    counting), thresholds integer-exact so SQL reproduces the decision."""
+    toks = _token_lists(batch.column(col))
+    n = len(batch)
+    n_tokens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = pc.list_flatten(toks)
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    lens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    chars = np.add.reduceat(np.concatenate([lens, [0]]), offsets[:-1]) \
+        if len(offsets) > 1 else np.zeros(n, dtype=np.int64)
+    chars = np.asarray(chars, dtype=np.int64)
+    chars[counts == 0] = 0
+    uniq = np.zeros(n, dtype=np.int64)
+    stop_hits = np.zeros(n, dtype=np.int64)
+    if counts.sum():
+        codes = np.asarray(pc.dictionary_encode(flat).indices,
+                           dtype=np.int64)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((codes, row_ids))
+        rc, cc = row_ids[order], codes[order]
+        new = np.ones(len(cc), dtype=bool)
+        new[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
+        uniq = np.bincount(rc[new], minlength=n).astype(np.int64)
+        uniq_toks = flat.take(pa.array(order[new]))
+        stop = pc.is_in(uniq_toks, value_set=pa.array(
+            sorted(_LANG_PROFILES["en"]), type=pa.string()))
+        m = np.asarray(stop)
+        if m.any():
+            stop_hits = np.bincount(rc[new][m], minlength=n) \
+                .astype(np.int64)
+    reasons = np.zeros(n, dtype=np.int64)
+    reasons += ((n_tokens < GOPHER_MIN_TOKENS)
+                | (n_tokens > GOPHER_MAX_TOKENS)) * 1
+    reasons += ((GOPHER_MIN_MEAN_LEN * n_tokens > chars)
+                | (chars > GOPHER_MAX_MEAN_LEN * n_tokens)) * 2
+    reasons += (uniq * GOPHER_UNIQ_RATIO_DEN < n_tokens) * 4
+    reasons += (stop_hits < GOPHER_MIN_STOPWORDS) * 8
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_tokens": pa.array(n_tokens),
+        "reasons": pa.array(reasons),
+        "keep": pa.array((reasons == 0).astype(np.int64)),
+    })
+
+
 def top_tokens(ds, k: int = 20):
     """Global top-k tokens with deterministic tie-break (n desc, token asc).
 

@@ -407,6 +407,14 @@ def q_pii_masked(sf_dir: str):
         .select_columns(["doc_id", "text_masked", "n_pii"])
 
 
+def q_gopher_filter(sf_dir: str):
+    """Composite Gopher-style quality filter decisions per document
+    (reasons bitmask + keep flag, integer-exact thresholds)."""
+    from .ops.text import gopher_filter
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher_filter, batch_format="pyarrow")
+
+
 def q_boilerplate_tokens(sf_dir: str):
     """Cross-document boilerplate removal at token granularity (vocabulary
     pruning): words occurring in ≥ 450 distinct docs are dropped from
@@ -580,6 +588,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "pii_masked": q_pii_masked,
     "boilerplate_tokens": q_boilerplate_tokens,
+    "gopher_filter": q_gopher_filter,
     "asof_prev_error": q_asof_prev_error,
     "top_events_per_user": q_top_events_per_user,
     "median_value": q_median_value,
@@ -1062,6 +1071,47 @@ def _pii_sql() -> str:
 
 
 ORACLE_SQL["pii_masked"] = _pii_sql()
+
+
+def _gopher_sql() -> str:
+    """Shares thresholds and the en stopword table with ops/text.py."""
+    from .ops.text import (_LANG_PROFILES, GOPHER_MAX_MEAN_LEN,
+                           GOPHER_MAX_TOKENS, GOPHER_MIN_MEAN_LEN,
+                           GOPHER_MIN_STOPWORDS, GOPHER_MIN_TOKENS,
+                           GOPHER_UNIQ_RATIO_DEN)
+    stop = "[" + ", ".join(f"'{w}'"
+                           for w in sorted(_LANG_PROFILES["en"])) + "]"
+    reasons = f"""
+          CASE WHEN n_tokens < {GOPHER_MIN_TOKENS}
+                 OR n_tokens > {GOPHER_MAX_TOKENS} THEN 1 ELSE 0 END
+        + CASE WHEN {GOPHER_MIN_MEAN_LEN} * n_tokens > n_chars
+                 OR n_chars > {GOPHER_MAX_MEAN_LEN} * n_tokens
+               THEN 2 ELSE 0 END
+        + CASE WHEN n_uniq * {GOPHER_UNIQ_RATIO_DEN} < n_tokens
+               THEN 4 ELSE 0 END
+        + CASE WHEN stop_hits < {GOPHER_MIN_STOPWORDS} THEN 8 ELSE 0 END"""
+    return f"""
+        WITH T AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        S AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                     CAST(len(array_to_string(toks, '')) AS BIGINT)
+                         AS n_chars,
+                     CAST(len(list_intersect(list_distinct(toks), {stop}))
+                         AS BIGINT) AS stop_hits
+              FROM T)
+        SELECT doc_id, n_tokens,
+               CAST({reasons} AS BIGINT) AS reasons,
+               CAST(CASE WHEN ({reasons}) = 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS keep
+        FROM S
+    """
+
+
+ORACLE_SQL["gopher_filter"] = _gopher_sql()
 ORACLE_SQL["boilerplate_tokens"] = """
     WITH P AS (SELECT doc_id, string_split(text, ' ') AS lines
                FROM documents),

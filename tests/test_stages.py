@@ -408,6 +408,24 @@ def test_strip_html_and_normalize():
     assert out.column("text_norm").to_pylist() == ["hello wérld", "abc"]
 
 
+def test_gopher_filter_rules():
+    from log2seq_ray.ops.text import gopher_filter
+    # 62 tokens, all distinct, mean length in band, 2 stopword hits
+    good = "the a " + " ".join(f"tok{i:03d}" for i in range(60))
+    b = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+        good,                                   # passes everything
+        "the a short doc",                      # too few tokens (bit 1)
+        ("the a " + "x " * 100).strip(),        # repetitive + short mean
+        good.replace("the a ", "ze b "),        # no stopwords (bit 8)
+    ]})
+    out = gopher_filter(b).to_pandas().set_index("doc_id")
+    assert out.loc[1, "reasons"] == 0 and out.loc[1, "keep"] == 1
+    assert out.loc[2, "reasons"] & 1
+    assert out.loc[3, "reasons"] & 4          # <25% distinct tokens
+    assert out.loc[3, "reasons"] & 2          # mean token length < 3
+    assert out.loc[4, "reasons"] & 8 and out.loc[4, "keep"] == 0
+
+
 def test_mask_pii():
     from log2seq_ray.ops.normalize import mask_pii
     b = pa.table({"text": [
