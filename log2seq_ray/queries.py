@@ -415,6 +415,26 @@ def q_gopher_filter(sf_dir: str):
         gopher_filter, batch_format="pyarrow")
 
 
+def q_curated_docs(sf_dir: str):
+    """End-to-end curation pipeline COMPOSED from existing operators:
+    Gopher quality filter (keep only reasons==0) → exact content dedup
+    (min-id survivor per distinct text) → deterministic 90% train split
+    (md5(doc_id) mod 100 < 90). Returns the surviving doc_ids — the doc
+    set a pre-training run would consume."""
+    from .ops.dedup import exact_dedup
+    from .ops.text import gopher_filter, split_by_hash
+
+    def keep_only(b: pa.Table) -> pa.Table:
+        g = gopher_filter(b)
+        return b.filter(pc.equal(g.column("reasons"), 0))
+
+    kept = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keep_only, batch_format="pyarrow")
+    survivors = exact_dedup(kept)
+    return split_by_hash(survivors, "doc_id", 90).select_columns(
+        ["doc_id"])
+
+
 def q_boilerplate_tokens(sf_dir: str):
     """Cross-document boilerplate removal at token granularity (vocabulary
     pruning): words occurring in ≥ 450 distinct docs are dropped from
@@ -589,6 +609,7 @@ QUERIES = {
     "pii_masked": q_pii_masked,
     "boilerplate_tokens": q_boilerplate_tokens,
     "gopher_filter": q_gopher_filter,
+    "curated_docs": q_curated_docs,
     "asof_prev_error": q_asof_prev_error,
     "top_events_per_user": q_top_events_per_user,
     "median_value": q_median_value,
@@ -1112,6 +1133,17 @@ def _gopher_sql() -> str:
 
 
 ORACLE_SQL["gopher_filter"] = _gopher_sql()
+# curation composition: gopher keep → min-id-per-text survivor →
+# md5(doc_id) mod 100 < 90 (split_by_hash uses the first 8 hex chars)
+ORACLE_SQL["curated_docs"] = f"""
+    WITH K AS (SELECT doc_id FROM ({_gopher_sql()}) WHERE reasons = 0),
+    D AS (SELECT CAST(min(d.doc_id) AS BIGINT) AS doc_id
+          FROM documents d JOIN K ON d.doc_id = K.doc_id
+          GROUP BY d.text)
+    SELECT doc_id FROM D
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < 90
+"""
 ORACLE_SQL["boilerplate_tokens"] = """
     WITH P AS (SELECT doc_id, string_split(text, ' ') AS lines
                FROM documents),
