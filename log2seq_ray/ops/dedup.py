@@ -325,12 +325,18 @@ def _filter_by_id_fn(ids_ref, id_col: str, keep_cols):
     return fn
 
 
-def _take_ids(block: pa.Table, ids: pa.Array, id_col: str,
-              col: str) -> pa.Table:
-    """Task: one candidate-doc block → only the rows a verify partition
-    needs (zero-copy plasma read + vectorized ``is_in``)."""
-    return block.select([id_col, col]).filter(
-        pc.is_in(block.column(id_col), value_set=ids))
+def _split_docs_by_need(block: pa.Table, id_refs, id_col: str, col: str):
+    """Task: one candidate-doc block → num_parts pieces, one per verify
+    partition (a doc replicates to every partition whose pairs reference
+    it). One task per block — not num_parts × num_blocks — with one
+    vectorized ``is_in`` per partition."""
+    import ray
+    id_sets = ray.get(list(id_refs)) \
+        if id_refs and isinstance(id_refs[0], ray.ObjectRef) else id_refs
+    narrow = block.select([id_col, col])
+    keys = block.column(id_col)
+    return [narrow.filter(pc.is_in(keys, value_set=ids))
+            for ids in id_sets]
 
 
 def _verify_partition(threshold: float, shingle_k: int, id_col: str,
@@ -407,16 +413,26 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
         _filter_by_id_fn(ids_ref, id_col, [id_col, col]),
         batch_format="pyarrow")
     block_refs = cand_docs.to_arrow_refs()
-    take = ray.remote(_take_ids)
+    if num_parts == 1:
+        split_docs = ray.remote(
+            lambda b, ir, i, c: _split_docs_by_need(b, ir, i, c)[0])
+    else:
+        split_docs = ray.remote(_split_docs_by_need)
+    per_part_docs = [[] for _ in range(num_parts)]
+    for b in block_refs:
+        pieces = split_docs.options(num_returns=num_parts).remote(
+            b, id_refs, id_col, col)
+        if num_parts == 1:
+            pieces = [pieces]
+        for i, piece in enumerate(pieces):
+            per_part_docs[i].append(piece)
     verify = ray.remote(_verify_partition)
     out_refs = []
     for p in range(num_parts):
         if len(id_arrays[p]) == 0:
             continue
-        doc_pieces = [take.remote(b, id_refs[p], id_col, col)
-                      for b in block_refs]
         out_refs.append(verify.remote(threshold, shingle_k, id_col, col,
-                                      pair_refs[p], doc_pieces))
+                                      pair_refs[p], per_part_docs[p]))
     if not out_refs:
         return empty
     verified = rd.from_arrow_refs(out_refs).to_pandas()

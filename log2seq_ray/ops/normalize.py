@@ -111,15 +111,32 @@ def mask_pii(batch: pa.Table, col: str = "text",
 # cross-document boilerplate line removal (CCNet-style)
 # ---------------------------------------------------------------------------
 
+def _hash_lines(arr) -> pa.Array:
+    """Deterministic vectorized 64-bit line hash (the fixed-width stand-in
+    for line strings on the scale path)."""
+    import pandas as pd
+    vals = arr.to_pandas().to_numpy()
+    return pa.array(pd.util.hash_array(vals).view(np.int64))
+
+
 def boilerplate_lines(ds, id_col: str, col: str = "text",
-                      min_docs: int = 2, sep: str = "\n"):
+                      min_docs: int = 2, sep: str = "\n",
+                      hash_lines: bool = False):
     """The set of lines occurring in ≥ ``min_docs`` distinct documents
     (navigation chrome, footers, repeated log templates). Per-batch
     partials: each doc's DISTINCT lines (one row holds one whole doc, so
     within-row distinct == per-doc distinct) → groupby(line) sum — the
     shuffle carries one (line, partial_n) row per distinct line per
-    batch, never documents."""
+    batch, never documents.
+
+    ``hash_lines=True`` is the 10^12-row path: the shuffle and the
+    returned set carry 64-bit line hashes (``line_hash``) instead of line
+    strings — fixed-width rows, at the cost of a ~2^-32-per-pair hash
+    collision falsely flagging a rare line (acceptable for boilerplate
+    removal; the string path is the oracle contract)."""
     from ray.data.aggregate import Sum
+
+    key = "line_hash" if hash_lines else "line"
 
     def partial(b: pa.Table) -> pa.Table:
         text = b.column(col)
@@ -136,18 +153,21 @@ def boilerplate_lines(ds, id_col: str, col: str = "text",
         first = np.ones(len(cc), dtype=bool)
         first[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
         uniq = flat.take(pa.array(order[first]))
-        g = pa.table({"line": uniq}).group_by(["line"]).aggregate(
+        if hash_lines:
+            uniq = _hash_lines(uniq)
+        g = pa.table({key: uniq}).group_by([key]).aggregate(
             [([], "count_all")])
-        return pa.table({"line": g.column("line"),
+        return pa.table({key: g.column(key),
                          "partial_n": g.column("count_all")})
 
     counted = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("line").aggregate(Sum("partial_n", alias_name="n_docs"))
+        .groupby(key).aggregate(Sum("partial_n", alias_name="n_docs"))
     return counted.filter(expr=f"n_docs >= {int(min_docs)}")
 
 
 def remove_boilerplate_lines(ds, id_col: str, col: str = "text",
-                             min_docs: int = 2, sep: str = "\n"):
+                             min_docs: int = 2, sep: str = "\n",
+                             hash_lines: bool = False):
     """Drop cross-document boilerplate lines from every document: lines
     present in ≥ ``min_docs`` distinct docs are removed, text is rebuilt
     with the original separator. Returns (id, text_clean, n_removed).
@@ -155,14 +175,20 @@ def remove_boilerplate_lines(ds, id_col: str, col: str = "text",
     Two passes: the boilerplate line set (small — bounded by lines that
     REPEAT across docs) is collected and broadcast via ``ray.put`` into a
     vectorized ``pc.is_in`` filter; the corpus itself streams through both
-    passes. At 10^12 rows swap the broadcast strings for their 60-bit
-    hashes (same shape, fixed-width set)."""
+    passes. ``hash_lines=True`` broadcasts 64-bit line hashes instead of
+    strings (the 10^12-row shape — see :func:`boilerplate_lines`)."""
     import ray
 
-    boiler = boilerplate_lines(ds, id_col, col, min_docs, sep).to_pandas()
-    lines = boiler["line"].astype(str).tolist() \
-        if "line" in boiler.columns else []  # empty result loses schema
-    bl_ref = ray.put(pa.array(lines, type=pa.string()))
+    key = "line_hash" if hash_lines else "line"
+    boiler = boilerplate_lines(ds, id_col, col, min_docs, sep,
+                               hash_lines=hash_lines).to_pandas()
+    if key not in boiler.columns:      # empty result loses schema
+        vals = pa.array([], type=pa.int64() if hash_lines else pa.string())
+    elif hash_lines:
+        vals = pa.array(boiler[key].to_numpy().astype(np.int64))
+    else:
+        vals = pa.array(boiler[key].astype(str).tolist(), type=pa.string())
+    bl_ref = ray.put(vals)
 
     def clean(b: pa.Table) -> pa.Table:
         bl = bl_ref if isinstance(bl_ref, pa.Array) else ray.get(bl_ref)
@@ -171,7 +197,8 @@ def remove_boilerplate_lines(ds, id_col: str, col: str = "text",
             text = text.combine_chunks()
         lists = pc.split_pattern(pc.fill_null(text, ""), pattern=sep)
         flat = pc.list_flatten(lists)
-        drop = pc.is_in(flat, value_set=bl)
+        drop = pc.is_in(_hash_lines(flat) if hash_lines else flat,
+                        value_set=bl)
         keep = pc.invert(drop)
         counts = np.asarray(pc.list_value_length(lists), dtype=np.int64)
         rows = np.repeat(np.arange(len(b), dtype=np.int64), counts)

@@ -461,6 +461,14 @@ def test_remove_boilerplate_lines(ray_session):
                                     min_docs=2).to_pandas()
     assert list(out2["n_removed"]) == [0, 0]
     assert sorted(out2["text_clean"]) == ["a\nb", "c\nd"]
+    # the hashed scale path must agree with the string path
+    out3 = remove_boilerplate_lines(rd.from_arrow(docs), "doc_id",
+                                    min_docs=2, hash_lines=True) \
+        .to_pandas().set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(out.sort_index(), out3)
+    out4 = remove_boilerplate_lines(rd.from_arrow(uniq), "doc_id",
+                                    min_docs=2, hash_lines=True).to_pandas()
+    assert list(out4["n_removed"]) == [0, 0]
 
 
 def test_minhash_clusters(ray_session):
