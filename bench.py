@@ -34,6 +34,40 @@ def _sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _dedup_corpus(sf_dir: str, replicas: int = 8) -> str:
+    """Deterministic near-dup stress corpus: every document replicated
+    ``replicas`` times with one replica-specific token appended (each
+    family = mutual near-dups, never exact dups). Cached parquet dir —
+    input prep, not part of the measured pipelines."""
+    import glob
+    from pathlib import Path
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    out = Path(f"/tmp/l2sr_dedup_corpus/sf{_sf_of(sf_dir)}_x{replicas}")
+    if (out / "_SUCCESS").exists():
+        return str(out)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def rep(b: pa.Table) -> pa.Table:
+        n = len(b)
+        idx = np.repeat(np.arange(n, dtype=np.int64), replicas)
+        t = b.take(pa.array(idx))
+        r = np.tile(np.arange(replicas, dtype=np.int64), n)
+        ids = t.column("doc_id").to_numpy() * 1000 + r
+        texts = pc.binary_join_element_wise(
+            t.column("text"), pc.cast(pa.array(r), pa.string()), " rep")
+        return pa.table({"doc_id": pa.array(ids), "text": texts})
+
+    out.mkdir(parents=True, exist_ok=True)
+    docs.map_batches(rep, batch_format="pyarrow") \
+        .repartition(32).write_parquet(str(out))
+    (out / "_SUCCESS").touch()
+    return str(out)
+
+
 def run_benchmarks() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -130,6 +164,23 @@ def run_benchmarks() -> dict:
         timed("curated_docs", lambda: Q.q_curated_docs(SF_DIR).to_pandas())
         timed("minhash_clusters_lp",
               lambda: Q.q_minhash_clusters_lp(SF_DIR))
+
+        # dedup stress corpus: 8 near-dup replicas per document (40k docs
+        # at sf0.1) — the dedup ops at a scale where fixed costs stop
+        # dominating. minhash config = throughput (64 hashes / 16 bands),
+        # not the recall-1 oracle config.
+        import ray.data as rd
+        from log2seq_ray.ops.dedup import exact_dedup, minhash_dedup
+        dd = _dedup_corpus(SF_DIR)
+        dd_rows = rd.read_parquet(dd).count()
+        timed("exact_dedup_40k",
+              lambda: exact_dedup(rd.read_parquet(dd)).to_pandas())
+        mh = timed("minhash_dedup_40k",
+                   lambda: minhash_dedup(rd.read_parquet(dd),
+                                         threshold=0.8, n_hashes=64,
+                                         n_bands=16))
+        timings["minhash_dedup_40k_pairs"] = len(mh)
+        timings["dedup_corpus_rows"] = dd_rows
 
     ray.shutdown()
     headline = timings["flagship"]
