@@ -98,6 +98,7 @@ def run_benchmarks() -> dict:
         pq.read_table(f)
 
     timings: dict[str, float] = {}
+    extras: dict[str, int] = {}
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -179,8 +180,8 @@ def run_benchmarks() -> dict:
                    lambda: minhash_dedup(rd.read_parquet(dd),
                                          threshold=0.8, n_hashes=64,
                                          n_bands=16))
-        timings["minhash_dedup_40k_pairs"] = len(mh)
-        timings["dedup_corpus_rows"] = dd_rows
+        extras["minhash_dedup_40k_pairs"] = len(mh)
+        extras["dedup_corpus_rows"] = dd_rows
 
     ray.shutdown()
     headline = timings["flagship"]
@@ -193,6 +194,7 @@ def run_benchmarks() -> dict:
         "num_cpus": NUM_CPUS,
         "rows": n_rows,
         "rows_per_sec": round(n_rows / headline, 1),
+        **extras,
     }
 
 
