@@ -74,6 +74,28 @@ def collapse_whitespace(batch: pa.Table, col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# URL parsing (per-domain quotas / grouping need these columns)
+# ---------------------------------------------------------------------------
+
+_URL_RE = (r"^(?P<scheme>[a-z][a-z0-9+.\-]*)://"
+           r"(?P<host>[^/?#:]+)(?P<path>[^?#]*)")
+_DOMAIN_RE = r"(?P<d>[^.]+\.[^.]+)$"
+
+
+def extract_url_parts(batch: pa.Table, col: str = "url") -> pa.Table:
+    """Append url_scheme / url_host / url_path / url_domain (the host's
+    last two labels — the per-domain-quota grouping key). One vectorized
+    RE2 extraction; unparseable URLs yield nulls."""
+    ex = pc.extract_regex(batch.column(col), pattern=_URL_RE)
+    host = pc.struct_field(ex, "host")
+    dom = pc.struct_field(pc.extract_regex(host, pattern=_DOMAIN_RE), "d")
+    batch = batch.append_column("url_scheme", pc.struct_field(ex, "scheme"))
+    batch = batch.append_column("url_host", host)
+    batch = batch.append_column("url_path", pc.struct_field(ex, "path"))
+    return batch.append_column("url_domain", dom)
+
+
+# ---------------------------------------------------------------------------
 # PII masking
 # ---------------------------------------------------------------------------
 

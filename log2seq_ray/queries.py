@@ -407,6 +407,28 @@ def q_pii_masked(sf_dir: str):
         .select_columns(["doc_id", "text_masked", "n_pii"])
 
 
+def q_url_hosts(sf_dir: str):
+    """Per-host page counts over the materialized pages corpus (the
+    grouping a per-domain quota pass runs on): vectorized URL parsing +
+    per-batch partial counts → one small shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from .ops.normalize import extract_url_parts
+    pages = rd.read_parquet(_ensure_pages(sf_dir), columns=["url"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = extract_url_parts(b).select(["url_host", "url_domain"])
+        g = t.group_by(["url_host", "url_domain"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"url_host": g.column("url_host"),
+                         "url_domain": g.column("url_domain"),
+                         "partial_n": g.column("count_all")})
+
+    return pages.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["url_host", "url_domain"]) \
+        .aggregate(Sum("partial_n", alias_name="n"))
+
+
 def q_gopher_filter(sf_dir: str):
     """Composite Gopher-style quality filter decisions per document
     (reasons bitmask + keep flag, integer-exact thresholds)."""
@@ -458,17 +480,25 @@ def q_flagship(sf_dir: str):
     oracle (which re-implements line explode → 3-format header cascade →
     statement split → variable-token masking → routing in SQL) see
     identical input bytes."""
+    from .pipelines import flagship
+    return flagship.run(sf_dir, corpus_dir=_ensure_pages(sf_dir))
+
+
+def _ensure_pages(sf_dir: str) -> str:
+    """Materialize the deterministic synthesized pages corpus to
+    ``FLAGSHIP_PAGES_DIR`` (atomic dir swap, overwritten per invocation)
+    — the shared input the pages-based queries AND their DuckDB oracles
+    read, so engine and SQL see identical bytes."""
     import os
     import shutil
     import uuid
-    from .pipelines import flagship
     from .sources.webpages import read_webpages
     tmp = FLAGSHIP_PAGES_DIR + ".tmp-" + uuid.uuid4().hex[:6]
     read_webpages(sf_dir).repartition(8).write_parquet(tmp)
     if os.path.exists(FLAGSHIP_PAGES_DIR):
         shutil.rmtree(FLAGSHIP_PAGES_DIR)
     os.replace(tmp, FLAGSHIP_PAGES_DIR)
-    return flagship.run(sf_dir, corpus_dir=FLAGSHIP_PAGES_DIR)
+    return FLAGSHIP_PAGES_DIR
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -610,6 +640,7 @@ QUERIES = {
     "boilerplate_tokens": q_boilerplate_tokens,
     "gopher_filter": q_gopher_filter,
     "curated_docs": q_curated_docs,
+    "url_hosts": q_url_hosts,
     "asof_prev_error": q_asof_prev_error,
     "top_events_per_user": q_top_events_per_user,
     "median_value": q_median_value,
@@ -1230,3 +1261,13 @@ def _flagship_sql() -> str:
 
 
 ORACLE_SQL["flagship_template_counts"] = _flagship_sql()
+ORACLE_SQL["url_hosts"] = f"""
+    WITH U AS (SELECT
+        regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://([^/?#:]+)', 1)
+            AS url_host
+        FROM read_parquet('{FLAGSHIP_PAGES_DIR}/*.parquet'))
+    SELECT url_host,
+           regexp_extract(url_host, '([^.]+\\.[^.]+)$', 1) AS url_domain,
+           CAST(count(*) AS BIGINT) AS n
+    FROM U GROUP BY url_host
+"""

@@ -426,6 +426,20 @@ def test_gopher_filter_rules():
     assert out.loc[4, "reasons"] & 8 and out.loc[4, "keep"] == 0
 
 
+def test_extract_url_parts():
+    from log2seq_ray.ops.normalize import extract_url_parts
+    b = pa.table({"url": ["https://a.b.example.co/x/y?q=1#f",
+                          "ftp://files.example.org",
+                          "not a url"]})
+    out = extract_url_parts(b)
+    assert out.column("url_scheme").to_pylist() == ["https", "ftp", None]
+    assert out.column("url_host").to_pylist() == [
+        "a.b.example.co", "files.example.org", None]
+    assert out.column("url_path").to_pylist() == ["/x/y", "", None]
+    assert out.column("url_domain").to_pylist() == [
+        "example.co", "example.org", None]
+
+
 def test_mask_pii():
     from log2seq_ray.ops.normalize import mask_pii
     b = pa.table({"text": [
