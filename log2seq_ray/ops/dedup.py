@@ -365,9 +365,21 @@ def _verify_partition(threshold: float, shingle_k: int, id_col: str,
                      "jaccard": pa.array(out_j, type=pa.float64())})
 
 
+def _auto_parts(num_parts) -> int:
+    """None → 2×cluster CPUs (min 16), mirroring hash_join's bucket
+    sizing, so partition count scales with the cluster."""
+    if num_parts is not None:
+        return num_parts
+    try:
+        import ray
+        return max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 16
+
+
 def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
                   shingle_k=5, id_col="doc_id", col="text",
-                  num_parts: int = 16, max_bucket=None):
+                  num_parts=None, max_bucket=None):
     """Near-dup pairs verified by exact shingle Jaccard ≥ threshold.
 
     Returns a pandas DataFrame (id_a, id_b, jaccard), deduplicated and
@@ -391,6 +403,7 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
     import ray
     import ray.data as rd
 
+    num_parts = _auto_parts(num_parts)
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64"),
                           "jaccard": pd.Series([], dtype="float64")})
