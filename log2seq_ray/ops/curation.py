@@ -1,0 +1,605 @@
+"""Corpus-curation operators for training-data pipelines: exact n-gram
+Jaccard near-dup pairs (capped shingle inverted index), benchmark
+decontamination, cross-document paragraph dedup (CCNet-style), unigram-LM
+quality scoring, and per-document TF-IDF top terms.
+
+Scale shapes:
+
+* ngram_jaccard_dups — ONE hash exchange of narrow (shingle-hash, id)
+  rows; |A∩B| falls out of pair-multiplicity counting inside the
+  exchange partitions (no document text ever re-read); set sizes are
+  re-attached with the partitioned ``hash_join``. A ``max_df`` stop-
+  shingle cap bounds the O(m²) pair expansion of hot shingles — the
+  capped universe is the operator's (SQL-reproducible) contract, the
+  standard prefix-filtering trade from set-similarity joins.
+* decontaminate — the benchmark side is tiny by nature (benchmarks are
+  MBs against a 100 TB corpus): its distinct gram hashes are reduced
+  distributedly, broadcast ONCE via ``ray.put``, and the corpus streams
+  through a ``searchsorted`` membership filter per batch. A Bloom filter
+  over the gram set is a drop-in shrink if the broadcast ever matters.
+* paragraph_dedup — explode to (para-hash, doc⊕pos) rows, one hash
+  exchange co-locates every instance of a paragraph, the first
+  occurrence (lexicographic (doc, pos)) survives; only per-doc count
+  partials leave the partitions.
+* doc_lm_score / tfidf_top_terms — the model side (top-V vocabulary /
+  per-token doc frequency) is a bounded vocabulary-sized table: reduced
+  with per-batch partials + one narrow groupby, broadcast once, scored
+  per batch fully vectorized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import _token_lists
+
+
+def _md5_60(s: str) -> int:
+    """60-bit md5 prefix — positive BIGINT in SQL:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def shingle_hash_rows(batch: pa.Table, col: str = "text",
+                      window: int = 4):
+    """All ``window``-token shingle hashes per row (vectorized window
+    construction, md5-60bit per distinct string). Conventions match the
+    minhash/fingerprint oracles: rows with 0 < tokens < window hash the
+    whole joined sequence, empty rows hash ``""``.
+
+    Returns ``(hashes int64[], row_of int64[])`` — NOT deduplicated per
+    row; callers needing set semantics dedup on (row, hash)."""
+    toks_arr = _token_lists(batch.column(col))
+    offsets = np.asarray(toks_arr.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    flat = pc.list_flatten(toks_arr)
+    n_flat, n = len(flat), len(batch)
+    h_parts, r_parts = [], []
+    empty = counts == 0
+    if empty.any():
+        h_parts.append(np.full(int(empty.sum()), _md5_60(""),
+                               dtype=np.int64))
+        r_parts.append(np.nonzero(empty)[0].astype(np.int64))
+    short = (counts > 0) & (counts < window)
+    if short.any():
+        joined = pc.binary_join(toks_arr, " ").to_pylist()
+        idx = np.nonzero(short)[0]
+        h_parts.append(np.fromiter((_md5_60(joined[i]) for i in idx),
+                                   dtype=np.int64, count=len(idx)))
+        r_parts.append(idx.astype(np.int64))
+    if n_flat >= window:
+        w = n_flat - window + 1
+        cols = [flat.slice(j, w) for j in range(window)]
+        shingles = pc.binary_join_element_wise(*cols, " ")
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        valid = row_of[:w] == row_of[window - 1:]
+        if valid.any():
+            svals = shingles.to_pylist()
+            vi = np.nonzero(valid)[0]
+            h_parts.append(np.fromiter(
+                (_md5_60(svals[i]) for i in vi),
+                dtype=np.int64, count=len(vi)))
+            r_parts.append(row_of[vi])
+    if not h_parts:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    return np.concatenate(h_parts), np.concatenate(r_parts)
+
+
+def _distinct_per_row(h: np.ndarray, row_of: np.ndarray):
+    """(row, hash) pairs with duplicates dropped (set semantics)."""
+    order = np.lexsort((h, row_of))
+    hh, rr = h[order], row_of[order]
+    first = np.ones(len(hh), dtype=bool)
+    first[1:] = (rr[1:] != rr[:-1]) | (hh[1:] != hh[:-1])
+    return hh[first], rr[first]
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _shingle_rows(batch: pa.Table, window: int, id_col: str,
+                  col: str) -> pa.Table:
+    """map_batches stage A: (g = shingle hash, id) rows, distinct per doc."""
+    h, row_of = shingle_hash_rows(batch, col, window)
+    hh, rr = _distinct_per_row(h, row_of)
+    ids = batch.column(id_col).to_numpy()
+    return pa.table({"g": pa.array(hh, type=pa.int64()),
+                     id_col: pa.array(ids[rr], type=pa.int64())})
+
+
+def _jacc_partition(id_col: str, max_df, pieces):
+    """One exchange partition: drop shingles with df > max_df (every row
+    of a shingle lives in this partition, so the local group size IS the
+    global df), emit per-doc capped set-size partials and vectorized i<j
+    pair partials whose multiplicity = the pair's |A∩B| contribution."""
+    import ray
+    if pieces and isinstance(pieces[0], ray.ObjectRef):
+        pieces = ray.get(list(pieces))
+    pairs_empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                            "id_b": pa.array([], type=pa.int64()),
+                            "n_part": pa.array([], type=pa.int64())})
+    sizes_empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                            "sz_part": pa.array([], type=pa.int64())})
+    pieces = [t for t in pieces if t.num_rows]
+    if not pieces:
+        return pairs_empty, sizes_empty
+    t = pa.concat_tables(pieces)
+    g = t.column("g").to_numpy()
+    ids = t.column(id_col).to_numpy()
+    order = np.lexsort((ids, g))
+    g, ids = g[order], ids[order]
+    keep = np.ones(len(g), dtype=bool)  # stage A is distinct per doc;
+    keep[1:] = (g[1:] != g[:-1]) | (ids[1:] != ids[:-1])  # belt+braces
+    g, ids = g[keep], ids[keep]
+    starts = np.ones(len(g), dtype=bool)
+    starts[1:] = g[1:] != g[:-1]
+    seg_id = np.cumsum(starts) - 1
+    if max_df is not None:
+        seg_sizes = np.bincount(seg_id)
+        hot = seg_sizes > max_df
+        if hot.any():
+            keep = ~hot[seg_id]
+            g, ids = g[keep], ids[keep]
+            starts = np.ones(len(g), dtype=bool)
+            starts[1:] = g[1:] != g[:-1]
+    if len(g) == 0:
+        return pairs_empty, sizes_empty
+    uid, sz = np.unique(ids, return_counts=True)
+    sizes = pa.table({id_col: pa.array(uid, type=pa.int64()),
+                      "sz_part": pa.array(sz.astype(np.int64))})
+    # i<j pair expansion (same index arithmetic as minhash _expand_pairs)
+    seg_start = np.maximum.accumulate(
+        np.where(starts, np.arange(len(g)), 0))
+    within = np.arange(len(g)) - seg_start
+    tot = int(within.sum())
+    if tot == 0:
+        return pairs_empty, sizes
+    row_for_pair = np.repeat(np.arange(len(g)), within)
+    block_start = np.cumsum(within) - within
+    i_in_block = np.arange(tot) - np.repeat(block_start, within)
+    i_row = np.repeat(seg_start, within) + i_in_block
+    id_a, id_b = ids[i_row], ids[row_for_pair]  # id-sorted → a < b
+    # partial |A∩B|: multiplicity of each pair across this partition's
+    # shingle groups
+    po = np.lexsort((id_b, id_a))
+    pa_, pb_ = id_a[po], id_b[po]
+    first = np.ones(len(pa_), dtype=bool)
+    first[1:] = (pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1])
+    sidx = np.nonzero(first)[0]
+    n_part = np.diff(np.append(sidx, len(pa_)))
+    return pa.table({"id_a": pa.array(pa_[sidx], type=pa.int64()),
+                     "id_b": pa.array(pb_[sidx], type=pa.int64()),
+                     "n_part": pa.array(n_part.astype(np.int64))}), sizes
+
+
+def ngram_jaccard_dups(ds, window: int = 4, tau_num: int = 1,
+                       tau_den: int = 2, max_df=None, num_parts=None,
+                       id_col: str = "doc_id", col: str = "text"):
+    """Exact n-gram Jaccard near-dup pairs over the (optionally
+    df-capped) shingle universe: pairs with
+    ``|A∩B| / |A∪B| >= tau_num/tau_den`` where A, B are each document's
+    distinct ``window``-token shingle-hash sets restricted to shingles
+    with document frequency ≤ ``max_df``. The threshold is evaluated in
+    exact integer arithmetic — ``inter*(tau_den+tau_num) >=
+    tau_num*(sz_a+sz_b)`` — so SQL reproduces every decision bit-for-bit.
+
+    Unlike :func:`minhash_dedup` (probabilistic candidate generation +
+    verify) this is the EXACT inverted-index set-similarity self-join:
+    |A∩B| is the multiplicity of the pair across shared shingle groups,
+    counted inside the exchange partitions. ``max_df`` is the standard
+    stop-shingle cap bounding hot-shingle O(m²) pair expansion at web
+    scale; it changes the operator's universe (documented contract), not
+    its exactness.
+
+    Returns a Dataset of (id_a, id_b, inter, union_n)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from .dedup import _auto_parts
+    from .exchange import split_by_key
+    from .join import hash_join
+
+    num_parts = _auto_parts(num_parts)
+    shingles = ds.map_batches(
+        lambda b: _shingle_rows(b, window, id_col, col),
+        batch_format="pyarrow")
+    split = ray.remote(split_by_key)
+    work = ray.remote(num_returns=2)(_jacc_partition)
+    per_part = [[] for _ in range(num_parts)]
+    for ref in shingles.to_arrow_refs():
+        pieces = split.options(num_returns=num_parts).remote(
+            ref, "g", num_parts)
+        if num_parts == 1:
+            pieces = [pieces]
+        for i, p in enumerate(pieces):
+            per_part[i].append(p)
+    pair_refs, size_refs = [], []
+    for pieces in per_part:
+        pr, sr = work.remote(id_col, max_df, pieces)
+        pair_refs.append(pr)
+        size_refs.append(sr)
+    inter = rd.from_arrow_refs(pair_refs) \
+        .groupby(["id_a", "id_b"]).aggregate(Sum("n_part",
+                                                 alias_name="inter"))
+    sizes = rd.from_arrow_refs(size_refs) \
+        .groupby(id_col).aggregate(Sum("sz_part", alias_name="sz"))
+    sizes_a = sizes.map_batches(
+        lambda b: pa.table({"id_a": b.column(id_col),
+                            "sz_a": b.column("sz")}),
+        batch_format="pyarrow")
+    sizes_b = sizes.map_batches(
+        lambda b: pa.table({"id_b": b.column(id_col),
+                            "sz_b": b.column("sz")}),
+        batch_format="pyarrow")
+    j = hash_join(inter, sizes_a, "id_a", "id_a",
+                  left_cols=["id_a", "id_b", "inter"],
+                  right_cols=["id_a", "sz_a"])
+    j = hash_join(j, sizes_b, "id_b", "id_b",
+                  left_cols=["id_a", "id_b", "inter", "sz_a"],
+                  right_cols=["id_b", "sz_b"])
+
+    def final(b: pa.Table) -> pa.Table:
+        inter_ = b.column("inter").to_numpy()
+        s = b.column("sz_a").to_numpy() + b.column("sz_b").to_numpy()
+        keep = inter_ * (tau_den + tau_num) >= tau_num * s
+        out = pa.table({
+            "id_a": b.column("id_a"),
+            "id_b": b.column("id_b"),
+            "inter": pa.array(inter_, type=pa.int64()),
+            "union_n": pa.array(s - inter_, type=pa.int64()),
+        })
+        return out.filter(pa.array(keep))
+
+    return j.map_batches(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _gram_set_partials(window: int, col: str, batch: pa.Table) -> pa.Table:
+    h, _ = shingle_hash_rows(batch, col, window)
+    return pa.table({"g": pa.array(np.unique(h), type=pa.int64())})
+
+
+class _DecontamStage:
+    """Actor-pool membership filter: the sorted blocklist array is read
+    from plasma once per actor; each batch's gram hashes are checked with
+    one vectorized ``searchsorted``."""
+
+    def __init__(self, block_ref, window: int, id_col: str, col: str):
+        import ray
+        self.block = ray.get(block_ref)
+        self.window, self.id_col, self.col = window, id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, row_of = shingle_hash_rows(batch, self.col, self.window)
+        mask = np.ones(len(batch), dtype=bool)
+        if len(self.block) and len(h):
+            pos = np.searchsorted(self.block, h)
+            pos_c = np.minimum(pos, len(self.block) - 1)
+            hit = self.block[pos_c] == h
+            if hit.any():
+                mask[np.unique(row_of[hit])] = False
+        return batch.select([self.id_col]).filter(pa.array(mask))
+
+
+def decontaminate(corpus, bench, window: int = 6,
+                  id_col: str = "doc_id", col: str = "text"):
+    """Drop every corpus document sharing ANY ``window``-token n-gram
+    with the benchmark set (training-data decontamination). The benchmark
+    gram set is reduced distributedly (per-batch distinct → groupby),
+    broadcast once with ``ray.put``, and the corpus streams through a
+    vectorized membership filter — no shuffle of the corpus. Returns the
+    surviving ``id_col`` Dataset.
+
+    At 100 TB the corpus side stays a stream; the broadcast is bounded by
+    the benchmark size (MBs). If the gram set ever outgrows worker heaps,
+    swap the sorted array for a Bloom filter (same stage shape, false
+    positives drop extra docs — conservative for decontamination)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    grams = bench.map_batches(
+        lambda b: _gram_set_partials(window, col, b),
+        batch_format="pyarrow").groupby("g").aggregate(Count())
+    parts = [p for p in ray.get(grams.to_arrow_refs()) if p.num_rows]
+    gset = (np.unique(np.concatenate(
+        [p.column("g").to_numpy() for p in parts]))
+        if parts else np.empty(0, dtype=np.int64))
+    ref = ray.put(gset)
+    return corpus.map_batches(
+        _DecontamStage, fn_constructor_kwargs=dict(
+            block_ref=ref, window=window, id_col=id_col, col=col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# cross-document paragraph dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_POS_BITS = 20  # ckey = doc_id << 20 | pos → lexicographic (doc, pos) min
+
+
+def _para_rows(batch: pa.Table, para_tokens: int, id_col: str,
+               col: str) -> pa.Table:
+    """(h = md5-60bit of the paragraph string, ckey = doc⊕pos) rows.
+    Paragraph = each consecutive run of ``para_tokens`` tokens (the final
+    short run included); empty documents have zero paragraphs. Real
+    webtext would split on blank lines instead — the chunker is the only
+    thing that changes."""
+    toks_arr = _token_lists(batch.column(col))
+    offsets = np.asarray(toks_arr.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    flat = pc.list_flatten(toks_arr)
+    n = len(batch)
+    n_paras = -(-counts // para_tokens)  # ceil
+    ids = batch.column(id_col).to_numpy()
+    if ids.size:
+        assert int(ids.max()) < (1 << (63 - _POS_BITS)), \
+            "doc_id too large for the packed (doc,pos) key"
+    if n_paras.sum() == 0:
+        return pa.table({"h": pa.array([], type=pa.int64()),
+                         "ckey": pa.array([], type=pa.int64())})
+    row_of = np.repeat(np.arange(n, dtype=np.int64), n_paras)
+    pos = np.arange(len(row_of), dtype=np.int64) - np.repeat(
+        np.cumsum(n_paras) - n_paras, n_paras)
+    para_starts = offsets[:-1][row_of] + pos * para_tokens
+    assert int(pos.max()) < (1 << _POS_BITS)
+    bounds = np.append(para_starts, offsets[-1]).astype(np.int32)
+    paras = pa.ListArray.from_arrays(pa.array(bounds, type=pa.int32()),
+                                     flat)
+    strs = pc.binary_join(paras, " ").to_pylist()
+    h = np.fromiter((_md5_60(s) for s in strs), dtype=np.int64,
+                    count=len(strs))
+    ckey = (ids[row_of] << _POS_BITS) | pos
+    return pa.table({"h": pa.array(h, type=pa.int64()),
+                     "ckey": pa.array(ckey, type=pa.int64())})
+
+
+def _para_partition(pieces) -> pa.Table:
+    """One exchange partition: all instances of a paragraph hash are
+    local; the lexicographically-first (doc, pos) instance is kept.
+    Emits per-doc (n_paras, n_kept) partials."""
+    import ray
+    if pieces and isinstance(pieces[0], ray.ObjectRef):
+        pieces = ray.get(list(pieces))
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_paras_part": pa.array([], type=pa.int64()),
+                      "n_kept_part": pa.array([], type=pa.int64())})
+    pieces = [t for t in pieces if t.num_rows]
+    if not pieces:
+        return empty
+    t = pa.concat_tables(pieces)
+    h = t.column("h").to_numpy()
+    c = t.column("ckey").to_numpy()
+    order = np.lexsort((c, h))
+    h, c = h[order], c[order]
+    starts = np.ones(len(h), dtype=bool)
+    starts[1:] = h[1:] != h[:-1]
+    seg_start = np.maximum.accumulate(
+        np.where(starts, np.arange(len(h)), 0))
+    kept = (c == c[seg_start]).astype(np.int64)  # first (doc,pos) = min
+    doc = c >> _POS_BITS
+    ud, inv = np.unique(doc, return_inverse=True)
+    n_paras = np.bincount(inv).astype(np.int64)
+    n_kept = np.bincount(inv, weights=kept).astype(np.int64)
+    return pa.table({"doc_id": pa.array(ud, type=pa.int64()),
+                     "n_paras_part": pa.array(n_paras),
+                     "n_kept_part": pa.array(n_kept)})
+
+
+def paragraph_dedup(ds, para_tokens: int = 20, num_parts=None,
+                    id_col: str = "doc_id", col: str = "text"):
+    """CCNet-style corpus-level paragraph dedup: across ALL documents,
+    only the first occurrence (min (doc_id, position)) of each distinct
+    paragraph survives. Returns per-document (doc_id, n_paras, n_kept) —
+    ``n_kept < n_paras`` flags boilerplate-heavy documents, and the kept
+    flags are exactly the rows a rewrite stage would retain.
+
+    One hash exchange of (hash, packed-key) rows; documents never move."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from .dedup import _auto_parts
+    from .exchange import split_by_key
+
+    num_parts = _auto_parts(num_parts)
+    rows = ds.map_batches(
+        lambda b: _para_rows(b, para_tokens, id_col, col),
+        batch_format="pyarrow")
+    split = ray.remote(split_by_key)
+    work = ray.remote(_para_partition)
+    per_part = [[] for _ in range(num_parts)]
+    for ref in rows.to_arrow_refs():
+        pieces = split.options(num_returns=num_parts).remote(
+            ref, "h", num_parts)
+        if num_parts == 1:
+            pieces = [pieces]
+        for i, p in enumerate(pieces):
+            per_part[i].append(p)
+    partials = rd.from_arrow_refs(
+        [work.remote(pieces) for pieces in per_part])
+    zeros = ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column(id_col), pa.int64()),
+            "n_paras_part": pa.array(
+                np.zeros(len(b), dtype=np.int64)),
+            "n_kept_part": pa.array(np.zeros(len(b), dtype=np.int64)),
+        }), batch_format="pyarrow")
+    return partials.union(zeros).groupby("doc_id").aggregate(
+        Sum("n_paras_part", alias_name="n_paras"),
+        Sum("n_kept_part", alias_name="n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality score
+# ---------------------------------------------------------------------------
+
+class _LMScoreStage:
+    """Scores each document by its mean corpus frequency over the
+    broadcast top-V vocabulary (out-of-vocabulary tokens count 0): a
+    cheap stand-in for LM-perplexity quality filters, integer sums with
+    one final IEEE division so SQL reproduces it exactly."""
+
+    def __init__(self, vocab_ref, id_col: str, col: str):
+        import ray
+        self.tokens, self.counts = ray.get(vocab_ref)
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch.column(self.col))
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        counts = np.diff(offsets)
+        flat = pc.list_flatten(toks)
+        idx = pc.index_in(flat, value_set=self.tokens)
+        hit = np.zeros(len(flat), dtype=np.int64)
+        if len(flat):
+            valid = np.asarray(pc.is_valid(idx))
+            ii = np.asarray(pc.fill_null(idx, 0), dtype=np.int64)
+            hit[valid] = self.counts[ii[valid]]
+        hits = np.add.reduceat(np.concatenate([hit, [0]]),
+                               offsets[:-1]).astype(np.int64) \
+            if len(offsets) > 1 else np.zeros(0, dtype=np.int64)
+        hits[counts == 0] = 0
+        score = np.zeros(len(batch), dtype=np.float64)
+        nz = counts > 0
+        score[nz] = hits[nz] / counts[nz]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "lm_hits": pa.array(hits, type=pa.int64()),
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "score": pa.array(score, type=pa.float64()),
+        })
+
+
+def doc_lm_score(ds, model_ds, vocab_k: int = 32,
+                 id_col: str = "doc_id", col: str = "text"):
+    """Two-pass unigram-LM scoring: pass 1 fits the 'model' (top-V token
+    counts over ``model_ds``, deterministic n-desc/token-asc tie-break),
+    pass 2 streams ``ds`` through a broadcast vectorized scorer. The
+    vocabulary is capped at V, so the broadcast stays bounded regardless
+    of corpus size (the heavy-tail tokens an LM filter keys on)."""
+    import ray
+    from .text import top_tokens
+
+    vocab = top_tokens(model_ds, k=vocab_k)  # small pandas (token, n)
+    ref = ray.put((pa.array(vocab["token"].tolist(), type=pa.string()),
+                   vocab["n"].to_numpy().astype(np.int64)))
+    return ds.map_batches(
+        _LMScoreStage, fn_constructor_kwargs=dict(
+            vocab_ref=ref, id_col=id_col, col=col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+def _df_partials(col: str, batch: pa.Table) -> pa.Table:
+    """Per-batch partial document frequencies: distinct (row, token)
+    pairs via the dictionary-encode + lexsort boundary trick."""
+    toks = _token_lists(batch.column(col))
+    flat = pc.list_flatten(toks)
+    counts = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    if len(flat) == 0:
+        return pa.table({"token": pa.array([], type=pa.string()),
+                         "df_part": pa.array([], type=pa.int64())})
+    row_ids = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    codes = np.asarray(pc.dictionary_encode(flat).indices, dtype=np.int64)
+    order = np.lexsort((codes, row_ids))
+    rc, cc = row_ids[order], codes[order]
+    first = np.ones(len(cc), dtype=bool)
+    first[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
+    uniq_toks = flat.take(pa.array(order[first]))
+    g = pa.table({"token": uniq_toks}).group_by(["token"]).aggregate(
+        [([], "count_all")])
+    return pa.table({"token": g.column("token"),
+                     "df_part": g.column("count_all")})
+
+
+class _TfidfStage:
+    """Per-document top-k terms by (tf desc, df asc, token asc): an
+    ordinal TF-IDF (rarer-but-frequent-here terms first) with no float
+    logarithms, so the ranking is SQL-exact. df arrives as a broadcast
+    vocabulary-sized table; each batch computes tf runs vectorized and
+    ranks with one pandas sort."""
+
+    def __init__(self, df_ref, k: int, id_col: str, col: str):
+        import ray
+        self.tokens, self.df = ray.get(df_ref)
+        self.k, self.id_col, self.col = k, id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        toks = _token_lists(batch.column(self.col))
+        flat = pc.list_flatten(toks)
+        counts = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        empty = pa.table({
+            self.id_col: pa.array([], type=pa.int64()),
+            "token": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "df": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        row_ids = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        codes = np.asarray(pc.dictionary_encode(flat).indices,
+                           dtype=np.int64)
+        order = np.lexsort((codes, row_ids))
+        rc, cc = row_ids[order], codes[order]
+        first = np.ones(len(cc), dtype=bool)
+        first[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
+        sidx = np.nonzero(first)[0]
+        tf = np.diff(np.append(sidx, len(cc))).astype(np.int64)
+        run_tok = flat.take(pa.array(order[sidx]))
+        dfi = pc.index_in(run_tok, value_set=self.tokens)
+        dfv = np.zeros(len(run_tok), dtype=np.int64)
+        if len(self.tokens):
+            valid = np.asarray(pc.is_valid(dfi))
+            ii = np.asarray(pc.fill_null(dfi, 0), dtype=np.int64)
+            dfv[valid] = self.df[ii[valid]]
+        ids = batch.column(self.id_col).to_numpy()
+        frame = pd.DataFrame({
+            self.id_col: ids[rc[sidx]],
+            "token": run_tok.to_pandas(),
+            "tf": tf, "df": dfv})
+        frame = frame.sort_values(
+            [self.id_col, "tf", "df", "token"],
+            ascending=[True, False, True, True], kind="mergesort")
+        frame["rank"] = frame.groupby(self.id_col).cumcount() + 1
+        frame = frame[frame["rank"] <= self.k]
+        return pa.Table.from_pandas(frame, preserve_index=False).cast(
+            empty.schema)
+
+
+def tfidf_top_terms(ds, df_ds, k: int = 3,
+                    id_col: str = "doc_id", col: str = "text"):
+    """Per-document top-k TF-IDF terms (ordinal form: tf desc, corpus df
+    asc, token asc — no float idf, SQL-exact). Document frequencies are
+    reduced with per-batch partials + one narrow groupby and broadcast
+    once (the df table is vocabulary-sized, not corpus-sized)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    df = df_ds.map_batches(lambda b: _df_partials(col, b),
+                           batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("df_part", alias_name="df"))
+    parts = [p for p in ray.get(df.to_arrow_refs()) if p.num_rows]
+    if parts:
+        t = pa.concat_tables(parts).combine_chunks()
+        tokens = t.column("token").combine_chunks()
+        dfv = t.column("df").to_numpy().astype(np.int64)
+    else:
+        tokens = pa.array([], type=pa.string())
+        dfv = np.empty(0, dtype=np.int64)
+    ref = ray.put((tokens, dfv))
+    return ds.map_batches(
+        _TfidfStage, fn_constructor_kwargs=dict(
+            df_ref=ref, k=k, id_col=id_col, col=col),
+        batch_format="pyarrow", concurrency=(1, 8))

@@ -128,3 +128,70 @@ def approx_distinct(ds, group_col: str, value_col: str, p: int = 12,
         rows.append((g, int(v) if estimator == "int" else int(round(v))))
     return pd.DataFrame(rows, columns=[group_col, "n_approx"]) \
         .sort_values(group_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy-hitter frequency estimates)
+# ---------------------------------------------------------------------------
+
+class CMSPartialStage:
+    """Per-batch count-min partials over a token column: a dense
+    ``depth × width`` int64 matrix per batch, emitted as sparse nonzero
+    (r, c, n_part) register rows. The sketch merges by ADDITION, so the
+    shuffle carries at most ``depth*width`` fixed-size rows per block
+    regardless of vocabulary size — the scale path for frequency
+    estimation where an exact token groupby would shuffle the whole
+    vocabulary.
+
+    Hash = 60-bit md5 prefix of ``"{r}:{token}"`` modulo width
+    (SQL-reproducible register-for-register); the token→columns map is
+    cached per actor — web vocabulary is heavy-tailed, so the cache
+    absorbs almost every lookup after warmup."""
+
+    def __init__(self, depth: int = 4, width: int = 256,
+                 col: str = "text"):
+        self.depth, self.width, self.col = depth, width, col
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _cols(self, tok: str) -> np.ndarray:
+        cols = self._cache.get(tok)
+        if cols is None:
+            cols = np.array(
+                [int(hashlib.md5(f"{r}:{tok}".encode())
+                     .hexdigest()[:15], 16) % self.width
+                 for r in range(self.depth)], dtype=np.int64)
+            self._cache[tok] = cols
+        return cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from .text import _token_lists
+        flat = pc.list_flatten(_token_lists(batch.column(self.col)))
+        sk = np.zeros((self.depth, self.width), dtype=np.int64)
+        if len(flat):
+            vc = pc.value_counts(flat)
+            toks = vc.field("values").to_pylist()
+            cnts = np.asarray(vc.field("counts"), dtype=np.int64).tolist()
+            rr = np.arange(self.depth)
+            for tok, cnt in zip(toks, cnts):
+                sk[rr, self._cols(tok)] += cnt
+        r, c = sk.nonzero()
+        return pa.table({"r": pa.array(r.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64)),
+                         "n_part": pa.array(sk[r, c])})
+
+
+def cms_sketch(ds, depth: int = 4, width: int = 256, col: str = "text"):
+    """Merged count-min sketch registers over a token column: Dataset of
+    (r, c, n) — the sparse nonzero cells of the ``depth × width`` count
+    matrix. The point estimate for any token x is
+    ``min_r sketch[r][h_r(x)]`` (an upper bound on the true count, within
+    ``ε·N`` with probability ``1-δ`` for ``width=e/ε, depth=ln(1/δ)``).
+    Deterministic: SQL reproduces every register from the same md5
+    column hashes."""
+    from ray.data.aggregate import Sum
+    return ds.map_batches(
+        CMSPartialStage, fn_constructor_kwargs=dict(
+            depth=depth, width=width, col=col),
+        batch_format="pyarrow", concurrency=(1, 8)) \
+        .groupby(["r", "c"]).aggregate(Sum("n_part", alias_name="n"))

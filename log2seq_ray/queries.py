@@ -620,6 +620,65 @@ def q_embedding_dups(sf_dir: str):
     return embedding_dups(aug, threshold=0.9, n_centroids=8, n_assign=3)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact 4-gram Jaccard near-dup pairs over the df≤64-capped shingle
+    universe (inverted-index set-similarity self-join; the integer
+    threshold 3·inter ≥ sz_a+sz_b ⟺ J ≥ 1/2 is decided bit-for-bit on
+    both sides)."""
+    from .ops.curation import ngram_jaccard_dups
+    return ngram_jaccard_dups(_docs(sf_dir, ["doc_id", "text"]),
+                              window=4, tau_num=1, tau_den=2, max_df=64)
+
+
+def _mod37(b: pa.Table, keep_bench: bool) -> pa.Table:
+    ids = b.column("doc_id").to_numpy()
+    m = (ids % 37 == 0) if keep_bench else (ids % 37 != 0)
+    return b.filter(pa.array(m))
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: every doc with doc_id % 37 == 0 plays
+    the 'benchmark'; the rest of the corpus survives only with zero
+    shared 6-grams."""
+    from .ops.curation import decontaminate
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _mod37(b, True), batch_format="pyarrow")
+    corpus = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _mod37(b, False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, window=6)
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-level paragraph dedup (20-token chunks): per-doc paragraph
+    counts and first-occurrence survivors."""
+    from .ops.curation import paragraph_dedup
+    return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]),
+                           para_tokens=20)
+
+
+def q_cms_sketch(sf_dir: str):
+    """Count-min sketch registers (4×256) over the token stream —
+    register-for-register exact vs the SQL oracle."""
+    from .ops.sketch import cms_sketch
+    return cms_sketch(_docs(sf_dir, ["text"]), depth=4, width=256)
+
+
+def q_doc_lm_score(sf_dir: str):
+    """Unigram-LM quality score: mean top-32-vocabulary corpus frequency
+    per document (integer sums, one IEEE division)."""
+    from .ops.curation import doc_lm_score
+    return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]),
+                        _docs(sf_dir, ["text"]), vocab_k=32)
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 terms by ordinal TF-IDF (tf desc, df asc, token
+    asc — no float idf)."""
+    from .ops.curation import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]),
+                           _docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "route_counts": q_route_counts,
@@ -663,6 +722,12 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "embedding_dups": q_embedding_dups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "decontaminate": q_decontaminate,
+    "paragraph_dedup": q_paragraph_dedup,
+    "cms_sketch": q_cms_sketch,
+    "doc_lm_score": q_doc_lm_score,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 _LATIN = "'en','de','es','fr','pt','it','nl'"
@@ -1270,4 +1335,109 @@ ORACLE_SQL["url_hosts"] = f"""
            regexp_extract(url_host, '([^.]+\\.[^.]+)$', 1) AS url_domain,
            CAST(count(*) AS BIGINT) AS n
     FROM U GROUP BY url_host
+"""
+
+# 60-bit md5 prefix of a shingle string — the shared hash bridge
+_H60 = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+ORACLE_SQL["ngram_jaccard"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    SH AS (SELECT doc_id, list_distinct(list_transform(
+              CASE WHEN len(t) = 0 THEN ['']
+                   WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                   ELSE list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' ')) END,
+              s -> {_H60.format(s='s')})) AS gs
+           FROM T),
+    EX0 AS (SELECT doc_id, unnest(gs) AS g FROM SH),
+    DF AS (SELECT g, COUNT(*) AS df FROM EX0 GROUP BY g),
+    EX AS (SELECT e.doc_id, e.g FROM EX0 e JOIN DF USING (g)
+           WHERE df <= 64),
+    SZ AS (SELECT doc_id, COUNT(*) AS sz FROM EX GROUP BY doc_id),
+    I AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+          FROM EX a JOIN EX b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+           CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_n
+    FROM I JOIN SZ sa ON sa.doc_id = ia JOIN SZ sb ON sb.doc_id = ib
+    WHERE inter * 3 >= sa.sz + sb.sz
+"""
+
+ORACLE_SQL["decontaminate"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    G AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(t) = 0 THEN ['']
+                  WHEN len(t) < 6 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t) - 4),
+                      i -> array_to_string(t[i:i+5], ' ')) END,
+             s -> {_H60.format(s='s')})) AS gs
+          FROM T),
+    B AS (SELECT DISTINCT unnest(gs) AS g FROM G WHERE doc_id % 37 = 0),
+    CE AS (SELECT doc_id, unnest(gs) AS g FROM G WHERE doc_id % 37 <> 0),
+    BAD AS (SELECT DISTINCT ce.doc_id FROM CE ce JOIN B USING (g))
+    SELECT doc_id FROM documents
+    WHERE doc_id % 37 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM BAD)
+"""
+
+ORACLE_SQL["paragraph_dedup"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    P AS (SELECT doc_id, list_transform(range(1, len(t) + 1, 20),
+              i -> array_to_string(t[i:i+19], ' ')) AS paras FROM T),
+    E AS (SELECT doc_id, unnest(paras) AS para,
+                 CAST(generate_subscripts(paras, 1) AS BIGINT) - 1 AS pos
+          FROM P),
+    H AS (SELECT doc_id, pos, {_H60.format(s='para')} AS h FROM E),
+    K AS (SELECT doc_id,
+                 CASE WHEN doc_id * 1048576 + pos =
+                      MIN(doc_id * 1048576 + pos) OVER (PARTITION BY h)
+                      THEN 1 ELSE 0 END AS kept
+          FROM H),
+    A AS (SELECT doc_id, COUNT(*) AS np, SUM(kept) AS nk
+          FROM K GROUP BY doc_id)
+    SELECT d.doc_id, CAST(COALESCE(a.np, 0) AS BIGINT) AS n_paras,
+           CAST(COALESCE(a.nk, 0) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN A a USING (doc_id)
+"""
+
+ORACLE_SQL["cms_sketch"] = f"""
+    WITH D AS (SELECT unnest({_TOKENS}) AS tk FROM documents),
+    C AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS n FROM D GROUP BY tk),
+    S AS (SELECT r,
+                 {_H60.format(s="CAST(r AS VARCHAR) || ':' || tk")} % 256
+                     AS c,
+                 n
+          FROM C, (SELECT unnest(range(0, 4)) AS r))
+    SELECT CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM S GROUP BY 1, 2
+"""
+
+ORACLE_SQL["doc_lm_score"] = f"""
+    WITH V AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+               FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+               GROUP BY token ORDER BY n DESC, token ASC LIMIT 32),
+    D AS (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents),
+    S AS (SELECT d.doc_id, SUM(COALESCE(v.n, 0)) AS hits,
+                 COUNT(*) AS ntok
+          FROM D d LEFT JOIN V v ON d.tk = v.token GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           CAST(COALESCE(s.hits, 0) AS BIGINT) AS lm_hits,
+           CAST(COALESCE(s.ntok, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN s.ntok > 0 THEN CAST(s.hits AS DOUBLE) / s.ntok
+                ELSE 0.0 END AS score
+    FROM documents doc LEFT JOIN S s USING (doc_id)
+"""
+
+ORACLE_SQL["tfidf_top_terms"] = f"""
+    WITH D AS (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents),
+    TF AS (SELECT doc_id, tk, COUNT(*) AS tf FROM D GROUP BY 1, 2),
+    DF AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM D GROUP BY tk),
+    R AS (SELECT doc_id, tk, tf, df,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tf DESC, df ASC, tk ASC) AS rank
+          FROM TF JOIN DF USING (tk))
+    SELECT doc_id, tk AS token, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+    FROM R WHERE rank <= 3
 """
