@@ -85,6 +85,11 @@ def _key_hash(col) -> np.ndarray:
 def _split_by_bucket(tbl: pa.Table, key: str, num_buckets: int,
                      cols: Sequence[str]):
     """One input block → num_buckets sub-tables (narrow, own side only)."""
+    if tbl.num_rows == 0:
+        # Ray group-by outputs can contain a zero-COLUMN empty block;
+        # empties are dropped downstream, so pass it through untouched
+        sub = tbl.select([c for c in cols if c in tbl.column_names])
+        return [sub] * num_buckets if num_buckets > 1 else [sub]
     tbl = tbl.select(list(cols))
     b = (_key_hash(tbl.column(key)) % np.uint64(num_buckets)).astype(np.int64)
     order = np.argsort(b, kind="stable")

@@ -1,0 +1,192 @@
+"""Unit + brute-force tests for the corpus-curation operators
+(ops/curation.py, ops/sketch.cms_sketch). The SQL oracles cover the
+documents table end-to-end; these pin the semantics on crafted corpora
+(shared paragraphs, contaminated docs, hot shingles over the df cap)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from log2seq_ray.ops.curation import _md5_60
+
+
+def _ds(rows):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    }))
+
+
+def _sh_set(text, k):
+    toks = [t for t in text.split(" ") if t]
+    if not toks:
+        strs = [""]
+    elif len(toks) < k:
+        strs = [" ".join(toks)]
+    else:
+        strs = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return {_md5_60(s) for s in strs}
+
+
+def _brute_jaccard(rows, k, tau_num, tau_den, max_df):
+    sets = {i: _sh_set(t, k) for i, t in rows}
+    if max_df is not None:
+        df = {}
+        for s in sets.values():
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        sets = {i: {g for g in s if df[g] <= max_df}
+                for i, s in sets.items()}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            if inter * (tau_den + tau_num) >= tau_num * (len(sets[a])
+                                                         + len(sets[b])):
+                out.add((a, b, inter, len(sets[a] | sets[b])))
+    return out
+
+
+def test_ngram_jaccard_matches_brute_force(ray_session):
+    from log2seq_ray.ops.curation import ngram_jaccard_dups
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g z"),          # near-dup of 1
+        (3, "p q r s t u v w"),
+        (4, "p q r s t u v w"),          # exact dup of 3
+        (5, ""),                          # empty
+        (6, ""),                          # empty pair with 5
+        (7, "one two"),                   # short row
+        (8, "completely different text here now"),
+    ]
+    got = ngram_jaccard_dups(_ds(rows), window=3, tau_num=1, tau_den=2,
+                             num_parts=4).to_pandas()
+    got_set = {tuple(r) for r in
+               got[["id_a", "id_b", "inter", "union_n"]].itertuples(
+                   index=False)}
+    assert got_set == _brute_jaccard(rows, 3, 1, 2, None)
+
+
+def test_ngram_jaccard_max_df_cap_is_capped_universe(ray_session):
+    from log2seq_ray.ops.curation import ngram_jaccard_dups
+    # "x y z" appears in every doc → df 4 > max_df 3 → excluded from
+    # every set; docs 1/2 still pair through their private shingles
+    rows = [
+        (1, "x y z a b c a b c"),
+        (2, "x y z a b c a b d"),
+        (3, "x y z m n o p q r"),
+        (4, "x y z s t u v w q"),
+    ]
+    got = ngram_jaccard_dups(_ds(rows), window=3, tau_num=1, tau_den=2,
+                             num_parts=3, max_df=3).to_pandas()
+    got_set = {tuple(r) for r in
+               got[["id_a", "id_b", "inter", "union_n"]].itertuples(
+                   index=False)}
+    expect = _brute_jaccard(rows, 3, 1, 2, 3)
+    assert got_set == expect
+    assert expect  # the crafted corpus must actually produce pairs
+
+
+def test_decontaminate_drops_docs_sharing_grams(ray_session):
+    from log2seq_ray.ops.curation import decontaminate
+    bench = _ds([(100, "alpha beta gamma delta epsilon zeta")])
+    corpus = _ds([
+        (1, "intro alpha beta gamma delta epsilon zeta outro"),  # hit
+        (2, "totally unrelated words in this document body"),    # clean
+        (3, "alpha beta gamma delta epsilon other zeta"),        # no 6-gram
+    ])
+    got = sorted(decontaminate(corpus, bench, window=6)
+                 .to_pandas()["doc_id"])
+    assert got == [2, 3]
+
+
+def test_decontaminate_empty_benchmark_keeps_all(ray_session):
+    from log2seq_ray.ops.curation import decontaminate
+    import ray.data as rd
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    corpus = _ds([(1, "a b c"), (2, "d e f")])
+    got = sorted(decontaminate(corpus, bench, window=3)
+                 .to_pandas()["doc_id"])
+    assert got == [1, 2]
+
+
+def test_paragraph_dedup_first_occurrence_survives(ray_session):
+    from log2seq_ray.ops.curation import paragraph_dedup
+    rows = [
+        (1, "a b c d e f"),        # paras: "a b c", "d e f"
+        (2, "a b c x y z"),        # "a b c" dupes doc 1 → dropped
+        (3, "p q r p q r"),        # within-doc dup → second dropped
+        (4, ""),                   # zero paragraphs
+        (5, "d e"),                # short tail para, unique
+    ]
+    got = paragraph_dedup(_ds(rows), para_tokens=3, num_parts=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[1].tolist() == [2, 2]
+    assert got.loc[2].tolist() == [2, 1]
+    assert got.loc[3].tolist() == [2, 1]
+    assert got.loc[4].tolist() == [0, 0]
+    assert got.loc[5].tolist() == [1, 1]   # "d e" != "d e f"
+
+
+def test_cms_registers_and_estimate(ray_session):
+    from log2seq_ray.ops.sketch import cms_sketch
+    rows = [(1, "a a b c"), (2, "b c c d"), (3, "a d d d")]
+    depth, width = 2, 8
+    got = cms_sketch(_ds(rows), depth=depth, width=width).to_pandas()
+    true = {}
+    for _, t in rows:
+        for tok in t.split(" "):
+            true[tok] = true.get(tok, 0) + 1
+    expect = np.zeros((depth, width), dtype=np.int64)
+    for tok, n in true.items():
+        for r in range(depth):
+            c = int(hashlib.md5(f"{r}:{tok}".encode())
+                    .hexdigest()[:15], 16) % width
+            expect[r, c] += n
+    sk = np.zeros((depth, width), dtype=np.int64)
+    for r, c, n in got[["r", "c", "n"]].itertuples(index=False):
+        sk[r, c] = n
+    assert (sk == expect).all()
+    # every row conserves total mass; point estimates upper-bound truth
+    assert (sk.sum(axis=1) == sum(true.values())).all()
+    for tok, n in true.items():
+        est = min(sk[r, int(hashlib.md5(f"{r}:{tok}".encode())
+                            .hexdigest()[:15], 16) % width]
+                  for r in range(depth))
+        assert est >= n
+
+
+def test_doc_lm_score_known_values(ray_session):
+    from log2seq_ray.ops.curation import doc_lm_score
+    rows = [(1, "a a b"), (2, "c"), (3, "")]
+    # corpus counts: a=2, b=1, c=1 → top-2 vocab (n desc, token asc):
+    # a(2), b(1)
+    ds = _ds(rows)
+    got = doc_lm_score(ds, _ds(rows), vocab_k=2) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[1, "lm_hits"] == 5          # 2 + 2 + 1
+    assert got.loc[1, "n_tokens"] == 3
+    assert got.loc[1, "score"] == pytest.approx(5 / 3)
+    assert got.loc[2, "lm_hits"] == 0          # 'c' out of vocab
+    assert got.loc[2, "score"] == 0.0
+    assert got.loc[3].tolist() == [0, 0, 0.0]
+
+
+def test_tfidf_top_terms_ordinal_ranking(ray_session):
+    from log2seq_ray.ops.curation import tfidf_top_terms
+    rows = [(1, "x x y z"), (2, "y z z")]
+    # df: x=1, y=2, z=2
+    got = tfidf_top_terms(_ds(rows), _ds(rows), k=2).to_pandas()
+    d1 = got[got.doc_id == 1].sort_values("rank")
+    assert d1["token"].tolist() == ["x", "y"]  # tf2; then tf1 tie → y<z
+    assert d1["tf"].tolist() == [2, 1]
+    assert d1["df"].tolist() == [1, 2]
+    d2 = got[got.doc_id == 2].sort_values("rank")
+    assert d2["token"].tolist() == ["z", "y"]
