@@ -165,6 +165,17 @@ def run_benchmarks() -> dict:
         timed("curated_docs", lambda: Q.q_curated_docs(SF_DIR).to_pandas())
         timed("minhash_clusters_lp",
               lambda: Q.q_minhash_clusters_lp(SF_DIR))
+        timed("ngram_jaccard",
+              lambda: Q.q_ngram_jaccard(SF_DIR).to_pandas())
+        timed("decontaminate",
+              lambda: Q.q_decontaminate(SF_DIR).to_pandas())
+        timed("paragraph_dedup",
+              lambda: Q.q_paragraph_dedup(SF_DIR).to_pandas())
+        timed("cms_sketch", lambda: Q.q_cms_sketch(SF_DIR).to_pandas())
+        timed("doc_lm_score",
+              lambda: Q.q_doc_lm_score(SF_DIR).to_pandas())
+        timed("tfidf_top_terms",
+              lambda: Q.q_tfidf_top_terms(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop
@@ -182,6 +193,15 @@ def run_benchmarks() -> dict:
                                          n_bands=16))
         extras["minhash_dedup_40k_pairs"] = len(mh)
         extras["dedup_corpus_rows"] = dd_rows
+        from log2seq_ray.ops.curation import (ngram_jaccard_dups,
+                                              paragraph_dedup)
+        nj = timed("ngram_jaccard_40k",
+                   lambda: ngram_jaccard_dups(rd.read_parquet(dd),
+                                              window=4, max_df=64)
+                   .to_pandas())
+        extras["ngram_jaccard_40k_pairs"] = len(nj)
+        timed("paragraph_dedup_40k",
+              lambda: paragraph_dedup(rd.read_parquet(dd)).count())
 
     ray.shutdown()
     headline = timings["flagship"]

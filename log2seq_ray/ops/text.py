@@ -409,6 +409,26 @@ def fingerprint(batch: pa.Table, col: str = "text",
                      "fingerprint": pa.array(out, type=pa.int64())})
 
 
+#: GPT-2-ish pre-tokenizer classes: letter runs, digit runs, punctuation
+#: runs. RE2 on both sides (Arrow count_substring_regex and DuckDB
+#: regexp_extract_all), so the match count is bit-identical.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(batch: pa.Table, col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Per-document token count under a BPE-style regex pre-tokenizer —
+    the 'how many model tokens is this corpus' estimator a training
+    pipeline budgets with (whitespace counts undercount punctuation-heavy
+    webtext). One vectorized RE2 kernel; nulls counted 0."""
+    c = pc.count_substring_regex(pc.fill_null(batch.column(col), ""),
+                                 pattern=BPE_TOKEN_RE)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_bpe_tokens": pc.cast(pc.fill_null(c, 0), pa.int64()),
+    })
+
+
 def repetition_scores(batch: pa.Table, col: str = "text") -> pa.Table:
     """Gopher-style repetition quality signal per document: bigram count
     and the multiplicity of the most-repeated bigram (high values flag

@@ -679,6 +679,29 @@ def q_tfidf_top_terms(sf_dir: str):
                            _docs(sf_dir, ["doc_id", "text"]), k=3)
 
 
+def q_pack_chunks(sf_dir: str):
+    """Deterministic sequence packing: docs concatenated in id order,
+    cut every 256 tokens; per-doc chunk ranges via the distributed
+    prefix scan."""
+    from .ops.scan import pack_chunks
+    return pack_chunks(_docs(sf_dir, ["doc_id", "text"]),
+                       chunk_tokens=256)
+
+
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle order: rank by (md5(doc_id),
+    doc_id) via Ray sort + the offset scan."""
+    from .ops.scan import shuffle_rank
+    return shuffle_rank(_docs(sf_dir, ["doc_id"]))
+
+
+def q_bpe_token_stats(sf_dir: str):
+    """Per-doc token counts under the BPE-style regex pre-tokenizer."""
+    from .ops.text import bpe_token_counts
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_token_counts, batch_format="pyarrow")
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "route_counts": q_route_counts,
@@ -728,6 +751,9 @@ QUERIES = {
     "cms_sketch": q_cms_sketch,
     "doc_lm_score": q_doc_lm_score,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "pack_chunks": q_pack_chunks,
+    "shuffle_rank": q_shuffle_rank,
+    "bpe_token_stats": q_bpe_token_stats,
 }
 
 _LATIN = "'en','de','es','fr','pt','it','nl'"
@@ -1440,4 +1466,35 @@ ORACLE_SQL["tfidf_top_terms"] = f"""
     SELECT doc_id, tk AS token, CAST(tf AS BIGINT) AS tf,
            CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
     FROM R WHERE rank <= 3
+"""
+
+ORACLE_SQL["pack_chunks"] = f"""
+    WITH N AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n
+               FROM documents),
+    S AS (SELECT doc_id, n,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS st
+          FROM N)
+    SELECT doc_id, n AS n_tokens, CAST(st AS BIGINT) AS start_tok,
+           CAST(st // 256 AS BIGINT) AS chunk_first,
+           CAST((CASE WHEN n = 0 THEN st ELSE st + n - 1 END) // 256
+               AS BIGINT) AS chunk_last
+    FROM S
+"""
+
+ORACLE_SQL["shuffle_rank"] = """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS rank
+    FROM documents
+"""
+
+ORACLE_SQL["bpe_token_stats"] = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
 """

@@ -190,3 +190,43 @@ def test_tfidf_top_terms_ordinal_ranking(ray_session):
     assert d1["df"].tolist() == [1, 2]
     d2 = got[got.doc_id == 2].sort_values("rank")
     assert d2["token"].tolist() == ["z", "y"]
+
+
+def test_pack_chunks_matches_serial_scan(ray_session):
+    from log2seq_ray.ops.scan import pack_chunks
+    rows = [(3, "a b c d e"), (1, "x y"), (4, ""), (2, "p q r")]
+    got = pack_chunks(_ds(rows), chunk_tokens=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # serial reference: id order 1,2,3,4 → starts 0,2,5,10
+    start = 0
+    for i, text in sorted((i, t) for i, t in rows):
+        n = len([t for t in text.split(" ") if t])
+        assert got.loc[i, "n_tokens"] == n
+        assert got.loc[i, "start_tok"] == start
+        assert got.loc[i, "chunk_first"] == start // 4
+        last = start if n == 0 else start + n - 1
+        assert got.loc[i, "chunk_last"] == last // 4
+        start += n
+
+
+def test_shuffle_rank_is_md5_permutation(ray_session):
+    from log2seq_ray.ops.scan import shuffle_rank
+    rows = [(i, "t") for i in range(40)]
+    got = shuffle_rank(_ds(rows)).to_pandas()
+    assert sorted(got["rank"]) == list(range(1, 41))
+    order = [i for _, i in sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(40))]
+    by_rank = got.sort_values("rank")["doc_id"].tolist()
+    assert by_rank == order
+
+
+def test_bpe_token_counts_classes(ray_session):
+    import pyarrow.compute as pc_
+    from log2seq_ray.ops.text import bpe_token_counts
+    b = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array(["hello, world! 42x", "", None])})
+    got = bpe_token_counts(b).to_pandas().set_index("doc_id")
+    # hello / , / world / ! / 42 / x  → 6
+    assert got.loc[1, "n_bpe_tokens"] == 6
+    assert got.loc[2, "n_bpe_tokens"] == 0
+    assert got.loc[3, "n_bpe_tokens"] == 0
