@@ -312,19 +312,21 @@ def ngram_jaccard_dups(ds, window: int = 4, tau_num: int = 1,
     # partition; pd.util.hash_array depends on values, not column names,
     # so id and id_a route identically). No Ray groupby / Acero join:
     # per-partition lexsort + reduceat, measured ~20x faster here.
-    pair2 = [[] for _ in range(num_parts)]
-    size2 = [[] for _ in range(num_parts)]
+    # Pair/size partials are ~100x narrower than shingle rows, so the
+    # follow-up exchanges use P/4 partitions — the P×P split-piece
+    # explosion, not data volume, dominates them otherwise.
+    np2 = max(8, num_parts // 4) if num_parts > 1 else 1
+    pair2 = [[] for _ in range(np2)]
+    size2 = [[] for _ in range(np2)]
     for ref in pair_refs:
-        pieces = split.options(num_returns=num_parts).remote(
-            ref, "id_a", num_parts)
-        if num_parts == 1:
+        pieces = split.options(num_returns=np2).remote(ref, "id_a", np2)
+        if np2 == 1:
             pieces = [pieces]
         for i, p in enumerate(pieces):
             pair2[i].append(p)
     for ref in size_refs:
-        pieces = split.options(num_returns=num_parts).remote(
-            ref, id_col, num_parts)
-        if num_parts == 1:
+        pieces = split.options(num_returns=np2).remote(ref, id_col, np2)
+        if np2 == 1:
             pieces = [pieces]
         for i, p in enumerate(pieces):
             size2[i].append(p)
@@ -337,11 +339,10 @@ def ngram_jaccard_dups(ds, window: int = 4, tau_num: int = 1,
     # Exchange 3: aggregated pairs by hash(id_b); partition p's sizes are
     # exactly stage-2 task p's local sizes table (same hash) — passed as a
     # direct arg ref, no extra shuffle of the sizes side.
-    pair3 = [[] for _ in range(num_parts)]
+    pair3 = [[] for _ in range(np2)]
     for ref in agg_refs:
-        pieces = split.options(num_returns=num_parts).remote(
-            ref, "id_b", num_parts)
-        if num_parts == 1:
+        pieces = split.options(num_returns=np2).remote(ref, "id_b", np2)
+        if np2 == 1:
             pieces = [pieces]
         for i, p in enumerate(pieces):
             pair3[i].append(p)
