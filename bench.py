@@ -176,6 +176,7 @@ def run_benchmarks() -> dict:
               lambda: Q.q_doc_lm_score(SF_DIR).to_pandas())
         timed("tfidf_top_terms",
               lambda: Q.q_tfidf_top_terms(SF_DIR).to_pandas())
+        timed("dup_spans", lambda: Q.q_dup_spans(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop
@@ -202,6 +203,10 @@ def run_benchmarks() -> dict:
         extras["ngram_jaccard_40k_pairs"] = len(nj)
         timed("paragraph_dedup_40k",
               lambda: paragraph_dedup(rd.read_parquet(dd)).count())
+        from log2seq_ray.ops.curation import dup_spans
+        extras["dup_spans_40k_spans"] = timed(
+            "dup_spans_40k",
+            lambda: dup_spans(rd.read_parquet(dd), window=8).count())
 
     ray.shutdown()
     headline = timings["flagship"]

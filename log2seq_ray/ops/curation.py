@@ -37,6 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .hashutil import bytes_list
 from .text import _token_lists
 
 
@@ -697,3 +698,128 @@ def tfidf_top_terms(ds, df_ds, k: int = 3,
         _TfidfStage, fn_constructor_kwargs=dict(
             df_ref=ref, k=k, id_col=id_col, col=col),
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring spans (exact substring dedup, k-gram formulation)
+# ---------------------------------------------------------------------------
+
+_WIN_EMPTY = pa.table({"g": pa.array([], type=pa.int64()),
+                       "doc_id": pa.array([], type=pa.int64()),
+                       "pos": pa.array([], type=pa.int64())})
+
+
+def _window_rows(batch: pa.Table, window: int, id_col: str,
+                 col: str) -> pa.Table:
+    """map_batches stage A: (g = md5-60bit window hash, doc_id, pos) for
+    EVERY ``window``-token position (0-based; docs shorter than the
+    window emit no rows — a short doc cannot contain a duplicated
+    ``window``-token substring)."""
+    toks_arr = _token_lists(batch.column(col))
+    offsets = np.asarray(toks_arr.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    flat = pc.list_flatten(toks_arr)
+    n_flat, n = len(flat), len(batch)
+    if n_flat < window:
+        return _WIN_EMPTY
+    w = n_flat - window + 1
+    cols = [flat.slice(j, w) for j in range(window)]
+    strs = pc.binary_join_element_wise(*cols, " ")
+    row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    valid = row_of[:w] == row_of[window - 1:]
+    vi = np.nonzero(valid)[0]
+    if not len(vi):
+        return _WIN_EMPTY
+    svals = bytes_list(strs)
+    h = np.fromiter(
+        (int(hashlib.md5(svals[i]).hexdigest()[:15], 16) for i in vi),
+        dtype=np.int64, count=len(vi))
+    ids = batch.column(id_col).to_numpy()
+    return pa.table({
+        "g": pa.array(h, type=pa.int64()),
+        "doc_id": pa.array(ids[row_of[vi]], type=pa.int64()),
+        "pos": pa.array(vi - offsets[:-1][row_of[vi]], type=pa.int64()),
+    })
+
+
+def _dupwin_partition(pieces) -> pa.Table:
+    """Exchange-1 partition (keyed on g): every instance of a window
+    hash is local, so local multiplicity IS global multiplicity; only
+    (doc_id, pos) of duplicated windows (multiplicity >= 2) survive."""
+    from .exchange import resolve_all_pieces
+    pieces = resolve_all_pieces(pieces)
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64())})
+    t = pa.concat_tables(pieces) if pieces else _WIN_EMPTY
+    if not t.num_rows:
+        return empty
+    g = t.column("g").to_numpy()
+    order = np.argsort(g, kind="stable")
+    gs = g[order]
+    starts = np.ones(len(gs), dtype=bool)
+    starts[1:] = gs[1:] != gs[:-1]
+    seg = np.cumsum(starts) - 1
+    mult = np.bincount(seg)
+    keep = order[mult[seg] >= 2]
+    return pa.table({
+        "doc_id": pc.take(t.column("doc_id"), pa.array(keep)),
+        "pos": pc.take(t.column("pos"), pa.array(keep)),
+    })
+
+
+def _span_partition(window: int, pieces) -> pa.Table:
+    """Exchange-2 partition (keyed on doc_id): merge each document's
+    sorted duplicated positions into maximal spans — a new span starts
+    when the gap to the previous position exceeds the window length
+    (adjacent/overlapping windows coalesce)."""
+    from .exchange import resolve_all_pieces
+    pieces = resolve_all_pieces(pieces)
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "span_start": pa.array([], type=pa.int64()),
+                      "span_len": pa.array([], type=pa.int64())})
+    pieces = [p for p in pieces if p.num_rows]
+    if not pieces:
+        return empty
+    t = pa.concat_tables(pieces)
+    d = t.column("doc_id").to_numpy()
+    p = t.column("pos").to_numpy()
+    order = np.lexsort((p, d))
+    d, p = d[order], p[order]
+    brk = np.ones(len(d), dtype=bool)
+    brk[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + window)
+    si = np.nonzero(brk)[0]
+    ei = np.append(si[1:], len(d)) - 1
+    return pa.table({
+        "doc_id": pa.array(d[si], type=pa.int64()),
+        "span_start": pa.array(p[si], type=pa.int64()),
+        "span_len": pa.array(p[ei] + window - p[si], type=pa.int64()),
+    })
+
+
+def dup_spans(ds, window: int = 8, num_parts=None,
+              id_col: str = "doc_id", col: str = "text"):
+    """Exact duplicated-substring spans — the k-gram formulation of
+    suffix-array training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): a
+    token position is *duplicated* when its ``window``-token sequence
+    occurs at >= 2 (doc, pos) sites corpus-wide (within-doc repeats
+    count, matching suffix-array semantics), and overlapping or adjacent
+    duplicated windows merge into maximal spans. Returns (doc_id,
+    span_start, span_len) token spans — exactly the ranges a rewrite
+    stage would cut from the training corpus.
+
+    Scale shape: two narrow exchanges of int64 rows — by window hash
+    (multiplicity filter: only duplicated (doc, pos) rows survive, so
+    the second exchange carries the DUPLICATED subset, not the corpus),
+    then by doc_id (one vectorized lexsort + run-length span merge per
+    partition). Document text never moves after stage A."""
+    from .dedup import _auto_parts
+    from .exchange import hash_exchange
+
+    num_parts = _auto_parts(num_parts)
+    rows = ds.map_batches(
+        lambda b: _window_rows(b, window, id_col, col),
+        batch_format="pyarrow")
+    dups = hash_exchange(rows, "g", _dupwin_partition, num_parts)
+    return hash_exchange(dups, "doc_id", _span_partition, num_parts,
+                         fn_args=(window,))

@@ -702,6 +702,13 @@ def q_bpe_token_stats(sf_dir: str):
         bpe_token_counts, batch_format="pyarrow")
 
 
+def q_dup_spans(sf_dir: str):
+    """Maximal duplicated-substring token spans (8-token windows,
+    corpus-wide multiplicity >= 2, overlapping windows merged)."""
+    from .ops.curation import dup_spans
+    return dup_spans(_docs(sf_dir, ["doc_id", "text"]), window=8)
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "route_counts": q_route_counts,
@@ -754,6 +761,7 @@ QUERIES = {
     "pack_chunks": q_pack_chunks,
     "shuffle_rank": q_shuffle_rank,
     "bpe_token_stats": q_bpe_token_stats,
+    "dup_spans": q_dup_spans,
 }
 
 _LATIN = "'en','de','es','fr','pt','it','nl'"
@@ -1497,4 +1505,28 @@ ORACLE_SQL["bpe_token_stats"] = r"""
                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
                AS n_bpe_tokens
     FROM documents
+"""
+
+ORACLE_SQL["dup_spans"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    E AS (SELECT doc_id,
+                 CAST(generate_subscripts(ws, 1) AS BIGINT) - 1 AS pos,
+                 unnest(ws) AS s
+          FROM (SELECT doc_id, list_transform(range(1, len(t) - 6),
+                    i -> array_to_string(t[i:i+7], ' ')) AS ws
+                FROM T WHERE len(t) >= 8)),
+    H AS (SELECT doc_id, pos, {_H60.format(s='s')} AS h FROM E),
+    DUP AS (SELECT doc_id, pos FROM H
+            WHERE h IN (SELECT h FROM H GROUP BY h HAVING COUNT(*) >= 2)),
+    B AS (SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (
+                          PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM DUP),
+    S AS (SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM B)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+    FROM S GROUP BY doc_id, gid
 """

@@ -230,3 +230,66 @@ def test_bpe_token_counts_classes(ray_session):
     assert got.loc[1, "n_bpe_tokens"] == 6
     assert got.loc[2, "n_bpe_tokens"] == 0
     assert got.loc[3, "n_bpe_tokens"] == 0
+
+
+def _brute_spans(rows, w):
+    """Reference dup-span computation: dict of window string -> count,
+    positions with count >= 2 merged into maximal spans."""
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in rows}
+    counts = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - w + 1):
+            counts[" ".join(ts[p:p + w])] = \
+                counts.get(" ".join(ts[p:p + w]), 0) + 1
+    out = set()
+    for i, ts in toks.items():
+        dup = [p for p in range(len(ts) - w + 1)
+               if counts[" ".join(ts[p:p + w])] >= 2]
+        start = prev = None
+        for p in dup:
+            if start is None:
+                start = prev = p
+            elif p <= prev + w:
+                prev = p
+            else:
+                out.add((i, start, prev + w - start))
+                start = prev = p
+        if start is not None:
+            out.add((i, start, prev + w - start))
+    return out
+
+
+def test_dup_spans_matches_brute_force(ray_session):
+    from log2seq_ray.ops.curation import dup_spans
+    rows = [
+        (1, "a b c d e f x y z q"),       # shares abcd with 2
+        (2, "p p a b c d e f p p"),
+        (3, "r r r r r r r r r r r r"),   # within-doc repeats
+        (4, "one two three"),             # shorter than window -> no rows
+        (5, ""),                          # empty
+        (6, "a b c d e f x y z q"),       # exact dup of 1 (full span)
+    ]
+    for w in (3, 4):
+        got = dup_spans(_ds(rows), window=w, num_parts=3).to_pandas()
+        got_set = {(int(r.doc_id), int(r.span_start), int(r.span_len))
+                   for r in got.itertuples()}
+        assert got_set == _brute_spans(rows, w)
+
+
+def test_dup_spans_adjacent_windows_merge(ray_session):
+    from log2seq_ray.ops.curation import dup_spans
+    # doc 1 and 2 share the full 8-token string: one maximal span each,
+    # not 5 separate window hits
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h z z z z")]
+    got = dup_spans(_ds(rows), window=4, num_parts=2).to_pandas()
+    got_set = {(int(r.doc_id), int(r.span_start), int(r.span_len))
+               for r in got.itertuples()}
+    assert got_set == {(1, 0, 8), (2, 0, 8)}
+
+
+def test_dup_spans_no_duplicates_empty_typed(ray_session):
+    from log2seq_ray.ops.curation import dup_spans
+    rows = [(1, "a b c d e"), (2, "f g h i j")]
+    out = dup_spans(_ds(rows), window=4, num_parts=2)
+    assert out.schema().names == ["doc_id", "span_start", "span_len"]
+    assert len(out.to_pandas()) == 0
