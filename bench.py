@@ -68,6 +68,40 @@ def _dedup_corpus(sf_dir: str, replicas: int = 8) -> str:
     return str(out)
 
 
+def _embed_corpus(sf_dir: str, replicas: int = 1000) -> str:
+    """Deterministic embedding stress corpus: every vector replicated
+    ``replicas`` times with a replica-indexed perturbation on one
+    rotating dimension (500 → 500k distinct vectors). Cached parquet."""
+    from pathlib import Path
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    out = Path(f"/tmp/l2sr_embed_corpus/sf{_sf_of(sf_dir)}_x{replicas}")
+    if (out / "_SUCCESS").exists():
+        return str(out)
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+    def rep(b: pa.Table) -> pa.Table:
+        n = len(b)
+        idx = np.repeat(np.arange(n, dtype=np.int64), replicas)
+        t = b.take(pa.array(idx))
+        r = np.tile(np.arange(replicas, dtype=np.int64), n)
+        X = np.asarray(t.column("embedding").combine_chunks().flatten(),
+                       dtype=np.float64).reshape(len(t), -1)
+        X[np.arange(len(t)), r % X.shape[1]] += 0.001 * (r % 7)
+        return pa.table({
+            "vec_id": pa.array(t.column("vec_id").to_numpy() * replicas + r),
+            "embedding": pa.array(list(X), type=pa.list_(pa.float64())),
+        })
+
+    out.mkdir(parents=True, exist_ok=True)
+    vecs.map_batches(rep, batch_format="pyarrow", batch_size=64) \
+        .repartition(32).write_parquet(str(out))
+    (out / "_SUCCESS").touch()
+    return str(out)
+
+
 def run_benchmarks() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -207,6 +241,16 @@ def run_benchmarks() -> dict:
         extras["dup_spans_40k_spans"] = timed(
             "dup_spans_40k",
             lambda: dup_spans(rd.read_parquet(dd), window=8).count())
+
+        # k-means stress: 2M 64-dim vectors (sf0.1), k=16, init + 2 Lloyd
+        # updates (4 full streaming passes; only k×(d+1) partials shuffle)
+        from log2seq_ray.ops.similarity import kmeans_assign
+        ec = _embed_corpus(SF_DIR)
+        timed("kmeans_clusters",
+              lambda: Q.q_kmeans_clusters(SF_DIR).to_pandas())
+        timed("kmeans_2m",
+              lambda: kmeans_assign(rd.read_parquet(ec), k=16,
+                                    iters=2).count())
 
     ray.shutdown()
     headline = timings["flagship"]

@@ -16,6 +16,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -195,3 +196,110 @@ def knn_ivf(ds, queries, k: int = 10, n_centroids: int = 16,
     return knn_brute_force(filtered, (np.asarray(q_ids), Q), k=k,
                            id_col=id_col, col=col,
                            exclude_self=exclude_self)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd over partial sums)
+# ---------------------------------------------------------------------------
+
+class _KMeansPartialStage:
+    """Per-batch partial sums for one Lloyd step: assign each (normalized)
+    vector — by ``vec_id % k`` on the init pass, by nearest centroid
+    otherwise — and emit the k×(d+1) partial (cluster, dim, val) sums.
+    Only these fixed-size partials leave the task; vectors never move."""
+
+    def __init__(self, centroids_ref, k: int, id_col: str, col: str):
+        import ray
+        self.C = None
+        if centroids_ref is not None:
+            c = centroids_ref
+            self.cids, self.C = c if isinstance(c, tuple) else ray.get(c)
+        self.k, self.id_col, self.col = k, id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize(_to_matrix(batch.column(self.col)))
+        col = batch.column(self.id_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        ids = col.to_numpy().astype(np.int64, copy=False)
+        if self.C is None:
+            a = ids % self.k          # deterministic, RNG-free init
+            cid_of = np.arange(self.k, dtype=np.int64)
+        else:
+            a = np.argmax(X @ self.C.T, axis=1)
+            cid_of = self.cids
+        d = X.shape[1]
+        cs, dims, vals = [], [], []
+        for j in np.unique(a):
+            m = a == j
+            cs.append(np.full(d + 1, cid_of[j], dtype=np.int64))
+            dims.append(np.arange(-1, d, dtype=np.int64))  # dim -1 = count
+            vals.append(np.concatenate([[float(m.sum())], X[m].sum(axis=0)]))
+        return pa.table({
+            "c": pa.array(np.concatenate(cs)),
+            "dim": pa.array(np.concatenate(dims)),
+            "val": pa.array(np.concatenate(vals), type=pa.float64()),
+        })
+
+
+def _kmeans_step(ds, centroids, k: int, id_col: str, col: str):
+    """One distributed Lloyd step → (cluster_ids, centroid_matrix) with
+    empty clusters dropped (rows sorted by cluster id, so downstream
+    argmax tie-breaks resolve to the lowest id — SQL ROW_NUMBER parity)."""
+    import ray
+    ref = ray.put(centroids) if centroids is not None else None
+    partials = ds.map_batches(
+        _KMeansPartialStage,
+        fn_constructor_kwargs=dict(centroids_ref=ref, k=k,
+                                   id_col=id_col, col=col),
+        batch_format="pyarrow", batch_size=16384,
+        concurrency=(1, 16)).to_pandas()
+    agg = partials.groupby(["c", "dim"], sort=True)["val"].sum()
+    counts = agg.xs(-1, level="dim")
+    cids = np.asarray(counts.index[counts.to_numpy() > 0], dtype=np.int64)
+    sums = agg.drop(index=-1, level="dim").unstack()  # (c, d)
+    C = sums.loc[cids].to_numpy() / counts.loc[cids].to_numpy()[:, None]
+    return cids, _normalize(C)
+
+
+class _KMeansAssignStage:
+    def __init__(self, centroids_ref, id_col: str, col: str):
+        import ray
+        c = centroids_ref
+        self.cids, self.C = c if isinstance(c, tuple) else ray.get(c)
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize(_to_matrix(batch.column(self.col)))
+        a = np.argmax(X @ self.C.T, axis=1)
+        return pa.table({
+            self.id_col: pc.cast(batch.column(self.id_col), pa.int64()),
+            "cluster": pa.array(self.cids[a], type=pa.int64()),
+        })
+
+
+def kmeans_assign(ds, k: int = 8, iters: int = 1, id_col: str = "vec_id",
+                  col: str = "embedding"):
+    """Distributed spherical k-means (Lloyd) over an embedding column —
+    the clustering pass of SemDeDup-style curation (Abbas et al.,
+    arXiv:2303.09540) and of data-mixing pipelines.
+
+    Deterministic and RNG-free: init centroid j = L2-normalized per-dim
+    mean of the vectors with ``vec_id % k == j`` (SQL-reproducible),
+    then ``iters`` Lloyd updates. Each update is one ``map_batches``
+    pass emitting k×(d+1) partial sums per batch + a tiny driver reduce
+    — vectors never shuffle, per-iteration traffic is O(k·d·n_batches).
+    A cluster emptied by reassignment is dropped (it can never win a
+    later argmax), exactly as its rows vanish from the SQL oracle's
+    GROUP BY. Returns (vec_id, cluster) with cluster = the retained
+    init-cluster id; cosine ties resolve to the lowest cluster id."""
+    import ray
+    centroids = None
+    for _ in range(iters + 1):       # init pass + `iters` updates
+        centroids = _kmeans_step(ds, centroids, k, id_col, col)
+    ref = ray.put(centroids)
+    return ds.map_batches(
+        _KMeansAssignStage,
+        fn_constructor_kwargs=dict(centroids_ref=ref, id_col=id_col,
+                                   col=col),
+        batch_format="pyarrow", concurrency=(1, 8))

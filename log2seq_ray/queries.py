@@ -709,6 +709,13 @@ def q_dup_spans(sf_dir: str):
     return dup_spans(_docs(sf_dir, ["doc_id", "text"]), window=8)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed spherical k-means (k=8, init + 1 Lloyd update) over
+    the embeddings table; deterministic id-mod init, no RNG."""
+    from .ops.similarity import kmeans_assign
+    return kmeans_assign(_embeddings(sf_dir), k=8, iters=1)
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "route_counts": q_route_counts,
@@ -762,6 +769,7 @@ QUERIES = {
     "shuffle_rank": q_shuffle_rank,
     "bpe_token_stats": q_bpe_token_stats,
     "dup_spans": q_dup_spans,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 _LATIN = "'en','de','es','fr','pt','it','nl'"
@@ -1529,4 +1537,32 @@ ORACLE_SQL["dup_spans"] = f"""
     SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
            CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
     FROM S GROUP BY doc_id, gid
+"""
+
+ORACLE_SQL["kmeans_clusters"] = """
+    WITH E AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                      CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1
+                          AS dim
+               FROM embeddings),
+    N AS (SELECT vec_id, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nn
+          FROM E GROUP BY vec_id),
+    X AS (SELECT e.vec_id, e.dim, e.v / n.nn AS x
+          FROM E e JOIN N n USING (vec_id)),
+    C0 AS (SELECT vec_id % 8 AS c, dim, AVG(x) AS m FROM X GROUP BY 1, 2),
+    C0N AS (SELECT c, dim, m / GREATEST(SQRT(SUM(m * m)
+                OVER (PARTITION BY c)), 1e-12) AS cv FROM C0),
+    S1 AS (SELECT x.vec_id, c0.c, SUM(x.x * c0.cv) AS dot
+           FROM X x JOIN C0N c0 USING (dim) GROUP BY 1, 2),
+    A1 AS (SELECT vec_id, c FROM (
+             SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dot DESC, c ASC) AS rn FROM S1) WHERE rn = 1),
+    C1 AS (SELECT a.c, x.dim, AVG(x.x) AS m
+           FROM X x JOIN A1 a USING (vec_id) GROUP BY 1, 2),
+    C1N AS (SELECT c, dim, m / GREATEST(SQRT(SUM(m * m)
+                OVER (PARTITION BY c)), 1e-12) AS cv FROM C1),
+    S2 AS (SELECT x.vec_id, c1.c, SUM(x.x * c1.cv) AS dot
+           FROM X x JOIN C1N c1 USING (dim) GROUP BY 1, 2)
+    SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
+        SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY dot DESC, c ASC) AS rn FROM S2) WHERE rn = 1
 """

@@ -903,3 +903,60 @@ def test_simhash_dups_rotations_raise_recall(ray_session):
         subset=["id_a", "id_b"])
     pairs4 = set(map(tuple, r4[["id_a", "id_b"]].values.tolist()))
     assert pairs1 <= pairs4          # rotations only ADD candidate buckets
+
+
+def _brute_kmeans(ids, X, k, iters):
+    """Reference spherical k-means with id-mod init and empty-cluster
+    drop, mirroring kmeans_assign's documented semantics."""
+    import numpy as np
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cids = np.arange(k)
+    a = ids % k
+    for _ in range(iters + 1):
+        keep = np.array(sorted({int(c) for c in a}))
+        C = np.stack([X[a == c].mean(axis=0) for c in keep])
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        cids = keep
+        a = cids[np.argmax(X @ C.T, axis=1)]
+    return dict(zip(ids.tolist(), a.tolist()))
+
+
+def test_kmeans_assign_matches_reference(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import kmeans_assign
+    rng = np.random.Generator(np.random.PCG64(7))
+    ids = np.arange(60, dtype=np.int64)
+    X = rng.normal(size=(60, 8))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              type=pa.list_(pa.float64()))})) \
+        .repartition(4)
+    for iters in (0, 1, 3):
+        got = kmeans_assign(ds, k=5, iters=iters).to_pandas()
+        got_map = dict(zip(got["vec_id"].astype(int),
+                           got["cluster"].astype(int)))
+        assert got_map == _brute_kmeans(ids, X, 5, iters)
+
+
+def test_kmeans_assign_drops_emptied_cluster(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import kmeans_assign
+    # 6 vectors in 2 tight bundles; k=3 init scatters them, but after one
+    # update every vector sits nearest one of 2 surviving centroids — the
+    # emptied cluster id must vanish from the output
+    base = np.array([[1.0, 0.0], [0.0, 1.0]])
+    X = np.concatenate([base[[0]] + 0.01 * i for i in range(3)]
+                       + [base[[1]] + 0.01 * i for i in range(3)])
+    ids = np.arange(6, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              type=pa.list_(pa.float64()))}))
+    got = kmeans_assign(ds, k=3, iters=2).to_pandas()
+    got_map = dict(zip(got["vec_id"].astype(int),
+                       got["cluster"].astype(int)))
+    assert got_map == _brute_kmeans(ids, X, 3, 2)
+    assert len(set(got_map.values())) < 3  # at least one cluster emptied
