@@ -211,6 +211,8 @@ def run_benchmarks() -> dict:
         timed("tfidf_top_terms",
               lambda: Q.q_tfidf_top_terms(SF_DIR).to_pandas())
         timed("dup_spans", lambda: Q.q_dup_spans(SF_DIR).to_pandas())
+        timed("quantile_filter",
+              lambda: Q.q_quantile_filter(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -95,3 +95,34 @@ def hopping_counts(ds, ts_col: str = "ts", by: str = "event_type",
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby([by, "window_start"]) \
         .aggregate(Sum("partial_n", alias_name="n"))
+
+
+def global_quantile_disc(ds, value_col: str, q: float = 0.5) -> float:
+    """Exact GLOBAL discrete quantile (sorted index ``floor((n-1)*q)``,
+    = DuckDB ``quantile_disc``) of a column whose distinct-value count is
+    bounded (token counts, scores, lengths — the curation metrics).
+
+    Distributed counting sort: per-batch value-count partials → one
+    narrow ``groupby(value)`` of distinct-value-sized rows → a driver
+    cumulative-sum pick over the tiny value histogram. Unlike routing
+    every row to one quantile partition, per-task and driver memory are
+    O(distinct values), independent of corpus size."""
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        g = b.select([value_col]).group_by(value_col) \
+            .aggregate([([], "count_all")])
+        return pa.table({value_col: g.column(value_col),
+                         "n_part": g.column("count_all")})
+
+    vc = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby(value_col).aggregate(Sum("n_part", alias_name="n")) \
+        .to_pandas()
+    if len(vc) == 0:  # empty-dataset to_pandas also drops the columns
+        raise ValueError("global_quantile_disc of an empty dataset")
+    vc = vc.sort_values(value_col)
+    n = int(vc["n"].sum())
+    idx = int(np.floor((n - 1) * q))
+    pos = int(np.searchsorted(vc["n"].cumsum().to_numpy(), idx,
+                              side="right"))
+    return vc[value_col].iloc[pos]

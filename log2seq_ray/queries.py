@@ -709,6 +709,30 @@ def q_dup_spans(sf_dir: str):
     return dup_spans(_docs(sf_dir, ["doc_id", "text"]), window=8)
 
 
+def q_quantile_filter(sf_dir: str):
+    """Keep documents at or above the exact global median token count —
+    the threshold comes from the distributed value-histogram quantile
+    (O(distinct values) memory, never a single-partition sort)."""
+    from .ops.stats import global_quantile_disc
+    from .ops.text import _token_lists
+
+    def ntok(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column("text"))
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_tokens": pa.array(
+                np.diff(np.asarray(toks.offsets, dtype=np.int64))),
+        })
+
+    # materialize the NARROW (2×int64) counts so the histogram pass and
+    # the filter pass don't both re-tokenize; the object store spills if
+    # it ever outgrows memory
+    counts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ntok, batch_format="pyarrow").materialize()
+    thr = global_quantile_disc(counts, "n_tokens", 0.5)
+    return counts.filter(expr=f"n_tokens >= {int(thr)}")
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means (k=8, init + 1 Lloyd update) over
     the embeddings table; deterministic id-mod init, no RNG."""
@@ -770,6 +794,7 @@ QUERIES = {
     "bpe_token_stats": q_bpe_token_stats,
     "dup_spans": q_dup_spans,
     "kmeans_clusters": q_kmeans_clusters,
+    "quantile_filter": q_quantile_filter,
 }
 
 _LATIN = "'en','de','es','fr','pt','it','nl'"
@@ -1565,4 +1590,11 @@ ORACLE_SQL["kmeans_clusters"] = """
     SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
         SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
             ORDER BY dot DESC, c ASC) AS rn FROM S2) WHERE rn = 1
+"""
+
+ORACLE_SQL["quantile_filter"] = f"""
+    WITH N AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+               FROM documents)
+    SELECT doc_id, n_tokens FROM N
+    WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.5) FROM N)
 """

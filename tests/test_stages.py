@@ -960,3 +960,21 @@ def test_kmeans_assign_drops_emptied_cluster(ray_session):
                        got["cluster"].astype(int)))
     assert got_map == _brute_kmeans(ids, X, 3, 2)
     assert len(set(got_map.values())) < 3  # at least one cluster emptied
+
+
+def test_global_quantile_disc_matches_sorted_pick(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from log2seq_ray.ops.stats import global_quantile_disc
+    rng = np.random.Generator(np.random.PCG64(3))
+    vals = rng.integers(0, 50, size=501)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, type=pa.int64())})) \
+        .repartition(5)
+    srt = np.sort(vals)
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        expect = srt[int(np.floor((len(vals) - 1) * q))]
+        assert global_quantile_disc(ds, "v", q) == expect
+    with pytest.raises(ValueError):
+        global_quantile_disc(
+            rd.from_arrow(pa.table({"v": pa.array([], type=pa.int64())})),
+            "v", 0.5)
