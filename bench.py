@@ -253,6 +253,14 @@ def run_benchmarks() -> dict:
         timed("kmeans_2m",
               lambda: kmeans_assign(rd.read_parquet(ec), k=16,
                                     iters=2).count())
+        from log2seq_ray.ops.similarity import semdedup
+        timed("semdedup", lambda: Q.q_semdedup(SF_DIR).to_pandas())
+        # SemDeDup stress: 2M vectors, k=256 keeps clusters ~8k — the
+        # O(b²) within-cluster scan stays bounded by the k lever
+        extras["semdedup_2m_survivors"] = timed(
+            "semdedup_2m",
+            lambda: semdedup(rd.read_parquet(ec), k=256, iters=1,
+                             threshold=0.95, num_parts=64).count())
 
     ray.shutdown()
     headline = timings["flagship"]

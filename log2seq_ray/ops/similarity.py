@@ -294,12 +294,97 @@ def kmeans_assign(ds, k: int = 8, iters: int = 1, id_col: str = "vec_id",
     GROUP BY. Returns (vec_id, cluster) with cluster = the retained
     init-cluster id; cosine ties resolve to the lowest cluster id."""
     import ray
-    centroids = None
-    for _ in range(iters + 1):       # init pass + `iters` updates
-        centroids = _kmeans_step(ds, centroids, k, id_col, col)
-    ref = ray.put(centroids)
+    ref = ray.put(kmeans_centroids(ds, k, iters, id_col, col))
     return ds.map_batches(
         _KMeansAssignStage,
         fn_constructor_kwargs=dict(centroids_ref=ref, id_col=id_col,
                                    col=col),
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+def kmeans_centroids(ds, k: int, iters: int, id_col: str = "vec_id",
+                     col: str = "embedding"):
+    """The (cluster_ids, centroid_matrix) pair `kmeans_assign` assigns
+    against: one init pass (by ``id % k``) + ``iters`` Lloyd updates."""
+    centroids = None
+    for _ in range(iters + 1):
+        centroids = _kmeans_step(ds, centroids, k, id_col, col)
+    return centroids
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: within-cluster cosine dedup
+# ---------------------------------------------------------------------------
+
+def _semdedup_partition(threshold, id_col, pieces):
+    """One exchange partition (keyed on cluster): for each cluster, a
+    vector is dropped when a SMALLER-id vector in the same cluster has
+    cosine >= threshold with it (keep-first-representative rule)."""
+    from .exchange import resolve_all_pieces
+    pieces = resolve_all_pieces(pieces)
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "cluster": pa.array([], type=pa.int64())})
+    pieces = [p for p in pieces if p.num_rows]
+    if not pieces:
+        return empty
+    t = pa.concat_tables(pieces)
+    ids = t.column(id_col).to_numpy()
+    cl = t.column("cluster").to_numpy()
+    X = _normalize(_to_matrix(t.column("embedding")))
+    out_i, out_c = [], []
+    chunk = 2048          # bounds the similarity slab at chunk×b floats
+    for c in np.unique(cl):
+        m = cl == c
+        cid, cx = ids[m], X[m]
+        order = np.argsort(cid, kind="stable")
+        cid, cx = cid[order], cx[order]
+        b = len(cid)
+        dup = np.zeros(b, dtype=bool)
+        for lo in range(0, b, chunk):
+            hi = min(lo + chunk, b)
+            S = cx[lo:hi] @ cx[:hi].T           # rows i ∈ [lo,hi), cols j < hi
+            older = np.arange(lo, hi)[:, None] > np.arange(hi)[None, :]
+            dup[lo:hi] = ((S >= threshold) & older).any(axis=1)
+        out_i.append(cid[~dup])
+        out_c.append(np.full(int((~dup).sum()), c, dtype=np.int64))
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_i), type=pa.int64()),
+        "cluster": pa.array(np.concatenate(out_c), type=pa.int64()),
+    })
+
+
+class _AssignKeepStage(_KMeansAssignStage):
+    """Assignment that also carries the embedding (for the dedup scan)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        return out.append_column("embedding", pc.cast(
+            batch.column(self.col), pa.list_(pa.float64())))
+
+
+def semdedup(ds, k: int = 8, iters: int = 1, threshold: float = 0.9,
+             id_col: str = "vec_id", col: str = "embedding",
+             num_parts: int = 16):
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
+    embeddings, then within each cluster drop every vector that has a
+    smaller-id near-twin at cosine >= ``threshold``. Returns surviving
+    (vec_id, cluster).
+
+    Scale shape: the clustering pass ships only k×(d+1) partials
+    (``kmeans_assign``); the dedup pass exchanges each vector ONCE keyed
+    on its cluster and runs one O(b²) cosine scan per cluster — b is
+    bounded by choosing k ~ n/target_cluster_size, the same lever the
+    paper uses (their clusters are ~100k vectors for 100M points)."""
+    import ray
+    from .exchange import hash_exchange
+    ref = ray.put(kmeans_centroids(ds, k, iters, id_col, col))
+    # big batches: the exchange splits every upstream block into
+    # num_parts pieces, so thousands of 1k-row blocks would mean 100k+
+    # tiny objects (measured 512s → 25s on 2M vectors from this alone)
+    assigned = ds.map_batches(
+        _AssignKeepStage,
+        fn_constructor_kwargs=dict(centroids_ref=ref, id_col=id_col,
+                                   col=col),
+        batch_format="pyarrow", batch_size=16384, concurrency=(1, 8))
+    return hash_exchange(assigned, "cluster", _semdedup_partition,
+                         num_parts, fn_args=(threshold, id_col))

@@ -589,12 +589,11 @@ def q_video_frames(sf_dir: str):
     return frame_pipeline(sf_dir)
 
 
-def q_embedding_dups(sf_dir: str):
-    """Cosine near-dup pairs over the embeddings table augmented with a
-    deterministic perturbed copy of every 5th vector (the raw table has no
-    natural pairs above 0.9 — the augmentation exercises the positive path
-    and is reproduced verbatim by the SQL oracle)."""
-    from .ops.dedup import embedding_dups
+def _aug_embeddings(sf_dir: str):
+    """Embeddings table plus a deterministic perturbed copy of every 5th
+    vector (id + 100000, first dim + 0.5) — the raw table has no natural
+    cosine pairs above 0.9, so the augmentation exercises the positive
+    dedup path; the SQL oracles reproduce it verbatim."""
     from .ops.similarity import _to_matrix
 
     def perturb(b: pa.Table) -> pa.Table:
@@ -610,14 +609,27 @@ def q_embedding_dups(sf_dir: str):
         })
 
     base = _embeddings(sf_dir)
-    aug = base.map_batches(
+    return base.map_batches(
         lambda b: pa.table({
             "vec_id": b.column("vec_id"),
             "embedding": pc.cast(b.column("embedding"),
                                  pa.list_(pa.float64()))}),
         batch_format="pyarrow") \
         .union(base.map_batches(perturb, batch_format="pyarrow"))
-    return embedding_dups(aug, threshold=0.9, n_centroids=8, n_assign=3)
+
+
+def q_embedding_dups(sf_dir: str):
+    """Cosine near-dup pairs over the augmented embeddings table."""
+    from .ops.dedup import embedding_dups
+    return embedding_dups(_aug_embeddings(sf_dir), threshold=0.9,
+                          n_centroids=8, n_assign=3)
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup over the augmented embeddings: k-means (k=8, 1 Lloyd
+    update), then within-cluster cosine >= 0.9 keep-first dedup."""
+    from .ops.similarity import semdedup
+    return semdedup(_aug_embeddings(sf_dir), k=8, iters=1, threshold=0.9)
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -795,6 +807,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "kmeans_clusters": q_kmeans_clusters,
     "quantile_filter": q_quantile_filter,
+    "semdedup": q_semdedup,
 }
 
 _LATIN = "'en','de','es','fr','pt','it','nl'"
@@ -1597,4 +1610,49 @@ ORACLE_SQL["quantile_filter"] = f"""
                FROM documents)
     SELECT doc_id, n_tokens FROM N
     WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.5) FROM N)
+"""
+
+ORACLE_SQL["semdedup"] = """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+    aug AS (SELECT * FROM base
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(range(1, len(e) + 1),
+                       i -> CASE WHEN i = 1 THEN e[i] + 0.5
+                                 ELSE e[i] END)
+            FROM base WHERE vec_id % 5 = 0),
+    E AS (SELECT vec_id, unnest(e) AS v,
+                 CAST(generate_subscripts(e, 1) AS BIGINT) - 1 AS dim
+          FROM aug),
+    N AS (SELECT vec_id, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nn
+          FROM E GROUP BY vec_id),
+    X AS (SELECT e.vec_id, e.dim, e.v / n.nn AS x
+          FROM E e JOIN N n USING (vec_id)),
+    C0 AS (SELECT vec_id % 8 AS c, dim, AVG(x) AS m FROM X GROUP BY 1, 2),
+    C0N AS (SELECT c, dim, m / GREATEST(SQRT(SUM(m * m)
+                OVER (PARTITION BY c)), 1e-12) AS cv FROM C0),
+    S1 AS (SELECT x.vec_id, c0.c, SUM(x.x * c0.cv) AS dot
+           FROM X x JOIN C0N c0 USING (dim) GROUP BY 1, 2),
+    A1 AS (SELECT vec_id, c FROM (
+             SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dot DESC, c ASC) AS rn FROM S1) WHERE rn = 1),
+    C1 AS (SELECT a.c, x.dim, AVG(x.x) AS m
+           FROM X x JOIN A1 a USING (vec_id) GROUP BY 1, 2),
+    C1N AS (SELECT c, dim, m / GREATEST(SQRT(SUM(m * m)
+                OVER (PARTITION BY c)), 1e-12) AS cv FROM C1),
+    S2 AS (SELECT x.vec_id, c1.c, SUM(x.x * c1.cv) AS dot
+           FROM X x JOIN C1N c1 USING (dim) GROUP BY 1, 2),
+    A2 AS (SELECT vec_id, c FROM (
+             SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dot DESC, c ASC) AS rn FROM S2) WHERE rn = 1),
+    XC AS (SELECT x.vec_id, a.c, x.dim, x.x
+           FROM X x JOIN A2 a USING (vec_id)),
+    P AS (SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.x * b.x) AS dot
+          FROM XC a JOIN XC b
+              ON a.dim = b.dim AND a.c = b.c AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+    DR AS (SELECT DISTINCT ib FROM P WHERE dot >= 0.9)
+    SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM A2
+    WHERE vec_id NOT IN (SELECT ib FROM DR)
 """

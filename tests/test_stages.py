@@ -978,3 +978,34 @@ def test_global_quantile_disc_matches_sorted_pick(ray_session):
         global_quantile_disc(
             rd.from_arrow(pa.table({"v": pa.array([], type=pa.int64())})),
             "v", 0.5)
+
+
+def test_semdedup_matches_reference(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import semdedup
+    rng = np.random.Generator(np.random.PCG64(11))
+    ids = np.arange(40, dtype=np.int64)
+    X = rng.normal(size=(40, 8))
+    X[20] = X[10] + 0.001   # near-twin pair (may or may not co-cluster)
+    X[30] = X[10] + 0.002   # triple
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              type=pa.list_(pa.float64()))})) \
+        .repartition(3)
+    got = semdedup(ds, k=4, iters=1, threshold=0.95,
+                   num_parts=3).to_pandas()
+    # reference: same algorithm serially
+    assign = _brute_kmeans(ids, X, 4, 1)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    expect = {}
+    for i in ids:
+        twin = any(assign[j] == assign[i] and j < i
+                   and float(Xn[j] @ Xn[i]) >= 0.95 for j in ids)
+        if not twin:
+            expect[int(i)] = assign[i]
+    got_map = dict(zip(got["vec_id"].astype(int),
+                       got["cluster"].astype(int)))
+    assert got_map == expect
+    assert len(got_map) < len(ids)  # at least one twin dropped
