@@ -213,6 +213,12 @@ def run_benchmarks() -> dict:
         timed("dup_spans", lambda: Q.q_dup_spans(SF_DIR).to_pandas())
         timed("quantile_filter",
               lambda: Q.q_quantile_filter(SF_DIR).to_pandas())
+        timed("heavy_hitters",
+              lambda: Q.q_heavy_hitters(SF_DIR).to_pandas())
+        timed("dsir_weights",
+              lambda: Q.q_dsir_weights(SF_DIR).to_pandas())
+        timed("bloom_hits", lambda: Q.q_bloom_hits(SF_DIR).to_pandas())
+        timed("priority_sample", lambda: Q.q_priority_sample(SF_DIR))
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -823,3 +823,106 @@ def dup_spans(ds, window: int = 8, num_parts=None,
     dups = hash_exchange(rows, "g", _dupwin_partition, num_parts)
     return hash_exchange(dups, "doc_id", _span_partition, num_parts,
                          fn_args=(window,))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed importance weights
+# ---------------------------------------------------------------------------
+
+def _dsir_count_partial(buckets: int, lang_col, target_langs, id_col,
+                        col, batch: pa.Table) -> pa.Table:
+    """Per-batch hashed-unigram bucket counts for the raw corpus AND the
+    target slice in one pass: (bucket, raw_n, tgt_n) rows — at most
+    ``buckets`` per batch, the fixed-size partial that makes the model
+    fit shuffle-free at any corpus size."""
+    toks = _token_lists(batch.column(col))
+    flat = pc.list_flatten(toks)
+    counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+    is_tgt = np.repeat(
+        np.asarray(pc.is_in(batch.column(lang_col),
+                            value_set=pa.array(sorted(target_langs)))),
+        counts)
+    vc = pc.value_counts(flat)
+    uniq = vc.field("values").to_pylist()
+    b_of = np.fromiter((_md5_60(t) % buckets for t in uniq),
+                       dtype=np.int64, count=len(uniq))
+    # map every flat token to its distinct index -> bucket
+    idx = pc.index_in(flat, value_set=vc.field("values"))
+    tok_b = b_of[np.asarray(idx)]
+    raw = np.bincount(tok_b, minlength=buckets)
+    tgt = np.bincount(tok_b[is_tgt], minlength=buckets)
+    nz = (raw > 0).nonzero()[0]
+    return pa.table({
+        "bucket": pa.array(nz.astype(np.int64)),
+        "raw_n": pa.array(raw[nz].astype(np.int64)),
+        "tgt_n": pa.array(tgt[nz].astype(np.int64)),
+    })
+
+
+class _DSIRScoreStage:
+    """Broadcast the <= ``buckets`` ratio table once per actor; per batch
+    the doc weight is a reduceat sum over its tokens' bucket ratios."""
+
+    def __init__(self, ratio_ref, buckets, id_col, col):
+        import ray
+        self.ratios = ray.get(ratio_ref)   # int64[buckets]
+        self.buckets, self.id_col, self.col = buckets, id_col, col
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch.column(self.col))
+        flat = pc.list_flatten(toks)
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        vc = pc.value_counts(flat)
+        uniq = vc.field("values").to_pylist()
+        b_of = np.empty(len(uniq), dtype=np.int64)
+        for j, t in enumerate(uniq):
+            b = self._cache.get(t)
+            if b is None:
+                b = _md5_60(t) % self.buckets
+                self._cache[t] = b
+            b_of[j] = b
+        idx = pc.index_in(flat, value_set=vc.field("values"))
+        per_tok = self.ratios[b_of[np.asarray(idx)]] \
+            if len(flat) else np.array([], dtype=np.int64)
+        cs = np.concatenate([[0], np.cumsum(per_tok)])
+        w = cs[offsets[1:]] - cs[offsets[:-1]]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "weight": pa.array(w.astype(np.int64)),
+        })
+
+
+def dsir_weights(ds, target_langs=("en",), buckets: int = 256,
+                 scale: int = 1_000_000, lang_col: str = "lang",
+                 id_col: str = "doc_id", col: str = "text"):
+    """DSIR-style (Xie et al., arXiv:2302.03169) importance weights via
+    hashed unigram features: bucket b's importance ratio is the
+    INTEGER-EXACT ``(tgt_b + 1) * scale // (raw_b + 1)`` (add-one
+    smoothed target-vs-raw frequency ratio; integer arithmetic so the
+    SQL oracle matches bit-for-bit — the paper's log-ratio is monotone
+    in this for fixed token count), and a document's weight is the sum
+    of its tokens' bucket ratios. Two passes: a fixed-``buckets``-size
+    count partial + one tiny groupby fits the model; scoring streams
+    with the ratio table broadcast once per actor. Returns (id, weight).
+    """
+    import ray
+    from functools import partial as _p
+    from ray.data.aggregate import Sum
+
+    merged = ds.map_batches(
+        _p(_dsir_count_partial, buckets, lang_col, set(target_langs),
+           id_col, col),
+        batch_format="pyarrow").repartition(4) \
+        .groupby("bucket") \
+        .aggregate(Sum("raw_n", alias_name="raw"),
+                   Sum("tgt_n", alias_name="tgt")).take_all()
+    ratios = np.full(buckets, scale, dtype=np.int64)   # empty: (0+1)/(0+1)
+    for r in merged:
+        ratios[r["bucket"]] = (r["tgt"] + 1) * scale // (r["raw"] + 1)
+    ref = ray.put(ratios)
+    return ds.map_batches(
+        _DSIRScoreStage,
+        fn_constructor_kwargs=dict(ratio_ref=ref, buckets=buckets,
+                                   id_col=id_col, col=col),
+        batch_format="pyarrow", concurrency=(1, 8))

@@ -195,3 +195,164 @@ def cms_sketch(ds, depth: int = 4, width: int = 256, col: str = "text"):
             depth=depth, width=width, col=col),
         batch_format="pyarrow", concurrency=(1, 8)) \
         .groupby(["r", "c"]).aggregate(Sum("n_part", alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (Misra-Gries-pruned two-pass)
+# ---------------------------------------------------------------------------
+
+def _mg_partial(col: str, k: int, batch: pa.Table) -> pa.Table:
+    """Per-batch Misra-Gries summary over the token stream: exact batch
+    counts compressed to at most ``k`` counters by subtracting the
+    (k+1)-th largest count ``d`` (every dropped token had count <= d).
+    One extra row with token ``""`` (impossible for real tokens — the
+    tokenizer drops empties) carries (d, batch token total): after the
+    merge, ``sum(d)`` bounds how much any token's true count can exceed
+    its merged counter, and ``sum(total)`` is the corpus token count."""
+    import pyarrow.compute as pc
+    from .text import _token_lists
+    flat = pc.list_flatten(_token_lists(batch.column(col)))
+    total = len(flat)
+    d = 0
+    if total:
+        vc = pc.value_counts(flat)
+        tokens = vc.field("values")
+        counts = np.asarray(vc.field("counts"), dtype=np.int64)
+        if len(counts) > k:
+            d = int(np.partition(counts, -(k + 1))[-(k + 1)])
+            keep = counts > d
+            tokens = tokens.filter(pa.array(keep))
+            counts = counts[keep] - d
+    else:
+        tokens = pa.array([], type=pa.string())
+        counts = np.array([], dtype=np.int64)
+    tok_arr = pc.cast(tokens, pa.string())
+    if isinstance(tok_arr, pa.ChunkedArray):
+        tok_arr = tok_arr.combine_chunks()
+    return pa.table({
+        "token": pa.concat_arrays([tok_arr, pa.array([""])]),
+        "partial_n": pa.array(np.append(counts, d)),
+        "partial_total": pa.array(
+            np.append(np.zeros(len(counts), dtype=np.int64), total)),
+    })
+
+
+def heavy_hitters(ds, num: int = 1, den: int = 64, k: int = 256,
+                  col: str = "text"):
+    """EXACT tokens with count >= ceil(num/den * corpus token count), at
+    any ``k`` (two-pass): pass 1 merges per-batch Misra-Gries summaries
+    (<= k+1 narrow rows per batch cross the shuffle, never the
+    vocabulary) and prunes to candidates whose UPPER BOUND
+    ``merged counter + sum(d)`` clears the threshold — a superset of the
+    true heavy hitters by the MG guarantee; pass 2 broadcasts the (small)
+    candidate set and counts only those tokens exactly. ``k`` trades
+    candidate-set size against summary width; correctness never depends
+    on it. Returns a Dataset of (token, n)."""
+    import ray
+    from functools import partial as _p
+    from ray.data.aggregate import Sum
+
+    merged = ds.map_batches(_p(_mg_partial, col, k),
+                            batch_format="pyarrow") \
+        .repartition(8).groupby("token") \
+        .aggregate(Sum("partial_n", alias_name="ub"),
+                   Sum("partial_total", alias_name="tot"))
+    meta = merged.filter(lambda r: r["token"] == "").take_all()
+    d_sum = meta[0]["ub"] if meta else 0
+    n_tok = meta[0]["tot"] if meta else 0
+    mc = -(-n_tok * num // den)          # ceil
+    cands = merged.filter(
+        lambda r: r["token"] != "" and r["ub"] + d_sum >= mc) \
+        .select_columns(["token"]).take_all()
+    cand_arr = pa.array(sorted(r["token"] for r in cands),
+                        type=pa.string())
+    ref = ray.put(cand_arr)
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from .text import _token_lists
+        flat = pc.list_flatten(_token_lists(b.column(col)))
+        flat = flat.filter(pc.is_in(flat, value_set=ray.get(ref)))
+        if not len(flat):
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "partial_n": pa.array([], type=pa.int64())})
+        vc = pc.value_counts(flat)
+        return pa.table({
+            "token": pc.cast(vc.field("values"), pa.string()),
+            "partial_n": pc.cast(vc.field("counts"), pa.int64())})
+
+    return ds.map_batches(exact_partial, batch_format="pyarrow") \
+        .repartition(4).groupby("token") \
+        .aggregate(Sum("partial_n", alias_name="n")) \
+        .filter(lambda r: r["n"] >= mc)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (dedup pre-filter)
+# ---------------------------------------------------------------------------
+
+def bloom_positions(values, m_bits: int, k: int) -> np.ndarray:
+    """``(len(values), k)`` bit positions via Kirsch-Mitzenmacher double
+    hashing over the 60-bit md5 prefix: ``h1 = h >> 30``,
+    ``h2 = h & (2^30 - 1)``, ``pos_i = (h1 + i*h2) % m_bits``.
+    ``values`` are the exact digest input BYTES (``hashutil.bytes_list``);
+    SQL-reproducible with the md5 bridge + integer div/mod."""
+    h = np.fromiter(
+        (int(hashlib.md5(v).hexdigest()[:15], 16) for v in values),
+        dtype=np.int64, count=len(values))
+    h1 = h >> 30
+    h2 = h & ((1 << 30) - 1)
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % m_bits
+
+
+def bloom_member(build_ds, probe_ds, key_col: str = "text",
+                 m_bits: int = 1 << 16, k: int = 4):
+    """Bloom-filter membership of ``probe_ds[key_col]`` against the keys
+    of ``build_ds`` — the classic dedup PRE-filter (hit=1 rows go to an
+    exact check; hit=0 rows are definitely new). Deterministic including
+    its false positives, so the SQL oracle reproduces it exactly.
+
+    Scale shape: per-batch bitmap partials (m_bits/8 bytes each) OR-merge
+    associatively — first within coalesced blocks, then over the <=
+    num_blocks block results driver-side — so the driver never sees more
+    than ``num_blocks`` bitmaps; the probe side streams against one
+    ``ray.put`` broadcast of the final bitmap."""
+    import ray
+    from .hashutil import bytes_list
+    nbytes = m_bits // 8
+
+    def bitmap_partial(b: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        if b.num_rows:
+            pos = bloom_positions(bytes_list(b.column(key_col)),
+                                  m_bits, k).ravel()
+            np.bitwise_or.at(bm, pos >> 3,
+                             np.left_shift(1, pos & 7).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    def or_block(b: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for v in b.column("bm").to_pylist():
+            acc |= np.frombuffer(v, dtype=np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()],
+                                        type=pa.binary())})
+
+    parts = build_ds.map_batches(bitmap_partial, batch_format="pyarrow") \
+        .repartition(8).map_batches(or_block, batch_format="pyarrow") \
+        .take_all()
+    final = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        final |= np.frombuffer(row["bm"], dtype=np.uint8)
+    ref = ray.put(final)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        if not b.num_rows:
+            return b.append_column("hit", pa.array([], type=pa.int64()))
+        pos = bloom_positions(bytes_list(b.column(key_col)), m_bits, k)
+        bits = (bm[pos >> 3] >> (pos & 7)) & 1
+        return b.append_column(
+            "hit", pa.array(bits.all(axis=1).astype(np.int64)))
+
+    return probe_ds.map_batches(probe, batch_format="pyarrow")

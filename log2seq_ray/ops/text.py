@@ -471,3 +471,40 @@ def repetition_scores(batch: pa.Table, col: str = "text") -> pa.Table:
         "n_bigrams": pa.array(n_bigrams, type=pa.int64()),
         "max_bigram_n": pa.array(max_rep, type=pa.int64()),
     })
+
+
+def priority_sample(ds, k: int, weight_col: str, key_col: str):
+    """Deterministic weight-proportional sample: the k rows with the
+    largest priority ``min(w, 8191) * 2^50 // (h50 + 1)`` where ``h50``
+    is the top 50 bits of ``md5(str(key))``'s 60-bit prefix (priority
+    sampling, Duffield et al. — ``w / uniform`` with the uniform drawn
+    from the key hash, so the draw is reproducible across runs AND
+    engines; all-integer so SQL agrees bit-for-bit; the 8191 weight cap
+    keeps the product inside int64). Tie-break (priority desc, key asc).
+
+    NO corpus shuffle: per-batch local top-k partial + a ``k × n_blocks``
+    driver merge, same shape as ``stratified_sample``. Returns pandas
+    (key, weight, priority)."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        from .hashutil import value_bytes
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        h50 = np.fromiter(
+            (int(hashlib.md5(v).hexdigest()[:15], 16) >> 10
+             for v in value_bytes(keys)), dtype=np.int64, count=len(keys))
+        w = np.minimum(b.column(weight_col)
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.int64), 8191)
+        pk = (w << 50) // (h50 + 1)
+        t = pa.table({key_col: b.column(key_col),
+                      weight_col: b.column(weight_col),
+                      "priority": pa.array(pk)})
+        idx = pc.sort_indices(t, sort_keys=[("priority", "descending"),
+                                            (key_col, "ascending")])
+        return t.take(idx.slice(0, k))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.sort_values(["priority", key_col],
+                             ascending=[False, True]).head(k) \
+        .reset_index(drop=True)

@@ -1656,3 +1656,96 @@ ORACLE_SQL["semdedup"] = """
     SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM A2
     WHERE vec_id NOT IN (SELECT ib FROM DR)
 """
+
+
+def q_heavy_hitters(sf_dir: str):
+    """EXACT tokens with >= 1/64 of the corpus token mass, via merged
+    per-batch Misra-Gries summaries (upper-bound prune) + a second exact
+    pass over the (small) candidate set."""
+    from .ops.sketch import heavy_hitters
+    return heavy_hitters(_docs(sf_dir, ["text"]), num=1, den=64, k=16)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style hashed-unigram importance weights (target = lang 'en'
+    docs, 256 md5 buckets, integer-exact add-one ratio sum per doc)."""
+    from .ops.curation import dsir_weights
+    return dsir_weights(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                        target_langs=("en",), buckets=256)
+
+
+def q_bloom_hits(sf_dir: str):
+    """Bloom-filter membership (2^16 bits, 4 double-hashed probes) of
+    every document's text against the filter built from EVEN doc_ids:
+    even docs are guaranteed hits, odd docs hit only on (deterministic,
+    SQL-reproduced) false positives."""
+    from .ops.sketch import bloom_member
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    build = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(
+            b.column("doc_id"), 1), 0)), batch_format="pyarrow")
+    return bloom_member(build, docs, key_col="text") \
+        .select_columns(["doc_id", "hit"])
+
+
+def q_priority_sample(sf_dir: str):
+    """Deterministic weight-proportional (n_chars) top-50 priority
+    sample over documents."""
+    from .ops.text import priority_sample
+    return priority_sample(_docs(sf_dir, ["doc_id", "n_chars"]), k=50,
+                           weight_col="n_chars", key_col="doc_id")
+
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+QUERIES["dsir_weights"] = q_dsir_weights
+QUERIES["bloom_hits"] = q_bloom_hits
+QUERIES["priority_sample"] = q_priority_sample
+
+ORACLE_SQL["heavy_hitters"] = f"""
+    WITH T AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+    TOT AS (SELECT COUNT(*) AS n_tok FROM T)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM T GROUP BY token
+    HAVING COUNT(*) * 64 >= (SELECT n_tok FROM TOT)
+"""
+
+ORACLE_SQL["dsir_weights"] = f"""
+    WITH T AS (SELECT doc_id, lang, unnest({_TOKENS}) AS token
+               FROM documents),
+    B AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT % 256
+                     AS bucket
+          FROM T),
+    C AS (SELECT bucket, COUNT(*) AS raw,
+                 COUNT(*) FILTER (WHERE lang = 'en') AS tgt
+          FROM B GROUP BY bucket),
+    R AS (SELECT bucket, (tgt + 1) * 1000000 // (raw + 1) AS r FROM C),
+    W AS (SELECT b.doc_id, SUM(r.r) AS w
+          FROM B b JOIN R r USING (bucket) GROUP BY b.doc_id)
+    SELECT d.doc_id, CAST(COALESCE(w.w, 0) AS BIGINT) AS weight
+    FROM documents d LEFT JOIN W w USING (doc_id)
+"""
+
+ORACLE_SQL["bloom_hits"] = """
+    WITH H AS (SELECT doc_id,
+                      ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+               FROM documents),
+    P AS (SELECT doc_id, h // 1073741824 AS h1, h % 1073741824 AS h2
+          FROM H),
+    BP AS (SELECT DISTINCT doc_id, (h1 + i * h2) % 65536 AS pos
+           FROM P, range(4) t(i)),
+    A AS (SELECT DISTINCT pos FROM BP WHERE doc_id % 2 = 0)
+    SELECT bp.doc_id,
+           CAST(CASE WHEN SUM(CASE WHEN a.pos IS NULL THEN 1 ELSE 0 END)
+                         = 0 THEN 1 ELSE 0 END AS BIGINT) AS hit
+    FROM BP bp LEFT JOIN A a USING (pos) GROUP BY bp.doc_id
+"""
+
+ORACLE_SQL["priority_sample"] = """
+    SELECT doc_id, n_chars,
+           CAST(CAST(LEAST(n_chars, 8191) AS HUGEINT) * 1125899906842624
+                // (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        ::BIGINT // 1024 + 1) AS BIGINT) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id ASC LIMIT 50
+"""

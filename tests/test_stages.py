@@ -1009,3 +1009,99 @@ def test_semdedup_matches_reference(ray_session):
                        got["cluster"].astype(int)))
     assert got_map == expect
     assert len(got_map) < len(ids)  # at least one twin dropped
+
+
+def test_heavy_hitters_exact_under_compression(ray_session):
+    import hashlib
+    from collections import Counter
+    import ray.data as rd
+    from log2seq_ray.ops.sketch import heavy_hitters
+    # 600 docs, heavy-tailed vocab far wider than k=4 so every batch
+    # partial is MG-compressed; exactness must survive anyway
+    docs = []
+    for i in range(600):
+        toks = ["hot"] * (3 if i % 2 else 1) + \
+               [f"w{i % 97}", f"rare{i}", f"mid{i % 13}"]
+        docs.append(" ".join(toks))
+    ds = rd.from_items([{"text": t} for t in docs]).repartition(6)
+    got = heavy_hitters(ds, num=1, den=50, k=4).to_pandas()
+    truth = Counter()
+    for t in docs:
+        truth.update(x for x in t.split(" ") if x)
+    n_tok = sum(truth.values())
+    mc = -(-n_tok // 50)
+    expect = {t: c for t, c in truth.items() if c >= mc}
+    assert dict(zip(got["token"], got["n"].astype(int))) == expect
+    assert "hot" in expect and len(expect) < len(truth)
+
+
+def test_bloom_member_matches_simulation(ray_session):
+    import hashlib
+    import ray.data as rd
+    from log2seq_ray.ops.sketch import bloom_member, bloom_positions
+    build_keys = [f"key-{i}" for i in range(50)]
+    probe_keys = build_keys[:10] + [f"other-{i}" for i in range(40)]
+    b = rd.from_items([{"text": t} for t in build_keys]).repartition(3)
+    p = rd.from_items([{"text": t} for t in probe_keys]).repartition(3)
+    got = bloom_member(b, p, key_col="text", m_bits=1 << 10,
+                       k=3).to_pandas()
+    pos_set = set(bloom_positions([t.encode() for t in build_keys],
+                                  1 << 10, 3).ravel().tolist())
+    expect = {t: int(all(int(q) in pos_set for q in
+                         bloom_positions([t.encode()], 1 << 10, 3)[0]))
+              for t in probe_keys}
+    assert dict(zip(got["text"], got["hit"].astype(int))) == expect
+    assert all(expect[t] == 1 for t in build_keys[:10])  # members hit
+
+
+def test_dsir_weights_matches_brute(ray_session):
+    import hashlib
+    import ray.data as rd
+    from log2seq_ray.ops.curation import dsir_weights
+    rows = [{"doc_id": i,
+             "text": " ".join(f"t{(i * 7 + j) % 40}" for j in range(10)),
+             "lang": "en" if i % 3 == 0 else "de"} for i in range(90)]
+    rows.append({"doc_id": 90, "text": "", "lang": "en"})  # empty doc
+    ds = rd.from_items(rows).repartition(4)
+    got = dsir_weights(ds, target_langs=("en",), buckets=32).to_pandas()
+    raw = [0] * 32
+    tgt = [0] * 32
+    bmap = {}
+
+    def bk(t):
+        if t not in bmap:
+            bmap[t] = int(hashlib.md5(t.encode())
+                          .hexdigest()[:15], 16) % 32
+        return bmap[t]
+
+    for r in rows:
+        for t in r["text"].split(" "):
+            if t:
+                raw[bk(t)] += 1
+                if r["lang"] == "en":
+                    tgt[bk(t)] += 1
+    ratio = [(tgt[i] + 1) * 1_000_000 // (raw[i] + 1) for i in range(32)]
+    expect = {r["doc_id"]: sum(ratio[bk(t)] for t in r["text"].split(" ")
+                               if t) for r in rows}
+    assert dict(zip(got["doc_id"].astype(int),
+                    got["weight"].astype(int))) == expect
+    assert expect[90] == 0
+
+
+def test_priority_sample_matches_brute(ray_session):
+    import hashlib
+    import ray.data as rd
+    from log2seq_ray.ops.text import priority_sample
+    rows = [{"doc_id": i, "n_chars": (i * 31) % 9000} for i in range(200)]
+    ds = rd.from_items(rows).repartition(5)
+    got = priority_sample(ds, k=20, weight_col="n_chars",
+                          key_col="doc_id")
+    pks = {}
+    for r in rows:
+        h50 = int(hashlib.md5(str(r["doc_id"]).encode())
+                  .hexdigest()[:15], 16) >> 10
+        pks[r["doc_id"]] = min(r["n_chars"], 8191) * (1 << 50) // (h50 + 1)
+    expect = sorted(rows, key=lambda r: (-pks[r["doc_id"]],
+                                         r["doc_id"]))[:20]
+    assert got["doc_id"].tolist() == [r["doc_id"] for r in expect]
+    assert got["priority"].tolist() == [pks[r["doc_id"]] for r in expect]
