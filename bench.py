@@ -182,6 +182,7 @@ def run_benchmarks() -> dict:
         timed("exact_dedup", lambda: Q.q_exact_dedup(SF_DIR).to_pandas())
         timed("minhash_dedup", lambda: Q.q_minhash_dedup(SF_DIR))
         timed("knn_cosine", lambda: Q.q_knn_cosine(SF_DIR))
+        timed("srp_knn", lambda: Q.q_srp_knn(SF_DIR))
         timed("events_hourly", lambda: Q.q_events_hourly(SF_DIR).to_pandas())
         timed("parse_events", lambda: Q.q_parse_events(SF_DIR).to_pandas())
         timed("sessions", lambda: Q.q_sessions(SF_DIR).to_pandas())
@@ -259,6 +260,18 @@ def run_benchmarks() -> dict:
         timed("kmeans_2m",
               lambda: kmeans_assign(rd.read_parquet(ec), k=16,
                                     iters=2).count())
+        # ANN stress: same 2M-vector corpus, brute-force vs SRP-LSH
+        # (12 planes / probe 1 → ~13/4096 buckets per query enter the
+        # exact-cosine matmul)
+        from log2seq_ray.ops.similarity import (knn_brute_force,
+                                                queries_from_dataset,
+                                                srp_knn)
+        eq = queries_from_dataset(rd.read_parquet(ec), n_queries=5)
+        timed("knn_2m",
+              lambda: knn_brute_force(rd.read_parquet(ec), eq, k=10))
+        timed("srp_knn_2m",
+              lambda: srp_knn(rd.read_parquet(ec), eq, k=10,
+                              n_planes=12, probe=1))
         from log2seq_ray.ops.similarity import semdedup
         timed("semdedup", lambda: Q.q_semdedup(SF_DIR).to_pandas())
         # SemDeDup stress: 2M vectors, k=256 keeps clusters ~8k — the

@@ -388,3 +388,127 @@ def semdedup(ds, k: int = 8, iters: int = 1, threshold: float = 0.9,
         batch_format="pyarrow", batch_size=16384, concurrency=(1, 8))
     return hash_exchange(assigned, "cluster", _semdedup_partition,
                          num_parts, fn_args=(threshold, id_col))
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH ANN (signed random projections, cosine)
+# ---------------------------------------------------------------------------
+
+def srp_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix (n_planes, dim): entry sign =
+    parity of the 60-bit md5 prefix of ``"srp:{p}:{d}"`` — reproducible
+    in SQL via the md5 bridge, so the LSH bucketing itself is part of
+    the oracle contract (unlike float random planes)."""
+    import hashlib
+    W = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"srp:{p}:{d}".encode())
+                    .hexdigest()[:15], 16)
+            W[p, d] = 1 if h % 2 == 1 else -1
+    return W
+
+
+def srp_buckets(X: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """LSH bucket per row: bit p = (sum_d floor(x_d * 2^20) * W[p,d] >= 0).
+    The fixed-point floor makes the plane sums INTEGER-exact — no float
+    summation-order ambiguity between engines."""
+    Q = np.floor(X * np.float64(1 << 20)).astype(np.int64)
+    bits = (Q @ W.T >= 0).astype(np.int64)
+    return bits @ (np.int64(1) << np.arange(W.shape[0], dtype=np.int64))
+
+
+class _SRPTopKStage(_TopKStage):
+    """Local top-k restricted to each query's SRP candidate set (bucket
+    Hamming distance <= probe)."""
+
+    def __init__(self, queries_ref, k, id_col, col, exclude_self,
+                 planes_ref, probe):
+        import ray
+        super().__init__(queries_ref, k, id_col, col, exclude_self)
+        self.W, self.q_buckets = ray.get(planes_ref)
+        self.probe = probe
+        self._lut = np.array([bin(i).count("1") for i in range(1 << 16)],
+                             dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _to_matrix(batch.column(self.col))
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        b = srp_buckets(X, self.W)          # (n_batch,)
+        # candidate mask: hamming(bucket, q_bucket) <= probe. Only the
+        # union of all queries' candidate columns enters the matmul —
+        # at high n_planes that's the point of the LSH (each dot product
+        # is an independent k-sum, so subsetting columns doesn't change
+        # any pair's float value).
+        ham = self._lut[(b[None, :] ^ self.q_buckets[:, None])
+                        .astype(np.int64)]
+        keep = ham <= self.probe            # (n_q, n_batch)
+        cols = np.nonzero(keep.any(axis=0))[0]
+        if len(cols) == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            })
+        Xn = _normalize(X[cols])
+        ids = ids[cols]
+        sims = self.Q @ Xn.T                # (n_q, n_cand)
+        sims[~keep[:, cols]] = -np.inf
+        if self.exclude_self:
+            for qi, qid in enumerate(self.q_ids):
+                sims[qi, ids == qid] = -np.inf
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            cand = part[qi][np.isfinite(sims[qi, part[qi]])]
+            out_q.extend([qid] * len(cand))
+            out_v.extend(ids[cand])
+            out_s.extend(sims[qi, cand])
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "cosine": pa.array(np.array(out_s, dtype=np.float64)),
+        })
+
+
+def srp_knn(ds, queries, k: int = 10, n_planes: int = 8, probe: int = 1,
+            id_col: str = "vec_id", col: str = "embedding",
+            exclude_self: bool = True):
+    """ANN cosine top-k via signed-random-projection LSH: vectors whose
+    bucket is within Hamming ``probe`` of the query's bucket are the
+    candidate set (multi-probe); exact cosine ranks the candidates.
+    A query with fewer than k candidates returns fewer rows — the
+    candidate rule, not a recall target, is the operator's contract
+    (and the SQL oracle reproduces it bit-for-bit).
+
+    Scale shape: same as ``knn_brute_force`` (broadcast queries + planes,
+    per-batch local top-k, k x n_queries x n_blocks driver merge) but
+    each batch's matmul feeds only the LSH-filtered columns at high
+    ``n_planes``; no shuffle, no index build."""
+    import pandas as pd
+    import ray
+    if not 1 <= n_planes <= 16:
+        raise ValueError("n_planes must be in [1, 16] (16-bit popcount LUT)")
+    q_ids, Q = queries
+    Q = np.asarray(Q, dtype=np.float64)
+    W = srp_planes(n_planes, Q.shape[1])
+    q_buckets = srp_buckets(Q, W)
+    payload = (np.asarray(q_ids, dtype=np.int64), _normalize(Q))
+    cands = ds.map_batches(
+        _SRPTopKStage,
+        fn_constructor_kwargs=dict(
+            queries_ref=ray.put(payload), k=k, id_col=id_col, col=col,
+            exclude_self=exclude_self,
+            planes_ref=ray.put((W, q_buckets)), probe=probe),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    pdf = cands.to_pandas()
+    if pdf.empty:  # all-empty blocks lose column names in to_pandas
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("query_id", "vec_id", "rank")})
+    pdf = pdf.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True])
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    pdf = pdf[pdf["rank"] <= k].reset_index(drop=True)
+    return pdf[["query_id", "vec_id", "rank"]]

@@ -1749,3 +1749,61 @@ ORACLE_SQL["priority_sample"] = """
     FROM documents
     ORDER BY priority DESC, doc_id ASC LIMIT 50
 """
+
+
+def q_srp_knn(sf_dir: str):
+    """SRP-LSH ANN top-k: candidates are vectors whose 8-bit
+    signed-random-projection bucket is within Hamming distance 1 of the
+    query's bucket; exact cosine ranks them. The md5-derived planes and
+    fixed-point (floor(x * 2^20)) integer plane sums make the CANDIDATE
+    SET itself part of the oracle contract — the SQL below reproduces
+    the bucketing bit-for-bit, not just the ranking."""
+    from .ops.similarity import srp_knn, queries_from_dataset
+    ds = _embeddings(sf_dir)
+    queries = queries_from_dataset(ds, n_queries=5)
+    return srp_knn(ds, queries, k=10, n_planes=8, probe=1)
+
+
+QUERIES["srp_knn"] = q_srp_knn
+
+ORACLE_SQL["srp_knn"] = """
+    WITH planes AS (
+      SELECT p, d,
+             CASE WHEN ('0x' || substr(md5('srp:' || p || ':' || d),
+                                       1, 15))::BIGINT % 2 = 1
+                  THEN 1 ELSE -1 END AS w
+      FROM generate_series(0, 7) t1(p), generate_series(0, 63) t2(d)
+    ),
+    vecs AS (
+      SELECT vec_id, d, CAST(floor(e * 1048576.0) AS BIGINT) AS q
+      FROM (SELECT vec_id,
+                   unnest(CAST(embedding AS DOUBLE[])) AS e,
+                   generate_subscripts(embedding, 1) - 1 AS d
+            FROM embeddings)
+    ),
+    bits AS (
+      SELECT v.vec_id, pl.p,
+             CASE WHEN SUM(v.q * pl.w) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM vecs v JOIN planes pl ON v.d = pl.d
+      GROUP BY v.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, CAST(SUM(bit * (1::BIGINT << p)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    )
+    SELECT query_id, vec_id, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) DESC,
+                       e.vec_id ASC) AS rank
+        FROM embeddings q
+        JOIN buckets bq ON q.vec_id = bq.vec_id
+        JOIN buckets be ON TRUE
+        JOIN embeddings e ON e.vec_id = be.vec_id
+        WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+          AND bit_count(CAST(xor(bq.bucket, be.bucket) AS BIGINT)) <= 1)
+    WHERE rank <= 10
+"""

@@ -283,6 +283,47 @@ def test_knn_self_neighbor(ray_session):
         int(np.argmax(sims))
 
 
+def test_srp_knn_matches_reference(ray_session):
+    """srp_knn == numpy reference of the same candidate rule (bucket
+    Hamming <= probe, exact cosine rank, vec_id tie-break); queries with
+    fewer than k candidates return fewer rows."""
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import (srp_knn, srp_planes,
+                                            srp_buckets, _normalize)
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(120, 16)).astype("float32")
+    ids = np.arange(120, dtype=np.int64)
+    tbl = pa.table({"vec_id": ids,
+                    "embedding": [list(map(float, r)) for r in X]})
+    ds = rd.from_arrow(tbl).repartition(4)
+    q_ids = ids[:3]
+    Q = X[:3].astype("float64")
+    # candidate counts per query at these configs: (8,1)->[8,5,2],
+    # (10,1)->[4,2,0] (one query empty), (12,0)->[0,0,0] (all empty)
+    for n_planes, probe in [(8, 1), (10, 1), (12, 0)]:
+        got = srp_knn(ds, (q_ids, Q), k=10, n_planes=n_planes,
+                      probe=probe)
+        W = srp_planes(n_planes, 16)
+        b = srp_buckets(X.astype("float64"), W)
+        qb = srp_buckets(Q, W)
+        Xn = _normalize(X.astype("float64"))
+        exp = []
+        for qi, qid in enumerate(q_ids):
+            ham = np.array([bin(int(v)).count("1")
+                            for v in b ^ qb[qi]])
+            cand = np.nonzero((ham <= probe) & (ids != qid))[0]
+            sims = Xn[qid] @ Xn[cand].T
+            order = sorted(range(len(cand)),
+                           key=lambda i: (-sims[i], ids[cand[i]]))
+            for r, i in enumerate(order[:10], 1):
+                exp.append((qid, int(ids[cand[i]]), r))
+        got_t = [tuple(map(int, row))
+                 for row in got[["query_id", "vec_id", "rank"]]
+                 .itertuples(index=False)]
+        assert sorted(got_t) == sorted(exp), (n_planes, probe)
+        assert len(got) < 30  # every config has some query below k
+
+
 def test_deadletter_route(ray_session, tmp_path):
     """Unparseable lines fan out to route=__deadletter__ with bytes kept."""
     import ray.data as rd
