@@ -220,6 +220,12 @@ def run_benchmarks() -> dict:
               lambda: Q.q_dsir_weights(SF_DIR).to_pandas())
         timed("bloom_hits", lambda: Q.q_bloom_hits(SF_DIR).to_pandas())
         timed("priority_sample", lambda: Q.q_priority_sample(SF_DIR))
+        timed("interval_purchases",
+              lambda: Q.q_interval_purchases(SF_DIR).to_pandas())
+        timed("running_totals",
+              lambda: Q.q_running_totals(SF_DIR).to_pandas())
+        timed("postings", lambda: Q.q_postings(SF_DIR).to_pandas())
+        timed("mix_sample", lambda: Q.q_mix_sample(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -926,3 +926,53 @@ def dsir_weights(ds, target_langs=("en",), buckets: int = 256,
         fn_constructor_kwargs=dict(ratio_ref=ref, buckets=buckets,
                                    id_col=id_col, col=col),
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+class _MixFilterStage:
+    """Actor: keep a row iff ``md5_60(str(key)) % n_group < target`` —
+    the integer-exact deterministic downsample used by :func:`mix_sample`
+    (broadcast counts read once per actor)."""
+
+    def __init__(self, counts_ref, group_col: str, key_col: str):
+        import ray
+        counts = counts_ref if isinstance(counts_ref, dict) \
+            else ray.get(counts_ref)
+        self.counts, self.target = counts
+        self.group_col, self.key_col = group_col, key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .hashutil import value_bytes
+        keys = value_bytes(np.asarray(
+            batch.column(self.key_col).to_numpy(zero_copy_only=False)))
+        groups = batch.column(self.group_col).to_pylist()
+        n = np.fromiter((self.counts.get(g, 1) for g in groups),
+                        dtype=np.int64, count=len(groups))
+        h = np.fromiter(
+            (int(hashlib.md5(b).hexdigest()[:15], 16) for b in keys),
+            dtype=np.int64, count=len(keys))
+        return batch.filter(pa.array(h % n < self.target))
+
+
+def mix_sample(ds, group_col: str = "lang", key_col: str = "doc_id"):
+    """Domain-mixing downsample: rebalance groups toward EQUAL mass by
+    keeping each row iff ``md5_60(key) % count(group) < min_count`` —
+    every group's expected surviving mass is the smallest group's count,
+    the smallest group survives whole, and the keep decision is a pure
+    function of (key, group counts): partition-independent, resumable,
+    and reproducible in SQL.
+
+    Scale shape: the per-group counts are a tiny groupby (one row per
+    domain/lang) broadcast once via ``ray.put``; the filter itself is
+    embarrassingly parallel — no shuffle of the corpus."""
+    import ray
+
+    counts_tbl = ds.groupby(group_col).count().to_pandas()
+    counts = dict(zip(counts_tbl[group_col],
+                      counts_tbl["count()"].astype(int)))
+    target = int(min(counts.values())) if counts else 0
+    ref = ray.put((counts, target))
+    return ds.map_batches(
+        _MixFilterStage,
+        fn_constructor_kwargs=dict(counts_ref=ref, group_col=group_col,
+                                   key_col=key_col),
+        batch_format="pyarrow", concurrency=(1, 8))

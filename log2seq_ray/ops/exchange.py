@@ -55,16 +55,10 @@ def resolve_all_pieces(pieces):
     return list(pieces)
 
 
-def hash_exchange(ds, key: str, partition_fn, num_parts: int = 16,
-                  fn_args: tuple = ()):
-    """ds → hash-partition by ``key`` → ``partition_fn(*fn_args, pieces)``
-    per partition (a plain function run as a Ray task; receives the list
-    of piece refs, use :func:`resolve_pieces`) → Dataset of the returned
-    Arrow tables. Blocks never pass through the driver."""
+def _fan_out(ds, key: str, num_parts: int):
+    """Fan a Dataset's blocks into per-partition piece-ref lists."""
     import ray
-    import ray.data as rd
     split = ray.remote(split_by_key)
-    work = ray.remote(partition_fn)
     per_part = [[] for _ in range(num_parts)]
     for ref in ds.to_arrow_refs():
         pieces = split.options(num_returns=num_parts).remote(
@@ -73,5 +67,33 @@ def hash_exchange(ds, key: str, partition_fn, num_parts: int = 16,
             pieces = [pieces]
         for i, p in enumerate(pieces):
             per_part[i].append(p)
+    return per_part
+
+
+def hash_exchange(ds, key: str, partition_fn, num_parts: int = 16,
+                  fn_args: tuple = ()):
+    """ds → hash-partition by ``key`` → ``partition_fn(*fn_args, pieces)``
+    per partition (a plain function run as a Ray task; receives the list
+    of piece refs, use :func:`resolve_pieces`) → Dataset of the returned
+    Arrow tables. Blocks never pass through the driver."""
+    import ray
+    import ray.data as rd
+    work = ray.remote(partition_fn)
     return rd.from_arrow_refs(
-        [work.remote(*fn_args, pieces) for pieces in per_part])
+        [work.remote(*fn_args, pieces)
+         for pieces in _fan_out(ds, key, num_parts)])
+
+
+def hash_exchange2(ds_l, ds_r, key_l: str, key_r: str, partition_fn,
+                   num_parts: int = 16, fn_args: tuple = ()):
+    """Two-sided co-partitioned exchange: both datasets hash-partition by
+    their key (same hash, so equal keys land in the same partition) and
+    ``partition_fn(*fn_args, l_pieces, r_pieces)`` runs once per
+    partition. The two-input analogue of :func:`hash_exchange`."""
+    import ray
+    import ray.data as rd
+    work = ray.remote(partition_fn)
+    L = _fan_out(ds_l, key_l, num_parts)
+    R = _fan_out(ds_r, key_r, num_parts)
+    return rd.from_arrow_refs(
+        [work.remote(*fn_args, lp, rp) for lp, rp in zip(L, R)])

@@ -253,3 +253,89 @@ def hash_join(left, right, left_key: str, right_key: str,
     if hot_result is not None:
         joined = joined.union(hot_result)
     return joined
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join
+# ---------------------------------------------------------------------------
+
+def _interval_count_partition(key: str, left_ts: str, right_ts: str,
+                              lo_us: int, hi_us: int, id_col: str,
+                              l_pieces, r_pieces):
+    """One co-partition: for every left row, count right rows with the
+    same key and ``left.ts + lo_us < right.ts <= left.ts + hi_us``.
+
+    Fully vectorized via a rank-composite trick: right rows sort once by
+    ``key_code * M + rank(ts)`` (M = distinct right ts + 1, so the
+    composite orders exactly like (key, ts)); each left bound becomes two
+    ``np.searchsorted`` probes — no per-key Python, no pair explosion."""
+    from .exchange import resolve_all_pieces
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+    lp = [t for t in resolve_all_pieces(l_pieces) if t.num_columns]
+    rp = [t for t in resolve_all_pieces(r_pieces) if t.num_columns]
+    if not lp:
+        return empty
+    lt = pa.concat_tables(lp, promote_options="permissive")
+    if lt.num_rows == 0:
+        return empty
+    l_ids = np.asarray(lt.column(id_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    out_n = np.zeros(len(l_ids), dtype=np.int64)
+    rt = pa.concat_tables(rp, promote_options="permissive") if rp else None
+    if rt is not None and rt.num_rows:
+        rt = rt.filter(pc.is_valid(rt.column(right_ts)))
+    if rt is not None and rt.num_rows:
+        lv = pc.is_valid(lt.column(left_ts)).to_numpy(zero_copy_only=False)
+        lts = np.asarray(pc.cast(pc.cast(
+            lt.column(left_ts), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        rts = np.asarray(pc.cast(pc.cast(
+            rt.column(right_ts), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        # joint key dictionary so both sides share codes
+        n_l = lt.num_rows
+        both = pa.chunked_array([lt.column(key).combine_chunks()
+                                 if isinstance(lt.column(key),
+                                               pa.ChunkedArray)
+                                 else lt.column(key),
+                                 rt.column(key).combine_chunks()
+                                 if isinstance(rt.column(key),
+                                               pa.ChunkedArray)
+                                 else rt.column(key)]).combine_chunks()
+        codes = np.asarray(both.dictionary_encode().indices,
+                           dtype=np.int64)
+        l_codes, r_codes = codes[:n_l], codes[n_l:]
+        uts = np.unique(rts)
+        M = np.int64(len(uts) + 1)
+        K = np.sort(r_codes * M + np.searchsorted(uts, rts))
+        lo = np.searchsorted(uts, lts + np.int64(lo_us), side="right")
+        hi = np.searchsorted(uts, lts + np.int64(hi_us), side="right")
+        cnt = (np.searchsorted(K, l_codes * M + hi, side="left")
+               - np.searchsorted(K, l_codes * M + lo, side="left"))
+        out_n[lv] = cnt[lv]  # null left ts matches nothing (SQL semantics)
+    return pa.table({id_col: pa.array(l_ids),
+                     "n": pa.array(out_n)})
+
+
+def interval_count_join(left, right, key: str, left_ts: str = "ts",
+                        right_ts: str = "ts", lo_us: int = 0,
+                        hi_us: int = 600_000_000, id_col: str = "event_id",
+                        num_parts: int = 16):
+    """Range/interval join aggregate: one output row per LEFT row
+    (``id_col``, ``n``) where ``n`` counts right rows with the same
+    ``key`` whose ``right_ts`` lies in the half-open interval
+    ``(left_ts + lo_us, left_ts + hi_us]`` (microseconds).
+
+    Scale shape: ONE two-sided hash exchange on ``key`` (narrow,
+    pre-projected rows), then one vectorized task per partition — right
+    rows are binary-searched, never pair-expanded, so a left row matching
+    a million right rows costs two searchsorted probes, not a million
+    output pairs. Partitioning assumption: all rows of one key fit a
+    worker (same as the reference's per-key grouping; salt with a
+    composite key upstream if a single key exceeds that)."""
+    from .exchange import hash_exchange2
+    return hash_exchange2(left, right, key, key,
+                          _interval_count_partition, num_parts,
+                          fn_args=(key, left_ts, right_ts, int(lo_us),
+                                   int(hi_us), id_col))

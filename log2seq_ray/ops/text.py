@@ -508,3 +508,68 @@ def priority_sample(ds, k: int, weight_col: str, key_col: str):
     return parts.sort_values(["priority", key_col],
                              ascending=[False, True]).head(k) \
         .reset_index(drop=True)
+
+
+def _postings_partition(id_col: str, cap: int, pieces):
+    """Per-partition inverted-index build over pre-deduped (token, id)
+    pairs: one lexsort, adjacent-dup drop (cross-batch dupes), segment
+    document frequencies, and a capped ascending posting string per
+    token."""
+    import pandas as pd
+    from .exchange import resolve_all_pieces
+    empty = pa.table({"token": pa.array([], type=pa.string()),
+                      "df": pa.array([], type=pa.int64()),
+                      "postings": pa.array([], type=pa.string())})
+    pieces = [t for t in resolve_all_pieces(pieces) if t.num_columns]
+    if not pieces:
+        return empty
+    t = pa.concat_tables(pieces, promote_options="permissive")
+    if t.num_rows == 0:
+        return empty
+    enc = pc.dictionary_encode(t.column("token").combine_chunks()
+                               if isinstance(t.column("token"),
+                                             pa.ChunkedArray)
+                               else t.column("token"))
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.lexsort((ids, codes))
+    k, i = codes[order], ids[order]
+    keep = np.ones(len(k), dtype=bool)
+    keep[1:] = (k[1:] != k[:-1]) | (i[1:] != i[:-1])
+    k, i = k[keep], i[keep]
+    new = np.ones(len(k), dtype=bool)
+    new[1:] = k[1:] != k[:-1]
+    starts = np.nonzero(new)[0]
+    df = np.diff(np.append(starts, len(k)))
+    seg = np.repeat(np.arange(len(starts)), df)
+    pos = np.arange(len(k), dtype=np.int64) - starts[seg]
+    sel = pos < cap
+    joined = pd.Series(i[sel].astype("U")).groupby(seg[sel]).agg(",".join)
+    return pa.table({
+        "token": enc.dictionary.take(pa.array(k[starts])),
+        "df": pa.array(df, type=pa.int64()),
+        "postings": pa.array(joined.to_numpy(dtype=object),
+                             type=pa.string()),
+    })
+
+
+def postings(ds, id_col: str = "doc_id", col: str = "text", cap: int = 8,
+             num_parts: int = 16):
+    """Inverted index: (token, document frequency, capped ascending
+    posting list as a ','-joined string). Per-batch local distinct
+    (token, id) pairs shrink the shuffle to unique pairs; one hash
+    exchange by token; one vectorized build task per partition. The
+    ``cap`` bounds output width for stop-word tokens (df stays exact)."""
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        parents = pc.list_parent_indices(toks)
+        return pa.table({
+            "token": pc.list_flatten(toks),
+            id_col: b.column(id_col).take(parents),
+        }).group_by(["token", id_col]).aggregate([])
+
+    from .exchange import hash_exchange
+    uniq = ds.map_batches(pairs, batch_format="pyarrow")
+    return hash_exchange(uniq, "token", _postings_partition, num_parts,
+                         fn_args=(id_col, cap))

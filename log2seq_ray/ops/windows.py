@@ -151,3 +151,69 @@ def distinct_counts(ds, group_col: str, value_col: str):
 
     return uniq.map_batches(count_group, batch_format="pyarrow") \
         .groupby(group_col).aggregate(Sum("partial_n", alias_name="n"))
+
+
+def _running_partition(key: str, ts_col: str, id_col: str, val_col: str,
+                       pieces):
+    """Per-partition segmented cumulative stats: one lexsort by
+    (key, ts, id), then vectorized per-key running count + running sum of
+    ``floor(value * 1e6)`` (integer micro-units — floor of a double is
+    exact in both numpy and SQL, so the cumulative sums are
+    engine-independent, unlike ordered float addition)."""
+    from .exchange import resolve_all_pieces
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "cum_n": pa.array([], type=pa.int64()),
+                      "cum_val": pa.array([], type=pa.int64())})
+    pieces = [t for t in resolve_all_pieces(pieces) if t.num_columns]
+    if not pieces:
+        return empty
+    t = pa.concat_tables(pieces, promote_options="permissive")
+    if t.num_rows:
+        valid = pc.is_valid(t.column(ts_col))
+        if not pc.all(valid).as_py():
+            t = t.filter(valid)  # same null-ts guard as sessionize
+    if t.num_rows == 0:
+        return empty
+    ts = np.asarray(pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                            pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    enc = pc.dictionary_encode(t.column(key).combine_chunks()
+                               if isinstance(t.column(key), pa.ChunkedArray)
+                               else t.column(key))
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    v = np.floor(np.asarray(
+        pc.fill_null(t.column(val_col), 0.0).to_numpy(zero_copy_only=False),
+        dtype=np.float64) * 1e6).astype(np.int64)
+    order = np.lexsort((ids, ts, codes))
+    k, s_ids, s_v = codes[order], ids[order], v[order]
+    n = len(k)
+    new_key = np.ones(n, dtype=bool)
+    new_key[1:] = k[1:] != k[:-1]
+    starts = np.nonzero(new_key)[0]
+    seg = np.repeat(np.arange(len(starts)),
+                    np.diff(np.append(starts, n)))
+    cum_n = np.arange(n, dtype=np.int64) - starts[seg] + 1
+    cs = np.cumsum(s_v)
+    pre = np.concatenate([[np.int64(0)], cs[:-1]])
+    cum_val = cs - pre[starts[seg]]
+    return pa.table({id_col: pa.array(s_ids),
+                     "cum_n": pa.array(cum_n),
+                     "cum_val": pa.array(cum_val)})
+
+
+def running_totals(ds, key: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", val_col: str = "value",
+                   num_parts: int = 16):
+    """Per-key running (cumulative) count and value sum in event-time
+    order — the streaming "running aggregate" shape. One output row per
+    input row: (``id_col``, ``cum_n``, ``cum_val``) where ``cum_val``
+    accumulates ``floor(value * 1e6)`` micro-units ordered by
+    (``ts_col``, ``id_col``) within the key.
+
+    Scale shape: one hash exchange of narrow rows, one vectorized
+    segmented-cumsum task per partition — no per-key Python, no window
+    pair explosion."""
+    return hash_exchange(ds, key, _running_partition, num_parts,
+                         fn_args=(key, ts_col, id_col, val_col))

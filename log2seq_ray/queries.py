@@ -1807,3 +1807,88 @@ ORACLE_SQL["srp_knn"] = """
           AND bit_count(CAST(xor(bq.bucket, be.bucket) AS BIGINT)) <= 1)
     WHERE rank <= 10
 """
+
+
+def q_interval_purchases(sf_dir: str):
+    """Range/interval join: for every error event, how many purchases the
+    same user made in the 10 minutes after it ((ts, ts+10min] window).
+    One two-sided hash exchange + binary-search counting — right rows are
+    never pair-expanded."""
+    from .ops.join import interval_count_join
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    errors = ds.filter(expr="event_type == 'error'") \
+        .drop_columns(["event_type"])
+    purchases = ds.filter(expr="event_type == 'purchase'") \
+        .drop_columns(["event_type", "event_id"])
+    return interval_count_join(errors, purchases, key="user_id",
+                               lo_us=0, hi_us=600_000_000)
+
+
+def q_running_totals(sf_dir: str):
+    """Per-user running event count + running floor(value*1e6) sum in
+    (ts, event_id) order — integer micro-units make the cumulative sums
+    engine-exact."""
+    from .ops.windows import running_totals
+    return running_totals(_events(sf_dir,
+                                  ["event_id", "user_id", "ts", "value"]))
+
+
+def q_postings(sf_dir: str):
+    """Inverted index over documents: (token, df, first-8 ascending
+    posting string)."""
+    from .ops.text import postings
+    return postings(_docs(sf_dir, ["doc_id", "text"]), cap=8)
+
+
+def q_mix_sample(sf_dir: str):
+    """Domain-mixing downsample toward equal per-lang mass
+    (md5(doc_id) % count(lang) < min-lang count — integer-exact,
+    partition-independent keep rule)."""
+    from .ops.curation import mix_sample
+    return mix_sample(_docs(sf_dir, ["doc_id", "lang"]))
+
+
+QUERIES["interval_purchases"] = q_interval_purchases
+QUERIES["running_totals"] = q_running_totals
+QUERIES["postings"] = q_postings
+QUERIES["mix_sample"] = q_mix_sample
+
+ORACLE_SQL["interval_purchases"] = """
+    SELECT e.event_id, CAST(COUNT(p.ts) AS BIGINT) AS n
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+    LEFT JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = e.user_id AND p.ts > e.ts
+         AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.event_id
+"""
+
+ORACLE_SQL["running_totals"] = """
+    SELECT event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS cum_n,
+           CAST(SUM(CAST(floor(COALESCE(value, 0) * 1000000) AS BIGINT))
+                OVER w AS BIGINT) AS cum_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+"""
+
+ORACLE_SQL["postings"] = f"""
+    WITH E AS (SELECT DISTINCT doc_id, token
+               FROM (SELECT doc_id, unnest({_TOKENS}) AS token
+                     FROM documents))
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 8),
+                           ',') AS postings
+    FROM E GROUP BY token
+"""
+
+ORACLE_SQL["mix_sample"] = """
+    WITH C AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    M AS (SELECT MIN(n) AS mn FROM C)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN C USING (lang) CROSS JOIN M
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % C.n < M.mn
+"""

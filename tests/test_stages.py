@@ -1146,3 +1146,97 @@ def test_priority_sample_matches_brute(ray_session):
                                          r["doc_id"]))[:20]
     assert got["doc_id"].tolist() == [r["doc_id"] for r in expect]
     assert got["priority"].tolist() == [pks[r["doc_id"]] for r in expect]
+
+
+def test_interval_count_join_reference(ray_session):
+    """interval_count_join == pandas brute force, including left keys
+    missing on the right (n=0) and empty-window rows."""
+    import pandas as pd
+    import ray.data as rd
+    from log2seq_ray.ops.join import interval_count_join
+    rng = np.random.default_rng(7)
+    n_l, n_r = 200, 500
+    left = pd.DataFrame({
+        "event_id": np.arange(n_l, dtype=np.int64),
+        "user_id": rng.integers(0, 12, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n_l), unit="us"),
+    })
+    right = pd.DataFrame({
+        "user_id": rng.integers(3, 20, n_r),  # users 0-2 left-only
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n_r), unit="us"),
+    })
+    lo, hi = 0, 50_000_000
+    got = interval_count_join(
+        rd.from_pandas(left).repartition(3),
+        rd.from_pandas(right).repartition(4),
+        key="user_id", lo_us=lo, hi_us=hi, num_parts=5).to_pandas()
+    lt = left["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    rt = right["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    exp = {}
+    for i in range(n_l):
+        m = (right["user_id"].to_numpy() == left["user_id"][i]) \
+            & (rt > lt[i] + lo) & (rt <= lt[i] + hi)
+        exp[int(left["event_id"][i])] = int(m.sum())
+    got_map = dict(zip(got["event_id"].astype(int),
+                       got["n"].astype(int)))
+    assert got_map == exp
+    assert (got["n"] == 0).any()  # some zero-match rows exercised
+
+
+def test_running_totals_reference(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from log2seq_ray.ops.windows import running_totals
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 9, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**8, n), unit="us"),
+        "value": rng.normal(size=n) * 10,
+    })
+    got = running_totals(rd.from_pandas(df).repartition(4),
+                         num_parts=3).to_pandas()
+    v = np.floor(df["value"].to_numpy() * 1e6).astype(np.int64)
+    df2 = df.assign(v=v).sort_values(["user_id", "ts", "event_id"])
+    df2["cum_n"] = df2.groupby("user_id").cumcount() + 1
+    df2["cum_val"] = df2.groupby("user_id")["v"].cumsum()
+    exp = df2.set_index("event_id")[["cum_n", "cum_val"]]
+    got = got.set_index("event_id").loc[exp.index]
+    assert (got["cum_n"].to_numpy() == exp["cum_n"].to_numpy()).all()
+    assert (got["cum_val"].to_numpy() == exp["cum_val"].to_numpy()).all()
+
+
+def test_postings_cap_and_df(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.text import postings
+    docs = pa.table({
+        "doc_id": pa.array(list(range(12)), type=pa.int64()),
+        "text": ["common tok%d" % (i % 3) for i in range(12)],
+    })
+    out = postings(rd.from_arrow(docs).repartition(3), cap=4,
+                   num_parts=2).to_pandas().set_index("token")
+    assert out.loc["common", "df"] == 12  # df exact beyond the cap
+    assert out.loc["common", "postings"] == "0,1,2,3"  # capped ascending
+    assert out.loc["tok1", "df"] == 4
+    assert out.loc["tok1", "postings"] == "1,4,7,10"
+
+
+def test_mix_sample_rule(ray_session):
+    import hashlib
+    import ray.data as rd
+    from log2seq_ray.ops.curation import mix_sample
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(100)), type=pa.int64()),
+        "lang": ["en"] * 80 + ["de"] * 15 + ["fr"] * 5,
+    })
+    out = mix_sample(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    counts = {"en": 80, "de": 15, "fr": 5}
+    kept = set()
+    for i, lang in zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist()):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        if h % counts[lang] < 5:
+            kept.add(i)
+    assert set(out["doc_id"].astype(int)) == kept
+    # smallest group survives whole
+    assert (out["lang"] == "fr").sum() == 5
