@@ -224,6 +224,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_interval_purchases(SF_DIR).to_pandas())
         timed("running_totals",
               lambda: Q.q_running_totals(SF_DIR).to_pandas())
+        timed("trailing_values",
+              lambda: Q.q_trailing_values(SF_DIR).to_pandas())
         timed("postings", lambda: Q.q_postings(SF_DIR).to_pandas())
         timed("mix_sample", lambda: Q.q_mix_sample(SF_DIR).to_pandas())
 

@@ -217,3 +217,65 @@ def running_totals(ds, key: str = "user_id", ts_col: str = "ts",
     pair explosion."""
     return hash_exchange(ds, key, _running_partition, num_parts,
                          fn_args=(key, ts_col, id_col, val_col))
+
+
+def _trailing_partition(key: str, ts_col: str, id_col: str, val_col: str,
+                        window: int, pieces):
+    """Per-partition trailing-``window``-event sums: same segmented layout
+    as :func:`_running_partition`, with the window lower bound clamped to
+    the key's segment start — ``trail_val[i] = cs[i] - cs[max(seg_start,
+    i-window+1) - 1]``, all integer micro-units."""
+    from .exchange import resolve_all_pieces
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "trail_n": pa.array([], type=pa.int64()),
+                      "trail_val": pa.array([], type=pa.int64())})
+    pieces = [t for t in resolve_all_pieces(pieces) if t.num_columns]
+    if not pieces:
+        return empty
+    t = pa.concat_tables(pieces, promote_options="permissive")
+    if t.num_rows:
+        valid = pc.is_valid(t.column(ts_col))
+        if not pc.all(valid).as_py():
+            t = t.filter(valid)
+    if t.num_rows == 0:
+        return empty
+    ts = np.asarray(pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                            pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    enc = pc.dictionary_encode(t.column(key).combine_chunks()
+                               if isinstance(t.column(key), pa.ChunkedArray)
+                               else t.column(key))
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    v = np.floor(np.asarray(
+        pc.fill_null(t.column(val_col), 0.0).to_numpy(zero_copy_only=False),
+        dtype=np.float64) * 1e6).astype(np.int64)
+    order = np.lexsort((ids, ts, codes))
+    k, s_ids, s_v = codes[order], ids[order], v[order]
+    n = len(k)
+    new_key = np.ones(n, dtype=bool)
+    new_key[1:] = k[1:] != k[:-1]
+    starts = np.nonzero(new_key)[0]
+    seg = np.repeat(np.arange(len(starts)),
+                    np.diff(np.append(starts, n)))
+    lower = np.maximum(starts[seg],
+                       np.arange(n, dtype=np.int64) - window + 1)
+    cs = np.cumsum(s_v)
+    pre = np.concatenate([[np.int64(0)], cs[:-1]])
+    return pa.table({id_col: pa.array(s_ids),
+                     "trail_n": pa.array(np.arange(n, dtype=np.int64)
+                                         - lower + 1),
+                     "trail_val": pa.array(cs - pre[lower])})
+
+
+def trailing_totals(ds, key: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", val_col: str = "value",
+                    window: int = 5, num_parts: int = 16):
+    """Per-key TRAILING ``window``-event count + value sum (the bounded
+    sliding-window analogue of :func:`running_totals`): one hash
+    exchange, one vectorized segmented pass — the trailing sum is two
+    cumsum lookups per row, never a per-row rescan of the window."""
+    return hash_exchange(ds, key, _trailing_partition, num_parts,
+                         fn_args=(key, ts_col, id_col, val_col,
+                                  int(window)))

@@ -1892,3 +1892,25 @@ ORACLE_SQL["mix_sample"] = """
     WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
               % C.n < M.mn
 """
+
+
+def q_trailing_values(sf_dir: str):
+    """Per-user trailing 5-event running sum of floor(value*1e6) in
+    (ts, event_id) order — the bounded sliding-window aggregate."""
+    from .ops.windows import trailing_totals
+    return trailing_totals(_events(sf_dir,
+                                   ["event_id", "user_id", "ts", "value"]),
+                           window=5)
+
+
+QUERIES["trailing_values"] = q_trailing_values
+
+ORACLE_SQL["trailing_values"] = """
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+           CAST(SUM(CAST(floor(COALESCE(value, 0) * 1000000) AS BIGINT))
+                OVER w AS BIGINT) AS trail_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""

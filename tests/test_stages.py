@@ -1240,3 +1240,32 @@ def test_mix_sample_rule(ray_session):
     assert set(out["doc_id"].astype(int)) == kept
     # smallest group survives whole
     assert (out["lang"] == "fr").sum() == 5
+
+
+def test_trailing_totals_reference(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from log2seq_ray.ops.windows import trailing_totals
+    rng = np.random.default_rng(13)
+    n = 250
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**8, n), unit="us"),
+        "value": rng.normal(size=n) * 10,
+    })
+    W = 4
+    got = trailing_totals(rd.from_pandas(df).repartition(3), window=W,
+                          num_parts=3).to_pandas().set_index("event_id")
+    v = np.floor(df["value"].to_numpy() * 1e6).astype(np.int64)
+    df2 = df.assign(v=v).sort_values(["user_id", "ts", "event_id"])
+    grp = df2.groupby("user_id")["v"]
+    df2["trail_val"] = grp.transform(
+        lambda s: s.rolling(W, min_periods=1).sum()).astype(np.int64)
+    df2["trail_n"] = grp.transform(
+        lambda s: s.rolling(W, min_periods=1).count()).astype(np.int64)
+    exp = df2.set_index("event_id")
+    got = got.loc[exp.index]
+    assert (got["trail_n"].to_numpy() == exp["trail_n"].to_numpy()).all()
+    assert (got["trail_val"].to_numpy() ==
+            exp["trail_val"].to_numpy()).all()
