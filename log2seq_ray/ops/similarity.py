@@ -44,8 +44,8 @@ class _TopKStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         X = _normalize(_to_matrix(batch.column(self.col)))
-        ids = np.asarray(batch.column(self.id_col).to_pylist(),
-                         dtype=np.int64)
+        ids = np.asarray(batch.column(self.id_col)
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
         sims = self.Q @ X.T  # (n_q, n_batch)
         if self.exclude_self:
             for qi, qid in enumerate(self.q_ids):
@@ -107,7 +107,8 @@ def queries_from_dataset(ds, n_queries: int, id_col="vec_id",
         list(small.iter_batches(batch_size=4096, batch_format="pyarrow")))
     order = pc.sort_indices(tbl.column(id_col))
     tbl = tbl.take(order)
-    return (np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64),
+    return (np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64),
             _to_matrix(tbl.column(col)))
 
 
@@ -129,8 +130,9 @@ def train_centroids(ds, n_centroids: int = 16, sample: int = 4096,
     for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
         X.append(_to_matrix(b.column(col)))
         if id_col is not None:
-            ids.append(np.asarray(b.column(id_col).to_pylist(),
-                                  dtype=np.int64))
+            ids.append(np.asarray(
+                b.column(id_col).to_numpy(zero_copy_only=False),
+                dtype=np.int64))
         if sum(len(x) for x in X) >= sample:
             break
     X = np.concatenate(X)
@@ -433,8 +435,8 @@ class _SRPTopKStage(_TopKStage):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         X = _to_matrix(batch.column(self.col))
-        ids = np.asarray(batch.column(self.id_col).to_pylist(),
-                         dtype=np.int64)
+        ids = np.asarray(batch.column(self.id_col)
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
         b = srp_buckets(X, self.W)          # (n_batch,)
         # candidate mask: hamming(bucket, q_bucket) <= probe. Only the
         # union of all queries' candidate columns enters the matmul —
