@@ -114,8 +114,12 @@ def _concat_filtered(schema: pa.Schema, pieces) -> pa.Table:
     return pa.concat_tables(pieces).combine_chunks()
 
 
+_JOIN_TYPES = {"inner": "inner", "left": "left outer",
+               "semi": "left semi", "anti": "left anti"}
+
+
 def _join_bucket(left_key: str, right_key: str, empty_schema: pa.Schema,
-                 l_pieces, r_pieces):
+                 l_pieces, r_pieces, how: str = "inner"):
     import ray
     # pieces arrive as lists of ObjectRefs (nested refs are not auto-
     # resolved); task-side ray.get is a zero-copy plasma read
@@ -127,11 +131,23 @@ def _join_bucket(left_key: str, right_key: str, empty_schema: pa.Schema,
         if any(t.num_rows for t in l_pieces) else None
     rt = pa.concat_tables([t for t in r_pieces if t.num_rows]) \
         if any(t.num_rows for t in r_pieces) else None
-    if lt is None or rt is None:
+    if lt is None:
         return empty_schema.empty_table()
+    if rt is None:
+        if how in ("inner", "semi"):
+            return empty_schema.empty_table()
+        if how == "anti":  # nothing to exclude: every left row survives
+            return lt.select(empty_schema.names).combine_chunks()
+        # left outer: left rows with null right columns
+        out = lt
+        for f in empty_schema:
+            if f.name not in out.column_names:
+                out = out.append_column(f, pa.nulls(out.num_rows, f.type))
+        return out.select(empty_schema.names).combine_chunks()
     out = lt.join(rt, keys=[left_key], right_keys=[right_key],
-                  join_type="inner")
-    if right_key != left_key and right_key not in out.column_names:
+                  join_type=_JOIN_TYPES[how])
+    if how == "inner" and right_key != left_key \
+            and right_key not in out.column_names:
         # Acero drops the right key column; reinstate it for schema parity
         out = out.append_column(right_key, out.column(left_key))
     return out.select(empty_schema.names).combine_chunks()
@@ -141,16 +157,32 @@ def hash_join(left, right, left_key: str, right_key: str,
               num_buckets: Optional[int] = None,
               left_cols: Optional[Sequence[str]] = None,
               right_cols: Optional[Sequence[str]] = None,
-              hot_keys: Optional[Sequence] = None):
-    """Inner join of two large Datasets via an explicit two-stage bucket
-    exchange (module docstring). Returns a Dataset of the joined rows.
+              hot_keys: Optional[Sequence] = None,
+              how: str = "inner"):
+    """Join two large Datasets via an explicit two-stage bucket exchange
+    (module docstring). Returns a Dataset of the joined rows.
+
+    ``how``: ``inner`` (default), ``left`` (left outer — unmatched left
+    rows keep null right columns), ``semi`` (left rows with >=1 match,
+    left columns only), ``anti`` (left rows with NO match, left columns
+    only). Hash co-partitioning makes every mode exact per bucket: a left
+    row's matches all live in its own bucket, so match/no-match is decided
+    locally. For ``semi``/``anti`` only the KEY column of the right side
+    enters the shuffle — the membership-test shape decontamination and
+    "customers without orders" curation passes want.
 
     ``hot_keys``: keys routed around the shuffle — their right-side rows
     are broadcast once and the matching left rows join per input batch
     (the salt escape hatch for keys whose bucket would not fit a worker).
+    Inner-only (raise otherwise).
     """
     import ray
     import ray.data as rd
+
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
+    if hot_keys and how != "inner":
+        raise ValueError("hot_keys is only supported for how='inner'")
 
     if num_buckets is None:
         try:
@@ -189,8 +221,16 @@ def hash_join(left, right, left_key: str, right_key: str,
 
     lt, rt = _types(left), _types(right)
     out_fields = [pa.field(n, lt[n]) for n in l_names]
-    out_fields += [pa.field(n, rt[n]) for n in r_names
-                   if n not in l_names]
+    if how == "inner":
+        out_fields += [pa.field(n, rt[n]) for n in r_names
+                       if n not in l_names]
+    elif how == "left":
+        # unmatched rows have no right key value — it stays out of the
+        # output (callers read the left key; matched rows are equal anyway)
+        out_fields += [pa.field(n, rt[n]) for n in r_names
+                       if n not in l_names and n != right_key]
+    else:  # semi / anti: left columns only; right side is a key filter
+        r_names = [right_key]
     empty_schema = pa.schema(out_fields)
 
     hot_result = None
@@ -246,7 +286,8 @@ def hash_join(left, right, left_key: str, right_key: str,
     l_buckets = exchange(left, left_key, l_names)
     r_buckets = exchange(right, right_key, r_names)
     joiner = ray.remote(_join_bucket)
-    out_refs = [joiner.remote(left_key, right_key, empty_schema, lp, rp)
+    out_refs = [joiner.remote(left_key, right_key, empty_schema, lp, rp,
+                              how)
                 for lp, rp in zip(l_buckets, r_buckets)]
     # refs stay in plasma — the joined blocks never pass through the driver
     joined = rd.from_arrow_refs(out_refs)

@@ -273,6 +273,57 @@ def _orders(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=columns)
 
 
+def q_anti_join_customers(sf_dir: str):
+    """Anti join: customers with NO completed ('F') order. The
+    membership-test shape of decontamination / holdout passes — only the
+    right side's KEY column enters the shuffle."""
+    import ray.data as rd
+    from .ops.join import hash_join
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_acctbal"])
+    f_orders = _orders(sf_dir, ["o_custkey", "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'F'")
+    return hash_join(cust, f_orders, "c_custkey", "o_custkey", how="anti")
+
+
+def q_semi_join_customers(sf_dir: str):
+    """Semi join: customers with at least one 'F' order — each left row
+    emitted once regardless of how many orders match."""
+    import ray.data as rd
+    from .ops.join import hash_join
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    f_orders = _orders(sf_dir, ["o_custkey", "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'F'")
+    return hash_join(cust, f_orders, "c_custkey", "o_custkey", how="semi")
+
+
+def q_left_join_order_counts(sf_dir: str):
+    """Left outer join + aggregate: per-customer count of 'F' orders with
+    zero-order customers present (n_orders = 0) — exercises the null
+    right-side rows end-to-end while keeping the gated output null-free."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from .ops.join import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    f_orders = _orders(sf_dir, ["o_custkey", "o_orderkey",
+                                "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'F'")
+    j = hash_join(cust, f_orders, "c_custkey", "o_custkey", how="left",
+                  right_cols=["o_custkey", "o_orderkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["c_custkey"]).aggregate([("o_orderkey", "count")])
+        return pa.table({"c_custkey": g.column("c_custkey"),
+                         "partial_n": g.column("o_orderkey_count")})
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("partial_n",
+                                            alias_name="n_orders"))
+
+
 def q_asof_prev_error(sf_dir: str):
     """As-of join: for each purchase event, the most recent earlier error
     event of the same user (bucketed merge_asof)."""
@@ -767,6 +818,9 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "orders_by_nation": q_orders_by_nation,
     "lineitem_join": q_lineitem_join,
+    "anti_join_customers": q_anti_join_customers,
+    "semi_join_customers": q_semi_join_customers,
+    "left_join_order_counts": q_left_join_order_counts,
     "normalize_text": q_normalize_text,
     "pii_masked": q_pii_masked,
     "boilerplate_tokens": q_boilerplate_tokens,
@@ -926,6 +980,23 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderstatus
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "semi_join_customers": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey IN
+              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "left_join_order_counts": """
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
     """,
     "normalize_text": """
         SELECT doc_id, lower(text) AS text_norm FROM documents

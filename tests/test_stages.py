@@ -401,6 +401,48 @@ def test_hash_join_hot_keys_multiblock_right(ray_session):
     assert out2["rv"].sum() == exp["rv"].sum()
 
 
+def test_hash_join_modes_match_pandas(ray_session):
+    """left / semi / anti modes against pandas merge semantics, including
+    duplicate right keys (left-outer fan-out) and an empty right side."""
+    import pandas as pd
+    import ray.data as rd
+    from log2seq_ray.ops.join import hash_join
+    rng = np.random.default_rng(7)
+    l = pd.DataFrame({"lk": rng.integers(0, 40, 300),
+                      "lv": np.arange(300)})
+    r = pd.DataFrame({"rk": rng.integers(0, 25, 60),
+                      "rv": rng.integers(0, 9, 60)})
+    L = rd.from_pandas(l).repartition(3)
+    R = rd.from_pandas(r).repartition(2)
+
+    out = hash_join(L, R, "lk", "rk", num_buckets=4, how="left").to_pandas()
+    exp = l.merge(r, left_on="lk", right_on="rk", how="left")
+    assert len(out) == len(exp)
+    assert out["rv"].sum() == exp["rv"].sum()
+    assert out["rv"].isna().sum() == exp["rv"].isna().sum()
+    assert "rk" not in out.columns  # right key stays out of left-outer
+
+    matched = set(r["rk"])
+    semi = hash_join(L, R, "lk", "rk", num_buckets=4, how="semi").to_pandas()
+    anti = hash_join(L, R, "lk", "rk", num_buckets=4, how="anti").to_pandas()
+    assert sorted(semi["lv"]) == sorted(l.loc[l["lk"].isin(matched), "lv"])
+    assert sorted(anti["lv"]) == sorted(l.loc[~l["lk"].isin(matched), "lv"])
+    assert list(semi.columns) == ["lk", "lv"]
+    assert list(anti.columns) == ["lk", "lv"]
+
+    # empty right side: anti keeps every left row, left keeps null columns
+    R0 = rd.from_pandas(r.iloc[0:0])
+    anti0 = hash_join(L, R0, "lk", "rk", num_buckets=4,
+                      how="anti").to_pandas()
+    assert sorted(anti0["lv"]) == sorted(l["lv"])
+    left0 = hash_join(L, R0, "lk", "rk", num_buckets=4,
+                      how="left").to_pandas()
+    assert len(left0) == len(l) and left0["rv"].isna().all()
+
+    with pytest.raises(ValueError):
+        hash_join(L, R, "lk", "rk", how="anti", hot_keys=[1])
+
+
 def test_session_counts(ray_session):
     import datetime as dt
     import ray.data as rd
