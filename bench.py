@@ -190,6 +190,7 @@ def run_benchmarks() -> dict:
               lambda: Q.q_orders_by_nation(SF_DIR).to_pandas())
         timed("lineitem_join",
               lambda: Q.q_lineitem_join(SF_DIR).to_pandas())
+        timed("event_pivot", lambda: Q.q_event_pivot(SF_DIR).to_pandas())
         timed("anti_join_customers",
               lambda: Q.q_anti_join_customers(SF_DIR).to_pandas())
         timed("left_join_order_counts",

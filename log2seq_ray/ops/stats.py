@@ -8,6 +8,8 @@
   advancing by ``hop``; each event is emitted into size/hop windows
   vectorially inside ``map_batches`` (partials), then one small merge —
   no per-event python, no shuffle of raw events.
+* ``pivot_counts`` — crosstab: one row per key, one count column per
+  pivot value; dense bincount partials per batch, wide rows shuffle.
 """
 
 from __future__ import annotations
@@ -95,6 +97,48 @@ def hopping_counts(ds, ts_col: str = "ts", by: str = "event_type",
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby([by, "window_start"]) \
         .aggregate(Sum("partial_n", alias_name="n"))
+
+
+def pivot_counts(ds, key: str, pivot_col: str, values, prefix: str = "n_"):
+    """Pivot/crosstab counts: one output row per ``key`` with a count
+    column per listed pivot value (``prefix + value``) — the wide
+    per-entity feature shape (events per user by type, tokens per doc by
+    class). Keys whose rows all carry OTHER pivot values still appear,
+    with all-zero counts (SQL ``GROUP BY`` + ``FILTER`` semantics).
+
+    Scale shape: per batch, joint dictionary-encode (key, pivot-index)
+    and ONE ``bincount`` build a dense (keys-in-batch × len(values))
+    partial, so the shuffle carries one already-pivoted row per (batch,
+    key) — never raw events; the final ``groupby(key)`` sums the few
+    wide partials per key."""
+    from ray.data.aggregate import Sum
+
+    vals = list(values)
+    K = len(vals)
+    vset = pa.array(vals)
+    names = [prefix + str(v) for v in vals]
+
+    def partial(b: pa.Table) -> pa.Table:
+        kcol = b.column(key)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
+            else kcol
+        enc = pc.dictionary_encode(kcol)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        pidx = pc.fill_null(pc.index_in(b.column(pivot_col),
+                                        value_set=vset), -1)
+        pidx = np.asarray(pc.cast(pidx, pa.int64()).to_numpy(),
+                          dtype=np.int64)
+        ok = pidx >= 0
+        n_keys = len(enc.dictionary)
+        cnt = np.bincount(codes[ok] * K + pidx[ok],
+                          minlength=n_keys * K).reshape(n_keys, K)
+        cols = {key: enc.dictionary}
+        for j, name in enumerate(names):
+            cols[name] = pa.array(cnt[:, j])
+        return pa.table(cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(*[Sum(n, alias_name=n) for n in names])
 
 
 def global_quantile_disc(ds, value_col: str, q: float = 0.5) -> float:

@@ -390,6 +390,16 @@ def q_events_hopping(sf_dir: str):
     return hopping_counts(_events(sf_dir, ["event_type", "ts"]))
 
 
+def q_event_pivot(sf_dir: str):
+    """Pivot/crosstab: per user, one count column per event type (wide
+    per-entity feature rows; dense bincount partials, no raw-event
+    shuffle)."""
+    from .ops.stats import pivot_counts
+    return pivot_counts(_events(sf_dir, ["user_id", "event_type"]),
+                        "user_id", "event_type",
+                        ["click", "view", "purchase", "error", "signup"])
+
+
 def q_normalize_text(sf_dir: str):
     """Vectorized lowercase+NFC text normalization (cleanup stage)."""
     from .ops.normalize import normalize_text
@@ -831,6 +841,7 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "median_value": q_median_value,
     "events_hopping": q_events_hopping,
+    "event_pivot": q_event_pivot,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "approx_distinct": q_approx_distinct,
@@ -1034,6 +1045,20 @@ ORACLE_SQL = {
                        AS rn
             FROM documents)
         WHERE rn <= 10
+    """,
+    "event_pivot": """
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                    AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS n_view,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS n_purchase,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                    AS BIGINT) AS n_error,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'signup')
+                    AS BIGINT) AS n_signup
+        FROM events GROUP BY user_id
     """,
     "events_hopping": """
         SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n

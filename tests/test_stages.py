@@ -443,6 +443,21 @@ def test_hash_join_modes_match_pandas(ray_session):
         hash_join(L, R, "lk", "rk", how="anti", hot_keys=[1])
 
 
+def test_pivot_counts(ray_session):
+    """Crosstab counts: unlisted pivot values are ignored but their keys
+    still appear (all-zero row), multi-block keys merge."""
+    import ray.data as rd
+    from log2seq_ray.ops.stats import pivot_counts
+    t = pa.table({"k": ["a", "a", "b", "b", "b", "c"],
+                  "v": ["x", "y", "x", "z", "other", "other"]})
+    out = pivot_counts(rd.from_arrow(t).repartition(3), "k", "v",
+                       ["x", "y", "z"]).to_pandas().sort_values("k")
+    assert list(out["k"]) == ["a", "b", "c"]
+    assert list(out["n_x"]) == [1, 1, 0]
+    assert list(out["n_y"]) == [1, 0, 0]
+    assert list(out["n_z"]) == [0, 1, 0]
+
+
 def test_session_counts(ray_session):
     import datetime as dt
     import ray.data as rd
