@@ -191,6 +191,10 @@ def run_benchmarks() -> dict:
         timed("lineitem_join",
               lambda: Q.q_lineitem_join(SF_DIR).to_pandas())
         timed("event_pivot", lambda: Q.q_event_pivot(SF_DIR).to_pandas())
+        timed("length_ranks",
+              lambda: Q.q_length_ranks(SF_DIR).to_pandas())
+        timed("event_spikes",
+              lambda: Q.q_event_spikes(SF_DIR).to_pandas())
         timed("anti_join_customers",
               lambda: Q.q_anti_join_customers(SF_DIR).to_pandas())
         timed("left_join_order_counts",

@@ -141,6 +141,116 @@ def pivot_counts(ds, key: str, pivot_col: str, values, prefix: str = "n_"):
         .groupby(key).aggregate(*[Sum(n, alias_name=n) for n in names])
 
 
+def percentile_rank(ds, value_col: str, id_col: str,
+                    alias: str = "n_less"):
+    """Per-row global rank: the count of rows with a STRICTLY smaller
+    value (``RANK() OVER (ORDER BY value) - 1``, ties share). The
+    integer-exact building block for percentile normalization of quality
+    scores / lengths (percentile = n_less / (n-1) is one IEEE division
+    the caller applies).
+
+    Scale shape: like ``global_quantile_disc``, a distributed counting
+    sort — per-batch value-count partials → one distinct-value-sized
+    histogram → the driver builds the cumulative-below table and
+    broadcasts it ONCE (``ray.put``); every batch then resolves its rows
+    with one vectorized ``searchsorted``. Driver and per-task memory are
+    O(distinct values), never O(rows); rows never shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        g = b.select([value_col]).group_by(value_col) \
+            .aggregate([([], "count_all")])
+        return pa.table({value_col: g.column(value_col),
+                         "n_part": g.column("count_all")})
+
+    vc = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby(value_col).aggregate(Sum("n_part", alias_name="n")) \
+        .to_pandas().sort_values(value_col)
+    values = np.asarray(vc[value_col].to_numpy())
+    below = np.concatenate(([0], vc["n"].to_numpy(dtype=np.int64)
+                            .cumsum()[:-1]))
+    ref = ray.put((values, below))
+
+    class Ranker:
+        def __init__(self):
+            self.values, self.below = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = np.asarray(b.column(value_col)
+                           .to_numpy(zero_copy_only=False))
+            idx = np.searchsorted(self.values, v, side="left")
+            return pa.table({
+                id_col: b.column(id_col),
+                alias: pa.array(self.below[idx], type=pa.int64()),
+            })
+
+    return ds.map_batches(Ranker, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def hourly_spikes(ds, ts_col: str = "ts", by: str = "event_type",
+                  factor: int = 3):
+    """Rate-anomaly detection: per-(key, hour) counts with an
+    integer-exact spike flag — ``spike = 1`` iff
+    ``n * hours_present > factor * total_n`` for that key, i.e. the hour
+    ran more than ``factor``× the key's mean hourly rate, decided without
+    float division.
+
+    Scale shape: raw events reduce to per-batch (key, hour) count
+    partials (the only shuffle carries those, O(keys × hours) rows); the
+    per-key totals then come from the ALREADY-aggregated hourly table
+    (materialized — it is the bounded aggregate, not the corpus) and are
+    broadcast once as a lookup for the vectorized flag pass."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b.column(ts_col), unit="hour")
+        t = pa.table({by: b.column(by), "hour": hour})
+        g = t.group_by([by, "hour"]).aggregate([([], "count_all")])
+        return pa.table({by: g.column(by), "hour": g.column("hour"),
+                         "partial_n": g.column("count_all")})
+
+    hourly = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "hour"]).aggregate(Sum("partial_n", alias_name="n")) \
+        .materialize()
+
+    def totals(b: pa.Table) -> pa.Table:
+        g = b.group_by([by]).aggregate([("n", "sum"), ([], "count_all")])
+        return pa.table({by: g.column(by),
+                         "t_part": g.column("n_sum"),
+                         "h_part": g.column("count_all")})
+
+    tot = hourly.map_batches(totals, batch_format="pyarrow") \
+        .groupby(by).aggregate(Sum("t_part", alias_name="total"),
+                               Sum("h_part", alias_name="hours")) \
+        .to_pandas()
+    keys = pa.array(tot[by])
+    total = np.asarray(tot["total"].to_numpy(), dtype=np.int64)
+    hours = np.asarray(tot["hours"].to_numpy(), dtype=np.int64)
+    ref = ray.put((keys, total, hours))
+
+    class Flag:
+        def __init__(self):
+            self.keys, self.total, self.hours = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = np.asarray(
+                pc.cast(pc.index_in(b.column(by), value_set=self.keys),
+                        pa.int64()).to_numpy(zero_copy_only=False),
+                dtype=np.int64)
+            n = np.asarray(b.column("n").to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            spike = (n * self.hours[idx]
+                     > np.int64(factor) * self.total[idx])
+            return b.append_column("spike",
+                                   pa.array(spike.astype(np.int64)))
+
+    return hourly.map_batches(Flag, batch_format="pyarrow",
+                              concurrency=(1, 4))
+
+
 def global_quantile_disc(ds, value_col: str, q: float = 0.5) -> float:
     """Exact GLOBAL discrete quantile (sorted index ``floor((n-1)*q)``,
     = DuckDB ``quantile_disc``) of a column whose distinct-value count is

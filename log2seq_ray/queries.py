@@ -400,6 +400,27 @@ def q_event_pivot(sf_dir: str):
                         ["click", "view", "purchase", "error", "signup"])
 
 
+def q_length_ranks(sf_dir: str):
+    """Global percentile rank of document length (count of strictly
+    shorter docs = RANK()-1): distributed counting sort + one broadcast
+    cumulative histogram — O(distinct lengths) memory, rows never
+    shuffle."""
+    from .ops.stats import percentile_rank
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "len": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+        }), batch_format="pyarrow")
+    return percentile_rank(ds, "len", "doc_id")
+
+
+def q_event_spikes(sf_dir: str):
+    """Per-(event_type, hour) counts with an integer-exact 3x-mean spike
+    flag (rate-anomaly detection over the aggregated hourly table)."""
+    from .ops.stats import hourly_spikes
+    return hourly_spikes(_events(sf_dir, ["event_type", "ts"]))
+
+
 def q_normalize_text(sf_dir: str):
     """Vectorized lowercase+NFC text normalization (cleanup stage)."""
     from .ops.normalize import normalize_text
@@ -842,6 +863,8 @@ QUERIES = {
     "median_value": q_median_value,
     "events_hopping": q_events_hopping,
     "event_pivot": q_event_pivot,
+    "length_ranks": q_length_ranks,
+    "event_spikes": q_event_spikes,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "approx_distinct": q_approx_distinct,
@@ -1045,6 +1068,22 @@ ORACLE_SQL = {
                        AS rn
             FROM documents)
         WHERE rn <= 10
+    """,
+    "length_ranks": """
+        SELECT doc_id,
+               CAST(RANK() OVER (ORDER BY length(text)) - 1 AS BIGINT)
+                   AS n_less
+        FROM documents
+    """,
+    "event_spikes": """
+        WITH H AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+               CAST(CASE WHEN n * COUNT(*) OVER (PARTITION BY event_type)
+                              > 3 * SUM(n) OVER (PARTITION BY event_type)
+                         THEN 1 ELSE 0 END AS BIGINT) AS spike
+        FROM H
     """,
     "event_pivot": """
         SELECT user_id,

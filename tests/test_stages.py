@@ -458,6 +458,47 @@ def test_pivot_counts(ray_session):
     assert list(out["n_z"]) == [0, 1, 0]
 
 
+def test_percentile_rank_matches_pandas(ray_session):
+    """n_less == RANK()-1 (ties share), multi-block, duplicate values."""
+    import ray.data as rd
+    from log2seq_ray.ops.stats import percentile_rank
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 20, 200)
+    t = pa.table({"id": np.arange(200), "v": vals})
+    out = percentile_rank(rd.from_arrow(t).repartition(4), "v", "id") \
+        .to_pandas().sort_values("id")
+    exp = pd.Series(vals).rank(method="min").astype(int) - 1
+    assert list(out["n_less"]) == list(exp)
+
+
+def test_hourly_spikes(ray_session):
+    """spike=1 exactly when an hour exceeds 3x the key's mean hourly
+    count (integer-exact, no float division)."""
+    import datetime as dt
+    import ray.data as rd
+    from log2seq_ray.ops.stats import hourly_spikes
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # key 'a': 5 quiet hours of 2 events + one hour with 40 events
+    for h in range(5):
+        rows += [("a", base + dt.timedelta(hours=h, minutes=m))
+                 for m in range(2)]
+    rows += [("a", base + dt.timedelta(hours=9, seconds=s))
+             for s in range(40)]
+    # key 'b': perfectly flat — never spikes
+    for h in range(4):
+        rows += [("b", base + dt.timedelta(hours=h, minutes=m))
+                 for m in range(3)]
+    t = pa.table({"event_type": [r[0] for r in rows],
+                  "ts": pa.array([r[1] for r in rows],
+                                 type=pa.timestamp("us"))})
+    out = hourly_spikes(rd.from_arrow(t).repartition(3)).to_pandas()
+    a = out[out["event_type"] == "a"].sort_values("hour")
+    # mean for 'a' = 50/6; only the 40-event hour exceeds 3x that
+    assert list(a["spike"]) == [0] * 5 + [1]
+    assert (out[out["event_type"] == "b"]["spike"] == 0).all()
+
+
 def test_session_counts(ray_session):
     import datetime as dt
     import ray.data as rd
