@@ -58,6 +58,59 @@ def exact_dedup(ds, id_col: str = "doc_id", col: str = "text"):
     return out.select_columns([id_col])
 
 
+def ingest_dedup_run(ds, state_dir: str, id_col: str = "doc_id",
+                     col: str = "text"):
+    """Incremental cross-RUN exact dedup — the continuous-ingestion shape
+    (tonight's crawl vs every crawl before it): drop rows whose content
+    hash is already in the persistent index under ``state_dir``, keep
+    min-id-first within this run, then commit the survivors' hashes so
+    the next run sees them. Returns the surviving (content_hash, id)
+    Dataset.
+
+    100 TB shape: the index holds 20-byte hex hashes + ids (~1/5000th of
+    the corpus bytes) as partitioned parquet, one directory per committed
+    run; membership against it is a hash-partitioned ANTI join
+    (``hash_join(how='anti')`` — only the index's KEY column enters the
+    shuffle, no text ever does); within-run dedup is the existing
+    ``groupby(hash).min(id)``. The commit is write-to-temp + ``rename``,
+    so a crashed run leaves no partial index and the state dir can be
+    resumed. The survivor set is materialized once (it is consumed twice:
+    the commit write and the caller) — it is the deduped (hash, id) pair
+    set, never the documents."""
+    import os
+    import uuid
+
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .join import hash_join
+
+    os.makedirs(state_dir, exist_ok=True)
+    runs = sorted(d for d in os.listdir(state_dir)
+                  if d.startswith("run_"))
+
+    hashed = ds.map_batches(lambda b: _text_hash(b, col)
+                            .select(["content_hash", id_col]),
+                            batch_format="pyarrow")
+    survivors = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col))
+    if runs:
+        # a list of paths must be files, not directories
+        files = [f"{state_dir}/{r}/{f}" for r in runs
+                 for f in sorted(os.listdir(f"{state_dir}/{r}"))
+                 if f.endswith(".parquet")]
+        index = rd.read_parquet(files, columns=["content_hash"])
+        survivors = hash_join(survivors, index,
+                              "content_hash", "content_hash", how="anti")
+    survivors = survivors.materialize()
+
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    survivors.select_columns(["content_hash", id_col]).write_parquet(tmp)
+    final = f"{state_dir}/run_{len(runs):05d}"
+    os.rename(tmp, final)
+    return survivors
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -421,6 +421,42 @@ def q_event_spikes(sf_dir: str):
     return hourly_spikes(_events(sf_dir, ["event_type", "ts"]))
 
 
+def q_cross_run_dedup(sf_dir: str):
+    """Two-run incremental ingest (continuous-crawl dedup): run A commits
+    even-doc content hashes to a fresh persistent index; run B (odd docs)
+    drops cross-run AND within-run duplicates via a hash-partitioned anti
+    join against the index. Returns run B's surviving doc ids."""
+    import hashlib as _hl
+    import shutil
+
+    from .ops.dedup import ingest_dedup_run
+
+    state = ("/tmp/l2sr_ingest_"
+             + _hl.md5(sf_dir.encode()).hexdigest()[:10])
+    shutil.rmtree(state, ignore_errors=True)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def half(b: pa.Table, rem: int) -> pa.Table:
+        par = pc.bit_wise_and(pc.cast(b.column("doc_id"), pa.int64()),
+                              pa.scalar(1, pa.int64()))
+        return b.filter(pc.equal(par, pa.scalar(rem, pa.int64())))
+
+    run_a = docs.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    ingest_dedup_run(run_a, state)
+    # augmented positives: run B also carries re-keyed COPIES of run A's
+    # texts — every one must be dropped by the cross-run anti join
+    rekeyed = docs.map_batches(
+        lambda b: (lambda t: t.set_column(
+            t.column_names.index("doc_id"), "doc_id",
+            pc.add(pc.cast(t.column("doc_id"), pa.int64()),
+                   pa.scalar(1_000_000, pa.int64()))))(half(b, 0)),
+        batch_format="pyarrow")
+    run_b = docs.map_batches(lambda b: half(b, 1),
+                             batch_format="pyarrow").union(rekeyed)
+    out = ingest_dedup_run(run_b, state)
+    return out.select_columns(["doc_id"])
+
+
 def q_normalize_text(sf_dir: str):
     """Vectorized lowercase+NFC text normalization (cleanup stage)."""
     from .ops.normalize import normalize_text
@@ -865,6 +901,7 @@ QUERIES = {
     "event_pivot": q_event_pivot,
     "length_ranks": q_length_ranks,
     "event_spikes": q_event_spikes,
+    "cross_run_dedup": q_cross_run_dedup,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "approx_distinct": q_approx_distinct,
@@ -1068,6 +1105,18 @@ ORACLE_SQL = {
                        AS rn
             FROM documents)
         WHERE rn <= 10
+    """,
+    "cross_run_dedup": """
+        WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
+                   WHERE doc_id % 2 = 0),
+             bsrc AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 2 = 1
+                      UNION ALL
+                      SELECT doc_id + 1000000, text FROM documents
+                      WHERE doc_id % 2 = 0),
+             b AS (SELECT MIN(doc_id) AS doc_id, md5(text) AS h
+                   FROM bsrc GROUP BY md5(text))
+        SELECT doc_id FROM b WHERE h NOT IN (SELECT h FROM a)
     """,
     "length_ranks": """
         SELECT doc_id,

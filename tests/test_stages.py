@@ -499,6 +499,33 @@ def test_hourly_spikes(ray_session):
     assert (out[out["event_type"] == "b"]["spike"] == 0).all()
 
 
+def test_ingest_dedup_run(ray_session, tmp_path):
+    """Cross-run incremental dedup: run 2 drops texts committed by run 1
+    plus its own internal dups; run 3 sees run 2's additions too."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import ingest_dedup_run
+    state = str(tmp_path / "index")
+
+    r1 = pa.table({"doc_id": [1, 2, 3], "text": ["aa", "bb", "aa"]})
+    s1 = ingest_dedup_run(rd.from_arrow(r1).repartition(2), state) \
+        .to_pandas()
+    assert sorted(s1["doc_id"]) == [1, 2]  # within-run dup dropped
+
+    r2 = pa.table({"doc_id": [10, 11, 12, 13],
+                   "text": ["bb", "cc", "cc", "dd"]})
+    s2 = ingest_dedup_run(rd.from_arrow(r2).repartition(2), state) \
+        .to_pandas()
+    assert sorted(s2["doc_id"]) == [11, 13]  # bb seen in run 1; cc deduped
+
+    r3 = pa.table({"doc_id": [20, 21], "text": ["cc", "ee"]})
+    s3 = ingest_dedup_run(rd.from_arrow(r3), state).to_pandas()
+    assert sorted(s3["doc_id"]) == [21]  # cc committed by run 2
+
+    import os
+    runs = sorted(os.listdir(state))
+    assert runs == ["run_00000", "run_00001", "run_00002"]  # no temp junk
+
+
 def test_session_counts(ray_session):
     import datetime as dt
     import ray.data as rd
