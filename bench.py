@@ -197,6 +197,7 @@ def run_benchmarks() -> dict:
               lambda: Q.q_event_spikes(SF_DIR).to_pandas())
         timed("cross_run_dedup",
               lambda: Q.q_cross_run_dedup(SF_DIR).to_pandas())
+        timed("value_stats", lambda: Q.q_value_stats(SF_DIR).to_pandas())
         timed("anti_join_customers",
               lambda: Q.q_anti_join_customers(SF_DIR).to_pandas())
         timed("left_join_order_counts",

@@ -251,6 +251,38 @@ def hourly_spikes(ds, ts_col: str = "ts", by: str = "event_type",
                               concurrency=(1, 4))
 
 
+def group_value_stats(ds, key: str, value_col: str):
+    """One-pass per-key sufficient statistics over a double column:
+    ``n`` (non-null), ``min_micro`` / ``max_micro`` / ``sum_micro`` in
+    integer micro-units (``floor(value * 1e6)``). Micro-unit BIGINT sums
+    are additive and order-independent — unlike float sums, whose value
+    depends on block arrival order — so the merge is engine-exact at any
+    parallelism. ``mean = sum_micro / n / 1e6`` is the caller's one IEEE
+    division. Shuffle carries only per-(batch, key) partial rows."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(value_col)))
+        m = np.floor(np.asarray(
+            b.column(value_col).to_numpy(zero_copy_only=False),
+            dtype=np.float64) * 1e6).astype(np.int64)
+        t = pa.table({key: b.column(key), "m": pa.array(m)})
+        g = t.group_by([key]).aggregate(
+            [("m", "min"), ("m", "max"), ("m", "sum"), ([], "count_all")])
+        return pa.table({key: g.column(key),
+                         "min_part": g.column("m_min"),
+                         "max_part": g.column("m_max"),
+                         "sum_part": g.column("m_sum"),
+                         "n_part": g.column("count_all")})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(
+            Sum("n_part", alias_name="n"),
+            Min("min_part", alias_name="min_micro"),
+            Max("max_part", alias_name="max_micro"),
+            Sum("sum_part", alias_name="sum_micro"))
+
+
 def global_quantile_disc(ds, value_col: str, q: float = 0.5) -> float:
     """Exact GLOBAL discrete quantile (sorted index ``floor((n-1)*q)``,
     = DuckDB ``quantile_disc``) of a column whose distinct-value count is

@@ -457,6 +457,14 @@ def q_cross_run_dedup(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_value_stats(sf_dir: str):
+    """Per-event-type sufficient statistics (n, min/max/sum in integer
+    micro-units) — order-independent one-pass merge."""
+    from .ops.stats import group_value_stats
+    return group_value_stats(_events(sf_dir, ["event_type", "value"]),
+                             "event_type", "value")
+
+
 def q_normalize_text(sf_dir: str):
     """Vectorized lowercase+NFC text normalization (cleanup stage)."""
     from .ops.normalize import normalize_text
@@ -902,6 +910,7 @@ QUERIES = {
     "length_ranks": q_length_ranks,
     "event_spikes": q_event_spikes,
     "cross_run_dedup": q_cross_run_dedup,
+    "value_stats": q_value_stats,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "approx_distinct": q_approx_distinct,
@@ -1105,6 +1114,15 @@ ORACLE_SQL = {
                        AS rn
             FROM documents)
         WHERE rn <= 10
+    """,
+    "value_stats": """
+        SELECT event_type,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               MIN(CAST(floor(value * 1000000) AS BIGINT)) AS min_micro,
+               MAX(CAST(floor(value * 1000000) AS BIGINT)) AS max_micro,
+               CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_micro
+        FROM events GROUP BY event_type
     """,
     "cross_run_dedup": """
         WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents

@@ -526,6 +526,23 @@ def test_ingest_dedup_run(ray_session, tmp_path):
     assert runs == ["run_00000", "run_00001", "run_00002"]  # no temp junk
 
 
+def test_group_value_stats(ray_session):
+    """Micro-unit stats match a serial reference; null values excluded;
+    multi-block merge is order-independent."""
+    import ray.data as rd
+    from log2seq_ray.ops.stats import group_value_stats
+    t = pa.table({"k": ["a", "a", "a", "b", "b"],
+                  "v": [1.25, -0.5, None, 3.0, 3.0000004]})
+    out = group_value_stats(rd.from_arrow(t).repartition(3), "k", "v") \
+        .to_pandas().sort_values("k").set_index("k")
+    assert out.loc["a", "n"] == 2
+    assert out.loc["a", "min_micro"] == -500000
+    assert out.loc["a", "max_micro"] == 1250000
+    assert out.loc["a", "sum_micro"] == 750000
+    assert out.loc["b", "n"] == 2
+    assert out.loc["b", "sum_micro"] == 3000000 + 3000000  # floor of both
+
+
 def test_session_counts(ray_session):
     import datetime as dt
     import ray.data as rd
