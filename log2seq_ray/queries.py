@@ -457,6 +457,32 @@ def q_cross_run_dedup(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_hourly_users(sf_dir: str):
+    """Exact distinct users per hour (unique-pairs-only shuffle keyed by
+    the window instead of an entity column)."""
+    from .ops.windows import distinct_counts
+    hours = _events(sf_dir, ["user_id", "ts"]).map_batches(
+        lambda b: pa.table({
+            "hour": pc.floor_temporal(b.column("ts"), unit="hour"),
+            "user_id": b.column("user_id"),
+        }), batch_format="pyarrow")
+    return distinct_counts(hours, "hour", "user_id")
+
+
+def q_funnel_conversions(sf_dir: str):
+    """Funnel: for every purchase, how many clicks the same user made in
+    the 30 minutes before it — the NEGATIVE-offset interval join
+    ((ts-30min, ts] window)."""
+    from .ops.join import interval_count_join
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    purchases = ds.filter(expr="event_type == 'purchase'") \
+        .drop_columns(["event_type"])
+    clicks = ds.filter(expr="event_type == 'click'") \
+        .drop_columns(["event_type", "event_id"])
+    return interval_count_join(purchases, clicks, key="user_id",
+                               lo_us=-1_800_000_000, hi_us=0)
+
+
 def q_value_stats(sf_dir: str):
     """Per-event-type sufficient statistics (n, min/max/sum in integer
     micro-units) — order-independent one-pass merge."""
@@ -911,6 +937,8 @@ QUERIES = {
     "event_spikes": q_event_spikes,
     "cross_run_dedup": q_cross_run_dedup,
     "value_stats": q_value_stats,
+    "hourly_users": q_hourly_users,
+    "funnel_conversions": q_funnel_conversions,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "approx_distinct": q_approx_distinct,
@@ -1114,6 +1142,21 @@ ORACLE_SQL = {
                        AS rn
             FROM documents)
         WHERE rn <= 10
+    """,
+    "hourly_users": """
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
+    "funnel_conversions": """
+        SELECT p.event_id, CAST(COUNT(c.ts) AS BIGINT) AS n
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+             AND c.ts > p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        GROUP BY p.event_id
     """,
     "value_stats": """
         SELECT event_type,
