@@ -198,6 +198,11 @@ def run_benchmarks() -> dict:
         timed("cross_run_dedup",
               lambda: Q.q_cross_run_dedup(SF_DIR).to_pandas())
         timed("value_stats", lambda: Q.q_value_stats(SF_DIR).to_pandas())
+        timed("props_sum", lambda: Q.q_props_sum(SF_DIR).to_pandas())
+        timed("lang_source_rollup",
+              lambda: Q.q_lang_source_rollup(SF_DIR).to_pandas())
+        timed("snapshot_diff",
+              lambda: Q.q_snapshot_diff(SF_DIR).to_pandas())
         timed("anti_join_customers",
               lambda: Q.q_anti_join_customers(SF_DIR).to_pandas())
         timed("left_join_order_counts",

@@ -108,6 +108,19 @@ PII_PATTERNS = (
 )
 
 
+def extract_json_int(batch: pa.Table, col: str, field: str,
+                     alias: str) -> pa.Table:
+    """Vectorized integer JSON-field extraction for flat-key metadata
+    columns (``{"k": 87}`` event props): ONE RE2 ``extract_regex`` kernel
+    per batch instead of a per-row ``json.loads`` — pulling one numeric
+    field does not need a parser. Null where the field is absent."""
+    import re as _re
+    pat = '"' + _re.escape(field) + '":\\s*(?P<v>-?\\d+)'
+    m = pc.extract_regex(batch.column(col), pat)
+    return batch.append_column(
+        alias, pc.cast(pc.struct_field(m, "v"), pa.int64()))
+
+
 def mask_pii(batch: pa.Table, col: str = "text",
              out_col: str = "text_masked") -> pa.Table:
     """Mask emails / IPv4s / international phone numbers — the standard

@@ -283,6 +283,51 @@ def group_value_stats(ds, key: str, value_col: str):
             Sum("sum_part", alias_name="sum_micro"))
 
 
+def rollup_counts(ds, k1: str, k2: str, sentinel: str = "__all__"):
+    """Hierarchical ROLLUP counts in ONE corpus pass: (k1, k2) counts,
+    per-k1 subtotals, and the grand total, with ``sentinel`` marking the
+    rolled-up key levels (string keys without real nulls — Ray groupby
+    cannot partition null keys). The subtotal and total levels are
+    derived from the ALREADY-aggregated finest level (bounded by distinct
+    key pairs, materialized once), never from a second corpus scan."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([k1, k2]).group_by([k1, k2]) \
+            .aggregate([([], "count_all")])
+        return pa.table({k1: g.column(k1), k2: g.column(k2),
+                         "partial_n": g.column("count_all")})
+
+    fine = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([k1, k2]).aggregate(Sum("partial_n", alias_name="n")) \
+        .materialize()
+
+    def sub_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by([k1]).aggregate([("n", "sum")])
+        return pa.table({k1: g.column(k1),
+                         "partial_n": g.column("n_sum")})
+
+    sub = fine.map_batches(sub_partial, batch_format="pyarrow") \
+        .groupby(k1).aggregate(Sum("partial_n", alias_name="n")) \
+        .map_batches(
+            lambda b: pa.table({
+                k1: b.column(k1),
+                k2: pa.array([sentinel] * b.num_rows),
+                "n": b.column("n")}),
+            batch_format="pyarrow")
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        n = pc.sum(b.column("n")).as_py() or 0
+        return pa.table({k1: pa.array([sentinel]),
+                         k2: pa.array([sentinel]),
+                         "partial_n": pa.array([n], type=pa.int64())})
+
+    tot = fine.map_batches(tot_partial, batch_format="pyarrow") \
+        .groupby([k1, k2]).aggregate(Sum("partial_n", alias_name="n"))
+
+    return fine.union(sub).union(tot)
+
+
 def global_quantile_disc(ds, value_col: str, q: float = 0.5) -> float:
     """Exact GLOBAL discrete quantile (sorted index ``floor((n-1)*q)``,
     = DuckDB ``quantile_disc``) of a column whose distinct-value count is

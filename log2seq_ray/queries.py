@@ -483,6 +483,94 @@ def q_funnel_conversions(sf_dir: str):
                                lo_us=-1_800_000_000, hi_us=0)
 
 
+def q_lang_source_rollup(sf_dir: str):
+    """ROLLUP counts over (lang, source): finest level + per-lang
+    subtotals + grand total in one corpus pass."""
+    from .ops.stats import rollup_counts
+    return rollup_counts(_docs(sf_dir, ["lang", "source"]),
+                         "lang", "source")
+
+
+def q_props_sum(sf_dir: str):
+    """Vectorized JSON metadata extraction (one RE2 kernel, no per-row
+    json.loads) + per-type sums of the extracted field."""
+    from ray.data.aggregate import Sum
+    from .ops.normalize import extract_json_int
+
+    ds = _events(sf_dir, ["event_type", "props"]).map_batches(
+        lambda b: extract_json_int(b, "props", "k", "k"),
+        batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["event_type", "k"]).group_by(["event_type"]) \
+            .aggregate([("k", "sum"), ("k", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "s_part": g.column("k_sum"),
+                         "n_part": g.column("k_count")})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("s_part", alias_name="sum_k"),
+            Sum("n_part", alias_name="n"))
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Corpus snapshot delta (incremental-pipeline shape): added /
+    removed / changed docs between two deterministic synthetic snapshots,
+    composed from the three hash_join modes (anti ×2 + inner with a
+    payload inequality filter). Only (id, text) pairs shuffle."""
+    from .ops.join import hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def old_snap(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        keep = pc.not_equal(_mod(ids, 3), pa.scalar(0, pa.int64()))
+        return b.filter(keep)
+
+    def new_snap(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        b = b.filter(pc.not_equal(_mod(ids, 3), pa.scalar(1, pa.int64())))
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        edited = pc.equal(_mod(ids, 7), pa.scalar(0, pa.int64()))
+        text = pc.if_else(edited,
+                          pc.binary_join_element_wise(
+                              b.column("text"), " v2", ""),
+                          b.column("text"))
+        return pa.table({"doc_id": b.column("doc_id"), "text": text})
+
+    old = docs.map_batches(old_snap, batch_format="pyarrow")
+    new = docs.map_batches(new_snap, batch_format="pyarrow")
+
+    def tag(ds, status):
+        return ds.map_batches(
+            lambda b, s=status: pa.table({
+                "doc_id": b.column("doc_id"),
+                "status": pa.array([s] * b.num_rows)}),
+            batch_format="pyarrow")
+
+    removed = tag(hash_join(old, new, "doc_id", "doc_id", how="anti",
+                            left_cols=["doc_id"]), "removed")
+    added = tag(hash_join(new, old, "doc_id", "doc_id", how="anti",
+                          left_cols=["doc_id"]), "added")
+    old_t = old.map_batches(lambda b: b.rename_columns(
+        ["doc_id", "text_old"]), batch_format="pyarrow")
+    new_t = new.map_batches(lambda b: b.rename_columns(
+        ["doc_id", "text_new"]), batch_format="pyarrow")
+    both = hash_join(old_t, new_t, "doc_id", "doc_id")
+    changed = tag(both.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("text_old"),
+                                        b.column("text_new"))),
+        batch_format="pyarrow"), "changed")
+    return removed.union(added).union(changed)
+
+
+def _mod(arr, k: int):
+    # pc has no modulo kernel; a - (a/k)*k with integer division
+    kk = pa.scalar(k, pa.int64())
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, kk), kk))
+
+
 def q_value_stats(sf_dir: str):
     """Per-event-type sufficient statistics (n, min/max/sum in integer
     micro-units) — order-independent one-pass merge."""
@@ -939,6 +1027,9 @@ QUERIES = {
     "value_stats": q_value_stats,
     "hourly_users": q_hourly_users,
     "funnel_conversions": q_funnel_conversions,
+    "lang_source_rollup": q_lang_source_rollup,
+    "props_sum": q_props_sum,
+    "snapshot_diff": q_snapshot_diff,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "approx_distinct": q_approx_distinct,
@@ -1142,6 +1233,39 @@ ORACLE_SQL = {
                        AS rn
             FROM documents)
         WHERE rn <= 10
+    """,
+    "snapshot_diff": """
+        WITH old AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id % 3 <> 0),
+             new AS (SELECT doc_id,
+                            CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                 ELSE text END AS text
+                     FROM documents WHERE doc_id % 3 <> 1)
+        SELECT doc_id, 'removed' AS status FROM old
+        WHERE doc_id NOT IN (SELECT doc_id FROM new)
+        UNION ALL
+        SELECT doc_id, 'added' AS status FROM new
+        WHERE doc_id NOT IN (SELECT doc_id FROM old)
+        UNION ALL
+        SELECT o.doc_id, 'changed' AS status
+        FROM old o JOIN new n USING (doc_id)
+        WHERE o.text <> n.text
+    """,
+    "lang_source_rollup": """
+        SELECT COALESCE(lang, '__all__') AS lang,
+               COALESCE(source, '__all__') AS source,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+    "props_sum": """
+        SELECT event_type,
+               CAST(SUM(CAST(NULLIF(regexp_extract(
+                        props, '"k":\\s*(-?\\d+)', 1), '') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(COUNT(NULLIF(regexp_extract(
+                        props, '"k":\\s*(-?\\d+)', 1), ''))
+                    AS BIGINT) AS n
+        FROM events GROUP BY event_type
     """,
     "hourly_users": """
         SELECT date_trunc('hour', ts) AS hour,

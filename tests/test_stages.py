@@ -543,6 +543,29 @@ def test_group_value_stats(ray_session):
     assert out.loc["b", "sum_micro"] == 3000000 + 3000000  # floor of both
 
 
+def test_rollup_counts(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.stats import rollup_counts
+    t = pa.table({"a": ["x", "x", "y", "y", "y"],
+                  "b": ["p", "q", "p", "p", "q"]})
+    out = rollup_counts(rd.from_arrow(t).repartition(2), "a", "b") \
+        .to_pandas()
+    d = {(r.a, r.b): r.n for r in out.itertuples()}
+    assert d[("x", "p")] == 1 and d[("x", "q")] == 1
+    assert d[("y", "p")] == 2 and d[("y", "q")] == 1
+    assert d[("x", "__all__")] == 2 and d[("y", "__all__")] == 3
+    assert d[("__all__", "__all__")] == 5
+    assert len(d) == 7
+
+
+def test_extract_json_int():
+    from log2seq_ray.ops.normalize import extract_json_int
+    t = pa.table({"props": ['{"k": 5}', '{"j": 1}',
+                            '{"j": 2, "k": -3}', None]})
+    out = extract_json_int(t, "props", "k", "k")
+    assert out.column("k").to_pylist() == [5, None, -3, None]
+
+
 def test_session_counts(ray_session):
     import datetime as dt
     import ray.data as rd
