@@ -203,6 +203,7 @@ def run_benchmarks() -> dict:
               lambda: Q.q_lang_source_rollup(SF_DIR).to_pandas())
         timed("snapshot_diff",
               lambda: Q.q_snapshot_diff(SF_DIR).to_pandas())
+        timed("doc_chunks", lambda: Q.q_doc_chunks(SF_DIR).to_pandas())
         timed("anti_join_customers",
               lambda: Q.q_anti_join_customers(SF_DIR).to_pandas())
         timed("left_join_order_counts",

@@ -573,3 +573,46 @@ def postings(ds, id_col: str = "doc_id", col: str = "text", cap: int = 8,
     uniq = ds.map_batches(pairs, batch_format="pyarrow")
     return hash_exchange(uniq, "token", _postings_partition, num_parts,
                          fn_args=(id_col, cap))
+
+
+def chunk_documents(ds, size: int = 64, id_col: str = "doc_id",
+                    col: str = "text"):
+    """Context-window chunking: split each document's token list into
+    consecutive ``size``-token chunks → (id, chunk_ix, chunk, n_tokens)
+    rows — the sequence-preparation step before packing/tokenization.
+
+    Vectorized flat_map shape: per batch, one ``split`` builds the token
+    lists, then each chunk index is ONE ``list_slice`` + ``binary_join``
+    kernel over the whole batch (the loop runs ceil(longest-doc/size)
+    times per batch, never per row). No shuffle; output rows stream."""
+
+    def chunks(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        n = np.asarray(pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        ids = b.column(id_col)
+        out = []
+        max_chunks = int((n.max() + size - 1) // size) if len(n) else 0
+        for j in range(max_chunks):
+            mask = n > j * size
+            sel = pa.array(np.nonzero(mask)[0])
+            sub = toks.take(sel)
+            piece = pc.list_slice(sub, j * size, (j + 1) * size)
+            out.append(pa.table({
+                id_col: ids.take(sel),
+                "chunk_ix": pa.array(
+                    np.full(len(sel), j, dtype=np.int64)),
+                "chunk": pc.binary_join(piece, " "),
+                "n_tokens": pa.array(
+                    np.minimum(n[mask] - j * size, size)),
+            }))
+        if not out:
+            return pa.table({
+                id_col: pa.array([], type=ids.type),
+                "chunk_ix": pa.array([], type=pa.int64()),
+                "chunk": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            })
+        return pa.concat_tables(out)
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

@@ -571,6 +571,13 @@ def _mod(arr, k: int):
     return pc.subtract(arr, pc.multiply(pc.divide(arr, kk), kk))
 
 
+def q_doc_chunks(sf_dir: str):
+    """Context-window chunking: 64-token chunks per document
+    (one list_slice+join kernel per chunk index, not per row)."""
+    from .ops.text import chunk_documents
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]), size=64)
+
+
 def q_value_stats(sf_dir: str):
     """Per-event-type sufficient statistics (n, min/max/sum in integer
     micro-units) — order-independent one-pass merge."""
@@ -1030,6 +1037,7 @@ QUERIES = {
     "lang_source_rollup": q_lang_source_rollup,
     "props_sum": q_props_sum,
     "snapshot_diff": q_snapshot_diff,
+    "doc_chunks": q_doc_chunks,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "approx_distinct": q_approx_distinct,
@@ -1233,6 +1241,16 @@ ORACLE_SQL = {
                        AS rn
             FROM documents)
         WHERE rn <= 10
+    """,
+    "doc_chunks": f"""
+        WITH T AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+             J AS (SELECT doc_id, toks,
+                          unnest(range(0, (len(toks) + 63) // 64)) AS j
+                   FROM T)
+        SELECT doc_id, CAST(j AS BIGINT) AS chunk_ix,
+               array_to_string(toks[j*64+1 : (j+1)*64], ' ') AS chunk,
+               CAST(LEAST(len(toks) - j*64, 64) AS BIGINT) AS n_tokens
+        FROM J
     """,
     "snapshot_diff": """
         WITH old AS (SELECT doc_id, text FROM documents

@@ -566,6 +566,25 @@ def test_extract_json_int():
     assert out.column("k").to_pylist() == [5, None, -3, None]
 
 
+def test_chunk_documents(ray_session):
+    """64-token chunking: exact boundaries, short docs, empty docs."""
+    import ray.data as rd
+    from log2seq_ray.ops.text import chunk_documents
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": [" ".join(f"t{i}" for i in range(130)),
+                           "a b", ""]})
+    out = chunk_documents(rd.from_arrow(t), size=64).to_pandas() \
+        .sort_values(["doc_id", "chunk_ix"]).reset_index(drop=True)
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["chunk_ix"]) == [0, 1, 2]
+    assert list(d1["n_tokens"]) == [64, 64, 2]
+    assert d1.iloc[0]["chunk"].split(" ")[0] == "t0"
+    assert d1.iloc[2]["chunk"] == "t128 t129"
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["n_tokens"]) == [2] and d2.iloc[0]["chunk"] == "a b"
+    assert (out["doc_id"] == 3).sum() == 0  # empty doc: no chunks
+
+
 def test_session_counts(ray_session):
     import datetime as dt
     import ray.data as rd
