@@ -166,10 +166,15 @@ def percentile_rank(ds, value_col: str, id_col: str,
 
     vc = ds.map_batches(counts, batch_format="pyarrow") \
         .groupby(value_col).aggregate(Sum("n_part", alias_name="n")) \
-        .to_pandas().sort_values(value_col)
-    values = np.asarray(vc[value_col].to_numpy())
-    below = np.concatenate(([0], vc["n"].to_numpy(dtype=np.int64)
-                            .cumsum()[:-1]))
+        .to_pandas()
+    if len(vc) == 0:  # empty-dataset to_pandas also drops the columns
+        values = np.empty(0, dtype=np.int64)
+        below = np.empty(0, dtype=np.int64)
+    else:
+        vc = vc.sort_values(value_col)
+        values = np.asarray(vc[value_col].to_numpy())
+        below = np.concatenate(([0], vc["n"].to_numpy(dtype=np.int64)
+                                .cumsum()[:-1]))
     ref = ray.put((values, below))
 
     class Ranker:
@@ -226,6 +231,9 @@ def hourly_spikes(ds, ts_col: str = "ts", by: str = "event_type",
         .groupby(by).aggregate(Sum("t_part", alias_name="total"),
                                Sum("h_part", alias_name="hours")) \
         .to_pandas()
+    if len(tot) == 0:  # empty-dataset to_pandas drops the columns
+        import pandas as _pd
+        tot = _pd.DataFrame({by: [], "total": [], "hours": []})
     keys = pa.array(tot[by])
     total = np.asarray(tot["total"].to_numpy(), dtype=np.int64)
     hours = np.asarray(tot["hours"].to_numpy(), dtype=np.int64)
@@ -322,7 +330,14 @@ def rollup_counts(ds, k1: str, k2: str, sentinel: str = "__all__"):
                          k2: pa.array([sentinel]),
                          "partial_n": pa.array([n], type=pa.int64())})
 
+    # seed row so an EMPTY input still yields the grand-total row with
+    # n = 0, matching SQL ROLLUP's () grouping set on an empty table
+    import ray.data as rd
+    seed = rd.from_arrow(pa.table({
+        k1: pa.array([sentinel]), k2: pa.array([sentinel]),
+        "partial_n": pa.array([0], type=pa.int64())}))
     tot = fine.map_batches(tot_partial, batch_format="pyarrow") \
+        .union(seed) \
         .groupby([k1, k2]).aggregate(Sum("partial_n", alias_name="n"))
 
     return fine.union(sub).union(tot)

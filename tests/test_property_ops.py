@@ -107,3 +107,55 @@ def test_salted_pair_generation_equals_brute_force(seed, n, n_sub,
     ai, bi = np.nonzero(sims >= threshold)
     exp = {(int(a), int(b)) for a, b in zip(ai, bi) if a < b}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# hash_join bucket exchange: every join mode equals pandas semantics on
+# arbitrary key distributions and bucket counts (pure functions, no Ray)
+# ---------------------------------------------------------------------------
+
+from log2seq_ray.ops.join import _join_bucket, _split_by_bucket
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 7),
+       st.sampled_from(["inner", "left", "semi", "anti"]))
+@settings(max_examples=40, deadline=None)
+def test_hash_join_bucket_modes_equal_pandas(seed, num_buckets, how):
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(0, 40)), int(rng.integers(0, 25))
+    l = pa.table({"lk": rng.integers(0, 12, nl), "lv": np.arange(nl)})
+    r = pa.table({"rk": rng.integers(0, 8, nr),
+                  "rv": rng.integers(0, 99, nr)})
+    if how == "inner":
+        fields = [pa.field("lk", pa.int64()), pa.field("lv", pa.int64()),
+                  pa.field("rk", pa.int64()), pa.field("rv", pa.int64())]
+    elif how == "left":
+        fields = [pa.field("lk", pa.int64()), pa.field("lv", pa.int64()),
+                  pa.field("rv", pa.int64())]
+    else:
+        fields = [pa.field("lk", pa.int64()), pa.field("lv", pa.int64())]
+    schema = pa.schema(fields)
+    lb = _split_by_bucket(l, "lk", num_buckets, ["lk", "lv"])
+    rb = _split_by_bucket(r, "rk", num_buckets,
+                          ["rk", "rv"] if how in ("inner", "left")
+                          else ["rk"])
+    parts = [_join_bucket("lk", "rk", schema, [lp], [rp], how)
+             for lp, rp in zip(lb, rb)]
+    out = pa.concat_tables(parts).to_pandas()
+
+    ld, rd = l.to_pandas(), r.to_pandas()
+    if how == "inner":
+        exp = ld.merge(rd, left_on="lk", right_on="rk")
+        assert sorted(map(tuple, out[["lk", "lv", "rv"]].to_numpy())) \
+            == sorted(map(tuple, exp[["lk", "lv", "rv"]].to_numpy()))
+    elif how == "left":
+        exp = ld.merge(rd, left_on="lk", right_on="rk", how="left")
+        key = lambda df: sorted(
+            (int(a), int(b), -1 if pd.isna(c) else int(c))
+            for a, b, c in df[["lk", "lv", "rv"]].to_numpy())
+        assert key(out) == key(exp)
+    else:
+        matched = set(rd["rk"])
+        keep = ld["lk"].isin(matched) if how == "semi" \
+            else ~ld["lk"].isin(matched)
+        assert sorted(out["lv"]) == sorted(ld.loc[keep, "lv"])

@@ -585,6 +585,53 @@ def test_chunk_documents(ray_session):
     assert (out["doc_id"] == 3).sum() == 0  # empty doc: no chunks
 
 
+def test_chunk_reassembly_random(ray_session):
+    """Joining a doc's chunks with ' ' reproduces its token stream for
+    random lengths straddling every boundary case (0, <size, =size,
+    multiples, +1)."""
+    import ray.data as rd
+    from log2seq_ray.ops.text import chunk_documents
+    rng = np.random.default_rng(17)
+    lens = [0, 1, 63, 64, 65, 128, 129] + \
+        [int(x) for x in rng.integers(0, 300, 60)]
+    texts = [" ".join(f"w{i}" for i in range(n)) for n in lens]
+    t = pa.table({"doc_id": np.arange(len(lens)), "text": texts})
+    out = chunk_documents(rd.from_arrow(t).repartition(4), size=64) \
+        .to_pandas().sort_values(["doc_id", "chunk_ix"])
+    for did, n in enumerate(lens):
+        got = " ".join(out[out["doc_id"] == did]["chunk"])
+        assert got == texts[did]
+        if n:
+            assert out[out["doc_id"] == did]["n_tokens"].sum() == n
+
+
+def test_empty_input_robustness(ray_session):
+    """A 0-row (but typed) block must flow through the aggregation ops
+    without crashing and produce SQL-consistent results."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import exact_dedup
+    from log2seq_ray.ops.stats import (group_value_stats, percentile_rank,
+                                       pivot_counts, rollup_counts)
+    from log2seq_ray.ops.text import chunk_documents
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                   "text": pa.array([], pa.string())}))
+    assert len(exact_dedup(docs).to_pandas()) == 0
+    assert len(chunk_documents(docs).to_pandas()) == 0
+    kv = rd.from_arrow(pa.table({"k": pa.array([], pa.string()),
+                                 "v": pa.array([], pa.string())}))
+    assert len(pivot_counts(kv, "k", "v", ["x", "y"]).to_pandas()) == 0
+    iv = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())}))
+    assert len(percentile_rank(iv, "v", "id").to_pandas()) == 0
+    fv = rd.from_arrow(pa.table({"k": pa.array([], pa.string()),
+                                 "v": pa.array([], pa.float64())}))
+    assert len(group_value_stats(fv, "k", "v").to_pandas()) == 0
+    # SQL ROLLUP of an empty table still has the () grouping set
+    ru = rollup_counts(kv, "k", "v").to_pandas()
+    assert len(ru) == 1 and ru.iloc[0]["n"] == 0
+    assert ru.iloc[0]["k"] == "__all__" and ru.iloc[0]["v"] == "__all__"
+
+
 def test_session_counts(ray_session):
     import datetime as dt
     import ray.data as rd
