@@ -204,6 +204,8 @@ def run_benchmarks() -> dict:
         timed("snapshot_diff",
               lambda: Q.q_snapshot_diff(SF_DIR).to_pandas())
         timed("doc_chunks", lambda: Q.q_doc_chunks(SF_DIR).to_pandas())
+        timed("curation_funnel",
+              lambda: Q.q_curation_funnel(SF_DIR).to_pandas())
         timed("anti_join_customers",
               lambda: Q.q_anti_join_customers(SF_DIR).to_pandas())
         timed("left_join_order_counts",

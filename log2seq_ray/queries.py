@@ -578,6 +578,36 @@ def q_doc_chunks(sf_dir: str):
     return chunk_documents(_docs(sf_dir, ["doc_id", "text"]), size=64)
 
 
+def q_curation_funnel(sf_dir: str):
+    """Per-stage survivor counts for the end-to-end curation pipeline:
+    raw → Gopher keep → exact dedup → 90% train split → 64-token chunks.
+    The funnel report a curation run publishes; each count streams its
+    composed prefix (semi join routes the train ids back to their texts
+    without broadcasting documents)."""
+    from .ops.dedup import exact_dedup
+    from .ops.join import hash_join
+    from .ops.text import chunk_documents, gopher_filter, split_by_hash
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def keep_only(b: pa.Table) -> pa.Table:
+        g = gopher_filter(b)
+        return b.filter(pc.equal(g.column("reasons"), 0))
+
+    kept = docs.map_batches(keep_only, batch_format="pyarrow")
+    survivor_ids = exact_dedup(kept)
+    train_ids = split_by_hash(survivor_ids, "doc_id", 90)
+    train_docs = hash_join(kept, train_ids, "doc_id", "doc_id",
+                           how="semi")
+    chunks = chunk_documents(train_docs, size=64)
+    rows = [("raw", docs.count()), ("gopher", kept.count()),
+            ("dedup", survivor_ids.count()),
+            ("train", train_ids.count()), ("chunks", chunks.count())]
+    return pa.table({"stage": pa.array([r[0] for r in rows]),
+                     "n": pa.array([r[1] for r in rows],
+                                   type=pa.int64())})
+
+
 def q_value_stats(sf_dir: str):
     """Per-event-type sufficient statistics (n, min/max/sum in integer
     micro-units) — order-independent one-pass merge."""
@@ -1038,6 +1068,7 @@ QUERIES = {
     "props_sum": q_props_sum,
     "snapshot_diff": q_snapshot_diff,
     "doc_chunks": q_doc_chunks,
+    "curation_funnel": q_curation_funnel,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "approx_distinct": q_approx_distinct,
@@ -1725,6 +1756,26 @@ ORACLE_SQL["boilerplate_tokens"] = """
 """
 # label propagation computes the same min-id components as union-find
 ORACLE_SQL["minhash_clusters_lp"] = ORACLE_SQL["minhash_clusters"]
+
+# funnel: per-stage survivor counts of the same composed pipeline
+ORACLE_SQL["curation_funnel"] = f"""
+    WITH K AS (SELECT doc_id FROM ({_gopher_sql()}) WHERE reasons = 0),
+    D AS (SELECT CAST(min(d.doc_id) AS BIGINT) AS doc_id
+          FROM documents d JOIN K ON d.doc_id = K.doc_id
+          GROUP BY d.text),
+    TR AS (SELECT doc_id FROM D
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 ::BIGINT % 100 < 90),
+    CH AS (SELECT CAST(COALESCE(SUM((len(toks) + 63) // 64), 0) AS BIGINT)
+               AS n
+           FROM (SELECT {_TOKENS} AS toks
+                 FROM documents d JOIN TR USING (doc_id)))
+    SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    UNION ALL SELECT 'gopher', CAST(COUNT(*) AS BIGINT) FROM K
+    UNION ALL SELECT 'dedup', CAST(COUNT(*) AS BIGINT) FROM D
+    UNION ALL SELECT 'train', CAST(COUNT(*) AS BIGINT) FROM TR
+    UNION ALL SELECT 'chunks', n FROM CH
+"""
 
 
 def _flagship_sql() -> str:
