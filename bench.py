@@ -198,6 +198,8 @@ def run_benchmarks() -> dict:
         timed("cross_run_dedup",
               lambda: Q.q_cross_run_dedup(SF_DIR).to_pandas())
         timed("value_stats", lambda: Q.q_value_stats(SF_DIR).to_pandas())
+        timed("value_p90_hist",
+              lambda: Q.q_value_p90_hist(SF_DIR).to_pandas())
         timed("props_sum", lambda: Q.q_props_sum(SF_DIR).to_pandas())
         timed("lang_source_rollup",
               lambda: Q.q_lang_source_rollup(SF_DIR).to_pandas())
@@ -354,6 +356,9 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_REPEAT=str(repeat),
                    GRAFT_BENCH_FLAGSHIP_ONLY="1")
+        # each leg goes through the supervised wrapper so a fatal
+        # Ray-core crash retries the leg instead of failing the pair
+        env.pop("GRAFT_BENCH_INNER", None)
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
@@ -374,8 +379,38 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def _run_supervised(argv: list[str]) -> int:
+    """Run the suite in a child process, retrying once on a fatal crash.
+
+    Ray-core check failures (e.g. ``task_manager.cc: Tried to complete
+    task that was not pending``, a rare completion/GC race observed once
+    under full-suite load) abort the whole driver process and cannot be
+    caught in-process; a clean re-run succeeds. The JSON-line stdout
+    contract is preserved: the child's last JSON line is reprinted.
+    """
+    for attempt in (1, 2):
+        out = subprocess.run(
+            [sys.executable, __file__, *argv],
+            env=dict(os.environ, GRAFT_BENCH_INNER="1"),
+            capture_output=True, text=True)
+        sys.stderr.write(out.stderr[-8000:])
+        lines = [ln for ln in out.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        print(f"bench attempt {attempt} failed rc={out.returncode}; "
+              f"{'retrying' if attempt == 1 else 'giving up'}",
+              file=sys.stderr)
+        time.sleep(10)  # let the crashed Ray session's processes exit
+    return 1
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+    if os.environ.get("GRAFT_BENCH_INNER"):
+        if "--scaling" in sys.argv:
+            print(json.dumps(run_scaling()))
+        else:
+            print(json.dumps(run_benchmarks()))
     else:
-        print(json.dumps(run_benchmarks()))
+        sys.exit(_run_supervised(sys.argv[1:]))

@@ -343,6 +343,46 @@ def rollup_counts(ds, k1: str, k2: str, sentinel: str = "__all__"):
     return fine.union(sub).union(tot)
 
 
+def histogram_quantile(ds, value_col: str, q: float = 0.5,
+                       scale: int = 100) -> int:
+    """Approximate GLOBAL quantile of a CONTINUOUS column with bounded
+    memory: values are quantized to integer bins (``floor(value * scale)``
+    micro-units) before the counting sort, so per-task / driver memory is
+    O(value-range × scale) — independent of BOTH corpus size and
+    distinct-value count. This is the scale path where
+    ``global_quantile_disc`` (exact, O(distinct values)) degrades: a
+    continuous float column at 10^12 rows has ~10^12 distincts, but only
+    ``range × scale`` bins. Error is bounded by the bin width ``1/scale``.
+
+    Returns the bin of the exact discrete quantile element (the value the
+    ``floor((n-1)*q)``-th sorted row falls in), as an integer bin id —
+    deterministic, engine-exact, and SQL-reproducible as
+    ``quantile_disc(CAST(floor(value * scale) AS BIGINT), q)``.
+    Null values are excluded, like SQL quantiles."""
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        col = b.column(value_col)
+        col = col.filter(pc.is_valid(col)) if col.null_count else col
+        bins = np.floor(np.asarray(col.to_numpy(zero_copy_only=False),
+                                   dtype=np.float64)
+                        * scale).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(u), "n_part": pa.array(c)})
+
+    vc = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n_part", alias_name="n")) \
+        .to_pandas()
+    if len(vc) == 0:
+        raise ValueError("histogram_quantile of an empty dataset")
+    vc = vc.sort_values("bin")
+    n = int(vc["n"].sum())
+    idx = int(np.floor((n - 1) * q))
+    pos = int(np.searchsorted(vc["n"].cumsum().to_numpy(), idx,
+                              side="right"))
+    return int(vc["bin"].iloc[pos])
+
+
 def global_quantile_disc(ds, value_col: str, q: float = 0.5) -> float:
     """Exact GLOBAL discrete quantile (sorted index ``floor((n-1)*q)``,
     = DuckDB ``quantile_disc``) of a column whose distinct-value count is

@@ -384,6 +384,17 @@ def q_median_value(sf_dir: str):
                           "event_type", "value", q=0.5, alias="median_value")
 
 
+def q_value_p90_hist(sf_dir: str):
+    """Bounded-memory p90 of the continuous ``value`` column via the
+    histogram (binned counting-sort) quantile — the scale path where the
+    exact O(distinct-values) quantile degrades on continuous floats.
+    Returns the integer bin (``floor(value * 100)``) of the p90 element."""
+    from .ops.stats import histogram_quantile
+    b = histogram_quantile(_events(sf_dir, ["value"]), "value",
+                           q=0.9, scale=100)
+    return pa.table({"q_bin": pa.array([b], type=pa.int64())})
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping window (1h size, 30min hop) counts per event_type."""
     from .ops.stats import hopping_counts
@@ -1056,6 +1067,7 @@ QUERIES = {
     "asof_prev_error": q_asof_prev_error,
     "top_events_per_user": q_top_events_per_user,
     "median_value": q_median_value,
+    "value_p90_hist": q_value_p90_hist,
     "events_hopping": q_events_hopping,
     "event_pivot": q_event_pivot,
     "length_ranks": q_length_ranks,
@@ -1253,6 +1265,11 @@ ORACLE_SQL = {
                        AS rank
             FROM events)
         WHERE rank <= 2
+    """,
+    "value_p90_hist": """
+        SELECT quantile_disc(CAST(floor(value * 100) AS BIGINT), 0.9)
+               AS q_bin
+        FROM events WHERE value IS NOT NULL
     """,
     "median_value": """
         SELECT event_type, quantile_disc(value, 0.5) AS median_value

@@ -1252,6 +1252,31 @@ def test_global_quantile_disc_matches_sorted_pick(ray_session):
             "v", 0.5)
 
 
+def test_histogram_quantile_matches_binned_pick(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from log2seq_ray.ops.stats import histogram_quantile
+    rng = np.random.Generator(np.random.PCG64(7))
+    vals = rng.normal(0.0, 3.0, size=701)  # continuous, negatives included
+    raw = np.concatenate([vals, [np.nan]])  # null excluded like SQL
+    tbl = pa.table({"v": pa.array(raw, type=pa.float64())})
+    tbl = tbl.set_column(0, "v", pa.array(
+        [None if np.isnan(x) else float(x) for x in raw]))
+    ds = rd.from_arrow(tbl).repartition(7)
+    bins = np.sort(np.floor(vals * 100).astype(np.int64))
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        expect = int(bins[int(np.floor((len(vals) - 1) * q))])
+        assert histogram_quantile(ds, "v", q, scale=100) == expect
+    # bin width bounds the error vs the exact continuous quantile
+    exact = np.sort(vals)[int(np.floor((len(vals) - 1) * 0.5))]
+    got = histogram_quantile(ds, "v", 0.5, scale=100)
+    assert abs(got / 100.0 - exact) <= 0.01
+    with pytest.raises(ValueError):
+        histogram_quantile(
+            rd.from_arrow(pa.table({"v": pa.array([], type=pa.float64())})),
+            "v", 0.5)
+
+
 def test_semdedup_matches_reference(ray_session):
     import numpy as np
     import ray.data as rd
