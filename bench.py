@@ -200,6 +200,8 @@ def run_benchmarks() -> dict:
         timed("value_stats", lambda: Q.q_value_stats(SF_DIR).to_pandas())
         timed("value_p90_hist",
               lambda: Q.q_value_p90_hist(SF_DIR).to_pandas())
+        timed("value_p90_by_type",
+              lambda: Q.q_value_p90_by_type(SF_DIR).to_pandas())
         timed("props_sum", lambda: Q.q_props_sum(SF_DIR).to_pandas())
         timed("lang_source_rollup",
               lambda: Q.q_lang_source_rollup(SF_DIR).to_pandas())

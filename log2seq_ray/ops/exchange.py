@@ -58,13 +58,16 @@ def resolve_all_pieces(pieces):
 def _fan_out(ds, key: str, num_parts: int):
     """Fan a Dataset's blocks into per-partition piece-ref lists."""
     import ray
+    if num_parts == 1:
+        # degenerate: every block ref IS the single partition's piece (a
+        # num_returns=1 split task would ship the LIST split_by_key
+        # returns, not the table)
+        return [list(ds.to_arrow_refs())]
     split = ray.remote(split_by_key)
     per_part = [[] for _ in range(num_parts)]
     for ref in ds.to_arrow_refs():
         pieces = split.options(num_returns=num_parts).remote(
             ref, key, num_parts)
-        if num_parts == 1:
-            pieces = [pieces]
         for i, p in enumerate(pieces):
             per_part[i].append(p)
     return per_part

@@ -1,7 +1,7 @@
 """Statistical / windowed aggregates beyond plain groupby counts.
 
 * ``group_quantile`` — exact discrete quantile per group (the element at
-  sorted index ``floor((n-1) * q)``, matching DuckDB ``quantile_disc``).
+  sorted index ``ceil(q*n)-1``, matching DuckDB ``quantile_disc``).
   Needs the group's values together → hash exchange of (group, value)
   pairs + one vectorized pass per partition (ops.exchange).
 * ``hopping_counts`` — hopping (sliding) window counts: window ``size``
@@ -20,6 +20,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 US = 1_000_000
+
+
+def _disc_index(n, q: float):
+    """DuckDB ``quantile_disc`` element index: ``ceil(q*n) - 1`` clamped
+    to 0, with the multiply in IEEE double exactly as DuckDB computes it
+    (coincides with ``floor((n-1)*q)`` at q=0.5 but not at e.g. q=0.9).
+    ``n`` may be a scalar or an int64 ndarray."""
+    return np.maximum(np.ceil(q * np.asarray(n, dtype=np.float64))
+                      .astype(np.int64) - 1, 0)
 
 
 def _quantile_partition(group_col, value_col, q, alias, pieces):
@@ -44,7 +53,7 @@ def _quantile_partition(group_col, value_col, q, alias, pieces):
     starts[1:] = k[1:] != k[:-1]
     sidx = np.nonzero(starts)[0]
     m = np.diff(np.append(sidx, len(k)))
-    pick = sidx + np.floor((m - 1) * q).astype(np.int64)
+    pick = sidx + _disc_index(m, q)
     return pa.table({
         group_col: enc.dictionary.take(pa.array(k[sidx])),
         alias: pa.array(v[pick]),
@@ -53,7 +62,7 @@ def _quantile_partition(group_col, value_col, q, alias, pieces):
 
 def group_quantile(ds, group_col: str, value_col: str, q: float = 0.5,
                    alias: str = "q", num_parts: int = 16):
-    """Exact discrete quantile per group (sorted index ``floor((n-1)*q)``,
+    """Exact discrete quantile per group (sorted index ``ceil(q*n)-1``,
     = DuckDB ``quantile_disc``). Needs each group's values together by
     definition — one hash exchange of (group, value) pairs, then every
     partition computes ALL its groups' quantiles in one vectorized pass
@@ -63,6 +72,85 @@ def group_quantile(ds, group_col: str, value_col: str, q: float = 0.5,
         lambda b: b.select([group_col, value_col]), batch_format="pyarrow")
     return hash_exchange(pairs, group_col, _quantile_partition, num_parts,
                          fn_args=(group_col, value_col, q, alias))
+
+
+def group_histogram_quantile(ds, group_col: str, value_col: str,
+                             q: float = 0.5, scale: int = 100,
+                             alias: str = "q_bin", num_parts: int = 16):
+    """Bounded-shuffle per-group quantile of a CONTINUOUS column: values
+    quantize to integer bins (``floor(value * scale)``), per-batch
+    (group, bin) count partials pre-aggregate BEFORE any exchange, so the
+    shuffle carries O(groups × bins) narrow rows — never the raw
+    (group, value) pairs ``group_quantile`` ships. Per-partition memory is
+    O(its groups × bins), independent of row count; error ≤ ``1/scale``.
+
+    Returns (group, ``alias``) where ``alias`` is the bin of the group's
+    exact discrete quantile element — SQL-reproducible as
+    ``quantile_disc(CAST(floor(value*scale) AS BIGINT), q) GROUP BY
+    group``. Nulls are excluded, like SQL quantiles."""
+    from ray.data.aggregate import Sum
+    from .exchange import hash_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(value_col)))
+        bins = np.floor(np.asarray(
+            b.column(value_col).to_numpy(zero_copy_only=False),
+            dtype=np.float64) * scale).astype(np.int64)
+        t = pa.table({group_col: b.column(group_col),
+                      "bin": pa.array(bins)})
+        g = t.group_by([group_col, "bin"]).aggregate([([], "count_all")])
+        return pa.table({group_col: g.column(group_col),
+                         "bin": g.column("bin"),
+                         "n_part": g.column("count_all")})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "bin"]).aggregate(Sum("n_part", alias_name="n"))
+
+    def pick(pieces):
+        from .exchange import resolve_all_pieces
+        ps = resolve_all_pieces(pieces)
+        if not ps:
+            return pa.table({})
+        t = pa.concat_tables(ps)
+        if t.num_rows == 0:
+            return pa.table({group_col: t.column(group_col),
+                             alias: pa.array([], type=pa.int64())})
+        gcol = t.column(group_col)
+        gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) \
+            else gcol
+        enc = pc.dictionary_encode(gcol)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        bins = np.asarray(t.column("bin").to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        cnts = np.asarray(t.column("n").to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        order = np.lexsort((bins, codes))
+        k, b_, c = codes[order], bins[order], cnts[order]
+        starts = np.ones(len(k), dtype=bool)
+        starts[1:] = k[1:] != k[:-1]
+        sidx = np.nonzero(starts)[0]
+        # per-segment cumulative counts → index of the bin holding the
+        # quantile_disc-index element of each group
+        csum = c.cumsum()
+        seg_base = np.repeat(np.concatenate(([0], csum[sidx[1:] - 1])),
+                             np.diff(np.append(sidx, len(k))))
+        within = csum - seg_base  # cumulative within each group segment
+        seg_end = np.concatenate((csum[sidx[1:] - 1], [csum[-1]]))
+        n_group = seg_end - np.concatenate(([0], csum[sidx[1:] - 1]))
+        target = _disc_index(n_group, q)  # per segment
+        tgt_row = np.repeat(target, np.diff(np.append(sidx, len(k))))
+        hit = within > tgt_row  # first bin whose cumulative passes target
+        seg_id = np.repeat(np.arange(len(sidx)), np.diff(
+            np.append(sidx, len(k))))
+        rows = np.nonzero(hit)[0]
+        first_hit = np.full(len(sidx), len(k), dtype=np.int64)
+        np.minimum.at(first_hit, seg_id[rows], rows)
+        return pa.table({
+            group_col: enc.dictionary.take(pa.array(k[sidx])),
+            alias: pa.array(b_[first_hit]),
+        })
+
+    return hash_exchange(hist, group_col, pick, num_parts)
 
 
 def hopping_counts(ds, ts_col: str = "ts", by: str = "event_type",
@@ -355,7 +443,7 @@ def histogram_quantile(ds, value_col: str, q: float = 0.5,
     ``range × scale`` bins. Error is bounded by the bin width ``1/scale``.
 
     Returns the bin of the exact discrete quantile element (the value the
-    ``floor((n-1)*q)``-th sorted row falls in), as an integer bin id —
+    ``ceil(q*n)-1``-th sorted row falls in), as an integer bin id —
     deterministic, engine-exact, and SQL-reproducible as
     ``quantile_disc(CAST(floor(value * scale) AS BIGINT), q)``.
     Null values are excluded, like SQL quantiles."""
@@ -377,14 +465,14 @@ def histogram_quantile(ds, value_col: str, q: float = 0.5,
         raise ValueError("histogram_quantile of an empty dataset")
     vc = vc.sort_values("bin")
     n = int(vc["n"].sum())
-    idx = int(np.floor((n - 1) * q))
+    idx = int(_disc_index(n, q))
     pos = int(np.searchsorted(vc["n"].cumsum().to_numpy(), idx,
                               side="right"))
     return int(vc["bin"].iloc[pos])
 
 
 def global_quantile_disc(ds, value_col: str, q: float = 0.5) -> float:
-    """Exact GLOBAL discrete quantile (sorted index ``floor((n-1)*q)``,
+    """Exact GLOBAL discrete quantile (sorted index ``ceil(q*n)-1``,
     = DuckDB ``quantile_disc``) of a column whose distinct-value count is
     bounded (token counts, scores, lengths — the curation metrics).
 
@@ -408,7 +496,7 @@ def global_quantile_disc(ds, value_col: str, q: float = 0.5) -> float:
         raise ValueError("global_quantile_disc of an empty dataset")
     vc = vc.sort_values(value_col)
     n = int(vc["n"].sum())
-    idx = int(np.floor((n - 1) * q))
+    idx = int(_disc_index(n, q))
     pos = int(np.searchsorted(vc["n"].cumsum().to_numpy(), idx,
                               side="right"))
     return vc[value_col].iloc[pos]

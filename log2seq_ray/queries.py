@@ -395,6 +395,16 @@ def q_value_p90_hist(sf_dir: str):
     return pa.table({"q_bin": pa.array([b], type=pa.int64())})
 
 
+def q_value_p90_by_type(sf_dir: str):
+    """Per-event_type p90 of the continuous ``value`` column via the
+    binned per-group quantile — the shuffle carries pre-aggregated
+    (group, bin, count) partials, never raw (group, value) pairs."""
+    from .ops.stats import group_histogram_quantile
+    return group_histogram_quantile(
+        _events(sf_dir, ["event_type", "value"]), "event_type", "value",
+        q=0.9, scale=100, alias="q_bin")
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping window (1h size, 30min hop) counts per event_type."""
     from .ops.stats import hopping_counts
@@ -1068,6 +1078,7 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "median_value": q_median_value,
     "value_p90_hist": q_value_p90_hist,
+    "value_p90_by_type": q_value_p90_by_type,
     "events_hopping": q_events_hopping,
     "event_pivot": q_event_pivot,
     "length_ranks": q_length_ranks,
@@ -1270,6 +1281,12 @@ ORACLE_SQL = {
         SELECT quantile_disc(CAST(floor(value * 100) AS BIGINT), 0.9)
                AS q_bin
         FROM events WHERE value IS NOT NULL
+    """,
+    "value_p90_by_type": """
+        SELECT event_type,
+               quantile_disc(CAST(floor(value * 100) AS BIGINT), 0.9)
+               AS q_bin
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
     "median_value": """
         SELECT event_type, quantile_disc(value, 0.5) AS median_value

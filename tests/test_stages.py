@@ -1255,7 +1255,7 @@ def test_global_quantile_disc_matches_sorted_pick(ray_session):
 def test_histogram_quantile_matches_binned_pick(ray_session):
     import numpy as np
     import ray.data as rd
-    from log2seq_ray.ops.stats import histogram_quantile
+    from log2seq_ray.ops.stats import _disc_index, histogram_quantile
     rng = np.random.Generator(np.random.PCG64(7))
     vals = rng.normal(0.0, 3.0, size=701)  # continuous, negatives included
     raw = np.concatenate([vals, [np.nan]])  # null excluded like SQL
@@ -1265,16 +1265,50 @@ def test_histogram_quantile_matches_binned_pick(ray_session):
     ds = rd.from_arrow(tbl).repartition(7)
     bins = np.sort(np.floor(vals * 100).astype(np.int64))
     for q in (0.0, 0.25, 0.5, 0.9, 1.0):
-        expect = int(bins[int(np.floor((len(vals) - 1) * q))])
+        expect = int(bins[int(_disc_index(len(vals), q))])
         assert histogram_quantile(ds, "v", q, scale=100) == expect
     # bin width bounds the error vs the exact continuous quantile
-    exact = np.sort(vals)[int(np.floor((len(vals) - 1) * 0.5))]
+    exact = np.sort(vals)[int(_disc_index(len(vals), 0.5))]
     got = histogram_quantile(ds, "v", 0.5, scale=100)
     assert abs(got / 100.0 - exact) <= 0.01
     with pytest.raises(ValueError):
         histogram_quantile(
             rd.from_arrow(pa.table({"v": pa.array([], type=pa.float64())})),
             "v", 0.5)
+
+
+def test_group_histogram_quantile_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from log2seq_ray.ops.stats import (_disc_index,
+                                       group_histogram_quantile)
+    rng = np.random.Generator(np.random.PCG64(13))
+    n = 903
+    groups = rng.choice(["a", "b", "c", "dd"], size=n)
+    vals = rng.normal(0.0, 5.0, size=n)
+    vals[::97] = np.nan  # nulls excluded like SQL
+    tbl = pa.table({
+        "g": pa.array(groups),
+        "v": pa.array([None if np.isnan(x) else float(x) for x in vals]),
+    })
+    ds = rd.from_arrow(tbl).repartition(9)
+    df = pd.DataFrame({"g": groups, "v": vals}).dropna()
+    df["bin"] = np.floor(df["v"] * 100).astype(np.int64)
+    for q in (0.0, 0.5, 0.9, 1.0):
+        expect = df.sort_values("bin").groupby("g")["bin"].apply(
+            lambda s: int(s.iloc[int(_disc_index(len(s), q))]))
+        got = group_histogram_quantile(ds, "g", "v", q=q, scale=100,
+                                       num_parts=5).to_pandas()
+        got_map = dict(zip(got["g"], got["q_bin"].astype(int)))
+        assert got_map == expect.to_dict(), q
+    # single-partition path equals the multi-partition path
+    got1 = group_histogram_quantile(ds, "g", "v", q=0.5, num_parts=1) \
+        .to_pandas()
+    got5 = group_histogram_quantile(ds, "g", "v", q=0.5, num_parts=5) \
+        .to_pandas()
+    assert dict(zip(got1["g"], got1["q_bin"])) == \
+        dict(zip(got5["g"], got5["q_bin"]))
 
 
 def test_semdedup_matches_reference(ray_session):
