@@ -379,6 +379,76 @@ def group_value_stats(ds, key: str, value_col: str):
             Sum("sum_part", alias_name="sum_micro"))
 
 
+def profile_columns(ds, numeric_cols=(), string_cols=()):
+    """One-pass ANALYZE-style column profile: per column, the valid /
+    null counts plus min/max (numeric columns as DOUBLE, string columns
+    lexicographic). The streaming prerequisite for planning a 100 TB run
+    — batch sizing, skew triage, filter selectivity — without a per-column
+    scan each.
+
+    Scale shape: every batch emits ONE narrow partial row per column
+    (counts + extremes already reduced), so the shuffle carries
+    O(batches × columns) rows regardless of corpus size; the final
+    ``groupby(column)`` merges a handful of partials per column. Integer
+    mins/maxes are exact as DOUBLE for |v| < 2^53."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    num = list(numeric_cols)
+    st = list(string_cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, nv, nn = [], [], []
+        mins_n, maxs_n, mins_s, maxs_s = [], [], [], []
+        for c in num:
+            col = b.column(c)
+            valid = len(col) - col.null_count
+            names.append(c)
+            nv.append(valid)
+            nn.append(col.null_count)
+            if valid:
+                mm = pc.min_max(col)
+                mins_n.append(float(mm["min"].as_py()))
+                maxs_n.append(float(mm["max"].as_py()))
+            else:
+                mins_n.append(None)
+                maxs_n.append(None)
+            mins_s.append(None)
+            maxs_s.append(None)
+        for c in st:
+            col = b.column(c)
+            valid = len(col) - col.null_count
+            names.append(c)
+            nv.append(valid)
+            nn.append(col.null_count)
+            mins_n.append(None)
+            maxs_n.append(None)
+            if valid:
+                mm = pc.min_max(col)
+                mins_s.append(mm["min"].as_py())
+                maxs_s.append(mm["max"].as_py())
+            else:
+                mins_s.append(None)
+                maxs_s.append(None)
+        return pa.table({
+            "column": pa.array(names, type=pa.string()),
+            "nv": pa.array(nv, type=pa.int64()),
+            "nn": pa.array(nn, type=pa.int64()),
+            "mn": pa.array(mins_n, type=pa.float64()),
+            "mx": pa.array(maxs_n, type=pa.float64()),
+            "ms": pa.array(mins_s, type=pa.string()),
+            "xs": pa.array(maxs_s, type=pa.string()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("column").aggregate(
+            Sum("nv", alias_name="n_valid"),
+            Sum("nn", alias_name="n_null"),
+            Min("mn", alias_name="min_num"),
+            Max("mx", alias_name="max_num"),
+            Min("ms", alias_name="min_str"),
+            Max("xs", alias_name="max_str"))
+
+
 def rollup_counts(ds, k1: str, k2: str, sentinel: str = "__all__"):
     """Hierarchical ROLLUP counts in ONE corpus pass: (k1, k2) counts,
     per-k1 subtotals, and the grand total, with ``sentinel`` marking the

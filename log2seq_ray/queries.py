@@ -395,6 +395,18 @@ def q_value_p90_hist(sf_dir: str):
     return pa.table({"q_bin": pa.array([b], type=pa.int64())})
 
 
+def q_events_profile(sf_dir: str):
+    """ANALYZE-style one-pass column profile of the events table: per
+    column the valid/null counts and min/max (numeric as DOUBLE, string
+    lexicographic) — the shuffle carries one partial row per (batch,
+    column), never data rows."""
+    from .ops.stats import profile_columns
+    return profile_columns(
+        _events(sf_dir),
+        numeric_cols=("event_id", "user_id", "value"),
+        string_cols=("event_type", "props"))
+
+
 def q_value_p90_by_type(sf_dir: str):
     """Per-event_type p90 of the continuous ``value`` column via the
     binned per-group quantile — the shuffle carries pre-aggregated
@@ -1079,6 +1091,7 @@ QUERIES = {
     "median_value": q_median_value,
     "value_p90_hist": q_value_p90_hist,
     "value_p90_by_type": q_value_p90_by_type,
+    "events_profile": q_events_profile,
     "events_hopping": q_events_hopping,
     "event_pivot": q_event_pivot,
     "length_ranks": q_length_ranks,
@@ -1287,6 +1300,32 @@ ORACLE_SQL = {
                quantile_disc(CAST(floor(value * 100) AS BIGINT), 0.9)
                AS q_bin
         FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+    "events_profile": """
+        SELECT 'event_id' AS "column",
+               COUNT(event_id) AS n_valid,
+               COUNT(*) - COUNT(event_id) AS n_null,
+               CAST(MIN(event_id) AS DOUBLE) AS min_num,
+               CAST(MAX(event_id) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(user_id), COUNT(*) - COUNT(user_id),
+               CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+               NULL, NULL FROM events
+        UNION ALL
+        SELECT 'value', COUNT(value), COUNT(*) - COUNT(value),
+               MIN(value), MAX(value), NULL, NULL FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(event_type),
+               COUNT(*) - COUNT(event_type),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               MIN(event_type), MAX(event_type) FROM events
+        UNION ALL
+        SELECT 'props', COUNT(props), COUNT(*) - COUNT(props),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               MIN(props), MAX(props) FROM events
     """,
     "median_value": """
         SELECT event_type, quantile_disc(value, 0.5) AS median_value

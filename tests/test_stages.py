@@ -1311,6 +1311,26 @@ def test_group_histogram_quantile_matches_pandas(ray_session):
         dict(zip(got5["g"], got5["q_bin"]))
 
 
+def test_profile_columns_counts_and_extremes(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.stats import profile_columns
+    tbl = pa.table({
+        "a": pa.array([3, None, 1, 7, None], type=pa.int64()),
+        "b": pa.array([None, None, None, None, None], type=pa.float64()),
+        "s": pa.array(["m", "a", None, "z", "a"]),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    got = profile_columns(ds, numeric_cols=("a", "b"), string_cols=("s",)) \
+        .to_pandas().set_index("column")
+    assert got.loc["a", "n_valid"] == 3 and got.loc["a", "n_null"] == 2
+    assert got.loc["a", "min_num"] == 1.0 and got.loc["a", "max_num"] == 7.0
+    assert got.loc["b", "n_valid"] == 0 and got.loc["b", "n_null"] == 5
+    assert pd.isna(got.loc["b", "min_num"])  # all-null column stays null
+    assert got.loc["s", "n_valid"] == 4 and got.loc["s", "n_null"] == 1
+    assert got.loc["s", "min_str"] == "a" and got.loc["s", "max_str"] == "z"
+    assert pd.isna(got.loc["s", "min_num"])
+
+
 def test_semdedup_matches_reference(ray_session):
     import numpy as np
     import ray.data as rd
