@@ -257,12 +257,12 @@ def heavy_hitters(ds, num: int = 1, den: int = 64, k: int = 256,
         .repartition(8).groupby("token") \
         .aggregate(Sum("partial_n", alias_name="ub"),
                    Sum("partial_total", alias_name="tot"))
-    meta = merged.filter(lambda r: r["token"] == "").take_all()
-    d_sum = meta[0]["ub"] if meta else 0
-    n_tok = meta[0]["tot"] if meta else 0
+    meta = merged.filter(expr="token == ''").take_all()
+    d_sum = int(meta[0]["ub"]) if meta else 0
+    n_tok = int(meta[0]["tot"]) if meta else 0
     mc = -(-n_tok * num // den)          # ceil
     cands = merged.filter(
-        lambda r: r["token"] != "" and r["ub"] + d_sum >= mc) \
+        expr=f"token != '' and ub >= {mc - d_sum}") \
         .select_columns(["token"]).take_all()
     cand_arr = pa.array(sorted(r["token"] for r in cands),
                         type=pa.string())
@@ -284,7 +284,7 @@ def heavy_hitters(ds, num: int = 1, den: int = 64, k: int = 256,
     return ds.map_batches(exact_partial, batch_format="pyarrow") \
         .repartition(4).groupby("token") \
         .aggregate(Sum("partial_n", alias_name="n")) \
-        .filter(lambda r: r["n"] >= mc)
+        .filter(expr=f"n >= {mc}")
 
 
 # ---------------------------------------------------------------------------
