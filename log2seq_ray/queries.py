@@ -649,11 +649,34 @@ def q_value_stats(sf_dir: str):
                              "event_type", "value")
 
 
+#: decomposed-Unicode suffix appended to every 7th doc so the NFC path of
+#: ``normalize_text`` is hash-gated (the raw corpus is ASCII, where NFC is
+#: vacuous): e+combining-acute, I+combining-diaeresis, the fi ligature.
+_NFC_SUFFIX = " Cafe\u0301 NAI\u0308VE \ufb01le"
+
+
 def q_normalize_text(sf_dir: str):
-    """Vectorized lowercase+NFC text normalization (cleanup stage)."""
+    """Vectorized lowercase+NFC text normalization (cleanup stage). Every
+    7th doc gets a deterministic decomposed-Unicode suffix so the NFC
+    recomposition is exercised and value-hashed, not just the ASCII
+    lowercase fast path."""
     from .ops.normalize import normalize_text
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        mask = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 7), 7)), 0)
+        appended = pc.binary_join_element_wise(
+            text, pa.scalar(_NFC_SUFFIX), "")
+        return b.set_column(b.schema.get_field_index("text"), "text",
+                            pc.if_else(mask, appended, text))
+
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        normalize_text, batch_format="pyarrow") \
+        aug, batch_format="pyarrow") \
+        .map_batches(normalize_text, batch_format="pyarrow") \
         .select_columns(["doc_id", "text_norm"])
 
 
@@ -1273,7 +1296,13 @@ ORACLE_SQL = {
         GROUP BY c.c_custkey
     """,
     "normalize_text": """
-        SELECT doc_id, lower(text) AS text_norm FROM documents
+        SELECT doc_id,
+               nfc_normalize(lower(
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' Cafe' || chr(769) || ' NAI'
+                           || chr(776) || 'VE ' || chr(64257) || 'le'
+                      ELSE text END)) AS text_norm
+        FROM documents
     """,
     "asof_prev_error": """
         SELECT p.event_id, e.ts AS ts_prev
