@@ -20,6 +20,26 @@ _TAG_RE = r"<[^>]*>"
 _WS_RE = r"[ \t\r\n]+"
 
 
+def _lossy_utf8(binary_arr: pa.Array) -> pa.Array:
+    """binary → string with invalid UTF-8 replaced (U+FFFD). Bisect on
+    cast failure so the zero-copy Arrow cast handles every valid slice
+    and the per-row Python decode touches only the invalid neighborhoods
+    — one bad row in a web-scale batch must not de-vectorize the batch."""
+    try:
+        return pc.cast(binary_arr, pa.string())
+    except pa.lib.ArrowInvalid:
+        n = len(binary_arr)
+        if n <= 64:
+            return pa.array(
+                [None if v is None else v.decode("utf-8", errors="replace")
+                 for v in binary_arr.to_pylist()], type=pa.string())
+        mid = n // 2
+        return pa.concat_arrays([
+            _lossy_utf8(binary_arr.slice(0, mid)),
+            _lossy_utf8(binary_arr.slice(mid)),
+        ])
+
+
 def strip_html(batch: pa.Table, html_col: str = "html",
                out_col: str = "html_text") -> pa.Table:
     """binary html → visible text: decode utf-8 (lossy), drop tags,
@@ -28,14 +48,7 @@ def strip_html(batch: pa.Table, html_col: str = "html",
     html = batch.column(html_col)
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
-    try:
-        text = pc.cast(html, pa.string())  # zero-copy utf-8 validate
-    except pa.lib.ArrowInvalid:
-        # real web data contains invalid UTF-8; decode lossily instead of
-        # failing the batch (replacement char, python fallback per row)
-        text = pa.array(
-            [None if v is None else v.decode("utf-8", errors="replace")
-             for v in html.to_pylist()], type=pa.string())
+    text = _lossy_utf8(html)
     text = pc.replace_substring_regex(text, pattern=_TAG_RE, replacement=" ")
     text = pc.replace_substring_regex(text, pattern=_WS_RE, replacement=" ")
     text = pc.utf8_trim_whitespace(text)

@@ -680,6 +680,22 @@ def test_strip_html_and_normalize():
     assert out.column("text_norm").to_pylist() == ["hello wérld", "abc"]
 
 
+def test_lossy_utf8_bisect_matches_per_row_decode():
+    from log2seq_ray.ops.normalize import _lossy_utf8
+    # 300 rows, a few invalid-UTF-8 neighborhoods and one null, so the
+    # bisect recursion hits valid slices, invalid leaves, and the null
+    rows = [f"ok {i}".encode() for i in range(300)]
+    rows[7] = b"bad \xff\xfe tail"
+    rows[8] = b"\x80start"
+    rows[250] = b"mid\xc3("      # truncated multibyte
+    rows[150] = None
+    arr = pa.array(rows, type=pa.binary())
+    got = _lossy_utf8(arr).to_pylist()
+    expect = [None if v is None else v.decode("utf-8", errors="replace")
+              for v in rows]
+    assert got == expect
+
+
 def test_gopher_filter_rules():
     from log2seq_ray.ops.text import gopher_filter
     # 62 tokens, all distinct, mean length in band, 2 stopword hits
