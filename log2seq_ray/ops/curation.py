@@ -937,16 +937,26 @@ class _MixFilterStage:
         import ray
         counts = counts_ref if isinstance(counts_ref, dict) \
             else ray.get(counts_ref)
-        self.counts, self.target = counts
+        counts, self.target = counts
+        # vectorized lookup tables (once per actor): group -> count via
+        # index_in; unseen groups default to 1 (keep decision degenerate)
+        self.group_keys = pa.array(list(counts.keys()))
+        self.group_n = np.concatenate(
+            [np.fromiter(counts.values(), dtype=np.int64,
+                         count=len(counts)), [1]])
         self.group_col, self.key_col = group_col, key_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .hashutil import value_bytes
         keys = value_bytes(np.asarray(
             batch.column(self.key_col).to_numpy(zero_copy_only=False)))
-        groups = batch.column(self.group_col).to_pylist()
-        n = np.fromiter((self.counts.get(g, 1) for g in groups),
-                        dtype=np.int64, count=len(groups))
+        idx = np.asarray(
+            pc.cast(pc.fill_null(
+                pc.index_in(batch.column(self.group_col),
+                            value_set=self.group_keys),
+                len(self.group_n) - 1), pa.int64())
+            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = self.group_n[idx]
         h = np.fromiter(
             (int(hashlib.md5(b).hexdigest()[:15], 16) for b in keys),
             dtype=np.int64, count=len(keys))
