@@ -204,6 +204,7 @@ def run_benchmarks() -> dict:
               lambda: Q.q_value_p90_by_type(SF_DIR).to_pandas())
         timed("events_profile",
               lambda: Q.q_events_profile(SF_DIR).to_pandas())
+        timed("url_dedup", lambda: Q.q_url_dedup(SF_DIR).to_pandas())
         timed("props_sum", lambda: Q.q_props_sum(SF_DIR).to_pandas())
         timed("lang_source_rollup",
               lambda: Q.q_lang_source_rollup(SF_DIR).to_pandas())

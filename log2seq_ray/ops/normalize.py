@@ -108,6 +108,30 @@ def extract_url_parts(batch: pa.Table, col: str = "url") -> pa.Table:
     return batch.append_column("url_domain", dom)
 
 
+#: canonicalization variant of _URL_RE: case-insensitive scheme/host match
+#: (the canonical form lowercases them), query/fragment excluded by `path`.
+_URL_CANON_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+                 r"(?P<host>[^/?#:]+)(?P<path>[^?#]*)")
+
+
+def canonicalize_url(batch: pa.Table, col: str = "url",
+                     out_col: str = "url_canon") -> pa.Table:
+    """Append the canonical URL: ``lower(scheme)://lower(host)`` + path
+    with query string, fragment, and trailing slashes dropped — the
+    grouping key for URL-level dedup of a crawl (the same page fetched as
+    ``HTTP://Host/a/?utm=x#f`` and ``http://host/a`` must collide).
+    One vectorized RE2 extraction + lower/replace kernels; unparseable
+    URLs yield null."""
+    ex = pc.extract_regex(batch.column(col), pattern=_URL_CANON_RE)
+    scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(ex, "host"))
+    path = pc.replace_substring_regex(pc.struct_field(ex, "path"),
+                                      pattern=r"/+$", replacement="")
+    canon = pc.binary_join_element_wise(scheme, pa.scalar("://"), host,
+                                        path, "")
+    return batch.append_column(out_col, canon)
+
+
 # ---------------------------------------------------------------------------
 # PII masking
 # ---------------------------------------------------------------------------

@@ -801,6 +801,49 @@ def q_boilerplate_tokens(sf_dir: str):
 
 #: fixed location the flagship oracle SQL re-reads; q_flagship overwrites
 #: it atomically on every invocation (content is deterministic per sf_dir)
+def q_url_dedup(sf_dir: str):
+    """URL-level dedup over the pages corpus: canonicalize (lowercase
+    scheme/host, drop query/fragment/trailing slashes) and reduce to one
+    row per canonical URL with the duplicate count and the first raw URL.
+    Every 3rd page (by url length) contributes an extra messy variant
+    (uppercased scheme, tracking query, fragment, trailing slash) so the
+    collapse is hash-gated. Shuffle carries per-batch (canon, n, min-url)
+    partials only."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+    from .ops.normalize import canonicalize_url
+    pages = rd.read_parquet(_ensure_pages(sf_dir), columns=["url"])
+
+    def aug(b: pa.Table) -> pa.Table:
+        url = b.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        keep = pc.equal(pc.subtract(
+            pc.utf8_length(url),
+            pc.multiply(pc.divide(pc.utf8_length(url), 3), 3)), 0)
+        messy = pc.binary_join_element_wise(
+            pc.replace_substring_regex(url.filter(keep), pattern=r"^http",
+                                       replacement="HTTP"),
+            pa.scalar("/?utm_source=feed#frag"), "")
+        return pa.table({"url": pa.concat_arrays(
+            [url.combine_chunks() if isinstance(url, pa.ChunkedArray)
+             else url, messy])})
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = canonicalize_url(b)
+        g = t.group_by(["url_canon"]).aggregate(
+            [("url", "min"), ([], "count_all")])
+        return pa.table({"url_canon": g.column("url_canon"),
+                         "url_first": g.column("url_min"),
+                         "partial_n": g.column("count_all")})
+
+    return pages.map_batches(aug, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("url_canon").aggregate(
+            Sum("partial_n", alias_name="n"),
+            Min("url_first", alias_name="url_first"))
+
+
 FLAGSHIP_PAGES_DIR = "/tmp/l2sr_flagship_pages"
 
 
@@ -1115,6 +1158,7 @@ QUERIES = {
     "value_p90_hist": q_value_p90_hist,
     "value_p90_by_type": q_value_p90_by_type,
     "events_profile": q_events_profile,
+    "url_dedup": q_url_dedup,
     "events_hopping": q_events_hopping,
     "event_pivot": q_event_pivot,
     "length_ranks": q_length_ranks,
@@ -1959,6 +2003,28 @@ ORACLE_SQL["url_hosts"] = f"""
 
 # 60-bit md5 prefix of a shingle string — the shared hash bridge
 _H60 = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+_CANON_RE = "^([A-Za-z][A-Za-z0-9+.\\\\-]*)://([^/?#:]+)([^?#]*)"
+ORACLE_SQL["url_dedup"] = f"""
+    WITH raw AS (SELECT url
+                 FROM read_parquet('{FLAGSHIP_PAGES_DIR}/*.parquet')),
+    aug AS (SELECT url FROM raw
+            UNION ALL
+            SELECT regexp_replace(url, '^http', 'HTTP')
+                   || '/?utm_source=feed#frag'
+            FROM raw WHERE length(url) % 3 = 0),
+    canon AS (SELECT url,
+        CASE WHEN regexp_matches(url, '{_CANON_RE}')
+             THEN lower(regexp_extract(url, '{_CANON_RE}', 1)) || '://'
+                  || lower(regexp_extract(url, '{_CANON_RE}', 2))
+                  || regexp_replace(
+                         regexp_extract(url, '{_CANON_RE}', 3), '/+$', '')
+             ELSE NULL END AS url_canon
+        FROM aug)
+    SELECT url_canon, CAST(count(*) AS BIGINT) AS n,
+           min(url) AS url_first
+    FROM canon GROUP BY url_canon
+"""
 
 ORACLE_SQL["ngram_jaccard"] = f"""
     WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),

@@ -696,6 +696,27 @@ def test_lossy_utf8_bisect_matches_per_row_decode():
     assert got == expect
 
 
+def test_canonicalize_url():
+    from log2seq_ray.ops.normalize import canonicalize_url
+    b = pa.table({"url": [
+        "HTTP://Example.COM/A/b/?utm_source=x&q=1#frag",
+        "http://example.com/A/b",
+        "https://host.org",            # no path at all
+        "https://host.org///",         # trailing slashes collapse
+        "not a url",                   # unparseable -> null
+        None,
+    ]})
+    got = canonicalize_url(b).column("url_canon").to_pylist()
+    assert got == [
+        "http://example.com/A/b",      # path case preserved, query dropped
+        "http://example.com/A/b",
+        "https://host.org",
+        "https://host.org",
+        None,
+        None,
+    ]
+
+
 def test_gopher_filter_rules():
     from log2seq_ray.ops.text import gopher_filter
     # 62 tokens, all distinct, mean length in band, 2 stopword hits
