@@ -205,6 +205,7 @@ def run_benchmarks() -> dict:
         timed("events_profile",
               lambda: Q.q_events_profile(SF_DIR).to_pandas())
         timed("url_dedup", lambda: Q.q_url_dedup(SF_DIR).to_pandas())
+        timed("domain_topk", lambda: Q.q_domain_topk(SF_DIR).to_pandas())
         timed("props_sum", lambda: Q.q_props_sum(SF_DIR).to_pandas())
         timed("lang_source_rollup",
               lambda: Q.q_lang_source_rollup(SF_DIR).to_pandas())

@@ -844,6 +844,31 @@ def q_url_dedup(sf_dir: str):
             Min("url_first", alias_name="url_first"))
 
 
+def q_domain_topk(sf_dir: str):
+    """Per-domain quota (C4-style): keep the top-3 pages per url_host by
+    token count (url tiebreak) — URL parsing + integer token counts +
+    the pruned top-k-per-group exchange, composed."""
+    import ray.data as rd
+    from .ops.asof import top_k_per_group
+    from .ops.normalize import extract_url_parts
+    from .ops.text import _token_lists
+    pages = rd.read_parquet(_ensure_pages(sf_dir), columns=["url", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = extract_url_parts(b)
+        toks = _token_lists(b.column("text"))
+        return pa.table({
+            "url_host": t.column("url_host"),
+            "url": b.column("url"),
+            "n_tokens": pa.array(
+                np.diff(np.asarray(toks.offsets, dtype=np.int64))),
+        })
+
+    out = top_k_per_group(pages.map_batches(prep, batch_format="pyarrow"),
+                          "url_host", "n_tokens", k=3, tiebreak="url")
+    return out.select_columns(["url_host", "url", "n_tokens", "rank"])
+
+
 FLAGSHIP_PAGES_DIR = "/tmp/l2sr_flagship_pages"
 
 
@@ -1159,6 +1184,7 @@ QUERIES = {
     "value_p90_by_type": q_value_p90_by_type,
     "events_profile": q_events_profile,
     "url_dedup": q_url_dedup,
+    "domain_topk": q_domain_topk,
     "events_hopping": q_events_hopping,
     "event_pivot": q_event_pivot,
     "length_ranks": q_length_ranks,
@@ -2003,6 +2029,22 @@ ORACLE_SQL["url_hosts"] = f"""
 
 # 60-bit md5 prefix of a shingle string — the shared hash bridge
 _H60 = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+ORACLE_SQL["domain_topk"] = f"""
+    WITH P AS (SELECT
+        regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://([^/?#:]+)', 1)
+            AS url_host,
+        url,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS BIGINT) AS n_tokens
+        FROM read_parquet('{FLAGSHIP_PAGES_DIR}/*.parquet'))
+    SELECT url_host, url, n_tokens, rank FROM (
+        SELECT url_host, url, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY url_host
+                                  ORDER BY n_tokens DESC, url ASC) AS rank
+        FROM P)
+    WHERE rank <= 3
+"""
 
 _CANON_RE = "^([A-Za-z][A-Za-z0-9+.\\\\-]*)://([^/?#:]+)([^?#]*)"
 ORACLE_SQL["url_dedup"] = f"""
