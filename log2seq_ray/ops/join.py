@@ -102,6 +102,14 @@ def _split_by_bucket(tbl: pa.Table, key: str, num_buckets: int,
     return out
 
 
+def _select_bucket_cols(tbl: pa.Table, cols: Sequence[str]) -> pa.Table:
+    """num_buckets=1 piece: column-prune only (zero-column empty blocks
+    pass through untouched, like _split_by_bucket)."""
+    if tbl.num_rows == 0:
+        return tbl.select([c for c in cols if c in tbl.column_names])
+    return tbl.select(list(cols))
+
+
 def _concat_filtered(schema: pa.Schema, pieces) -> pa.Table:
     """Task: concat already-filtered pieces; typed empty table when every
     piece is empty (``pa.concat_tables([])`` raises)."""
@@ -158,7 +166,8 @@ def hash_join(left, right, left_key: str, right_key: str,
               left_cols: Optional[Sequence[str]] = None,
               right_cols: Optional[Sequence[str]] = None,
               hot_keys: Optional[Sequence] = None,
-              how: str = "inner"):
+              how: str = "inner",
+              hot_threshold: Optional[int] = None):
     """Join two large Datasets via an explicit two-stage bucket exchange
     (module docstring). Returns a Dataset of the joined rows.
 
@@ -175,14 +184,38 @@ def hash_join(left, right, left_key: str, right_key: str,
     are broadcast once and the matching left rows join per input batch
     (the salt escape hatch for keys whose bucket would not fit a worker).
     Inner-only (raise otherwise).
+
+    ``hot_threshold``: detect the hot keys automatically — one extra
+    narrow pass over the LEFT side (per-batch key value-counts, already
+    reduced before the small groupby) collects every key whose total
+    multiplicity exceeds the threshold; those become ``hot_keys``. The
+    collected list is bounded by ``total_rows / hot_threshold`` keys, so
+    driver memory stays small at any corpus size. Inner-only.
     """
     import ray
     import ray.data as rd
 
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
-    if hot_keys and how != "inner":
-        raise ValueError("hot_keys is only supported for how='inner'")
+    if (hot_keys or hot_threshold is not None) and how != "inner":
+        raise ValueError("hot_keys / hot_threshold need how='inner'")
+
+    if hot_threshold is not None and hot_keys is None:
+        from ray.data.aggregate import Sum
+
+        def _kcounts(b: pa.Table) -> pa.Table:
+            col = b.column(left_key)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            vc = pc.value_counts(col)
+            return pa.table({left_key: vc.field("values"),
+                             "n_part": pc.cast(vc.field("counts"),
+                                               pa.int64())})
+
+        hot_rows = left.map_batches(_kcounts, batch_format="pyarrow") \
+            .groupby(left_key).aggregate(Sum("n_part", alias_name="n")) \
+            .filter(expr=f"n > {int(hot_threshold)}").take_all()
+        hot_keys = [r[left_key] for r in hot_rows]
 
     if num_buckets is None:
         try:
@@ -273,12 +306,16 @@ def hash_join(left, right, left_key: str, right_key: str,
 
     def exchange(ds, key, names):
         block_refs = ds.to_arrow_refs()
+        if num_buckets == 1:
+            # degenerate: each block is its own (column-pruned) piece; a
+            # num_returns=1 split task would ship the LIST _split_by_bucket
+            # returns, not the table
+            sel = ray.remote(_select_bucket_cols)
+            return [[sel.remote(ref, names) for ref in block_refs]]
         per_bucket = [[] for _ in range(num_buckets)]
         for ref in block_refs:
             pieces = split.options(num_returns=num_buckets).remote(
                 ref, key, num_buckets, names)
-            if num_buckets == 1:
-                pieces = [pieces]
             for i, p in enumerate(pieces):
                 per_bucket[i].append(p)
         return per_bucket

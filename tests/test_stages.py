@@ -401,6 +401,34 @@ def test_hash_join_hot_keys_multiblock_right(ray_session):
     assert out2["rv"].sum() == exp["rv"].sum()
 
 
+def test_hash_join_auto_hot_threshold(ray_session):
+    """hot_threshold auto-detects skewed keys (one key = 70% of the left
+    side) and the broadcast-routed result stays exact; num_buckets=1 is
+    also exercised (each block ref is its own piece)."""
+    import pandas as pd
+    import ray.data as rd
+    from log2seq_ray.ops.join import hash_join
+    rng = np.random.default_rng(5)
+    lk = np.where(rng.random(500) < 0.7, 4, rng.integers(0, 20, 500))
+    l = pd.DataFrame({"lk": lk, "lv": np.arange(500)})
+    r = pd.DataFrame({"rk": np.arange(20), "rv": rng.integers(0, 99, 20)})
+    exp = l.merge(r, left_on="lk", right_on="rk")
+    L = rd.from_pandas(l).repartition(5)
+    R = rd.from_pandas(r).repartition(3)
+    out = hash_join(L, R, "lk", "rk", num_buckets=4,
+                    hot_threshold=100).to_pandas()
+    assert len(out) == len(exp) and out["rv"].sum() == exp["rv"].sum()
+    # threshold higher than any multiplicity: pure bucket path, same rows
+    out2 = hash_join(L, R, "lk", "rk", num_buckets=4,
+                     hot_threshold=10_000).to_pandas()
+    assert len(out2) == len(exp) and out2["rv"].sum() == exp["rv"].sum()
+    # degenerate single bucket still joins exactly
+    out3 = hash_join(L, R, "lk", "rk", num_buckets=1).to_pandas()
+    assert len(out3) == len(exp) and out3["rv"].sum() == exp["rv"].sum()
+    with pytest.raises(ValueError):
+        hash_join(L, R, "lk", "rk", how="anti", hot_threshold=5)
+
+
 def test_hash_join_modes_match_pandas(ray_session):
     """left / semi / anti modes against pandas merge semantics, including
     duplicate right keys (left-outer fan-out) and an empty right side."""
