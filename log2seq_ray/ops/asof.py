@@ -66,19 +66,12 @@ def asof_join(left, right, key: str, ts_col: str,
     from .exchange import split_by_key
 
     keep_right = [ts_col] + [c for c in right_cols if c != ts_col]
-    split = ray.remote(split_by_key)
     work = ray.remote(_asof_partition)
 
     def fan_out(ds):
-        parts = [[] for _ in range(num_parts)]
-        for ref in ds.to_arrow_refs():
-            pieces = split.options(num_returns=num_parts).remote(
-                ref, key, num_parts)
-            if num_parts == 1:
-                pieces = [pieces]
-            for i, p in enumerate(pieces):
-                parts[i].append(p)
-        return parts
+        from .exchange import fan_out_pieces
+        return fan_out_pieces(split_by_key, ds.to_arrow_refs(), num_parts,
+                              args=(key, num_parts))
 
     l_parts = fan_out(left)
     r_parts = fan_out(right)

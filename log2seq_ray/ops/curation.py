@@ -293,16 +293,10 @@ def ngram_jaccard_dups(ds, window: int = 4, tau_num: int = 1,
     shingles = ds.map_batches(
         lambda b: _shingle_rows(b, window, id_col, col),
         batch_format="pyarrow")
-    split = ray.remote(split_by_key)
+    from .exchange import fan_out_pieces
     work = ray.remote(num_returns=2)(_jacc_partition)
-    per_part = [[] for _ in range(num_parts)]
-    for ref in shingles.to_arrow_refs():
-        pieces = split.options(num_returns=num_parts).remote(
-            ref, "g", num_parts)
-        if num_parts == 1:
-            pieces = [pieces]
-        for i, p in enumerate(pieces):
-            per_part[i].append(p)
+    per_part = fan_out_pieces(split_by_key, shingles.to_arrow_refs(),
+                              num_parts, args=("g", num_parts))
     pair_refs, size_refs = [], []
     for pieces in per_part:
         pr, sr = work.remote(id_col, max_df, pieces)
@@ -317,20 +311,10 @@ def ngram_jaccard_dups(ds, window: int = 4, tau_num: int = 1,
     # follow-up exchanges use P/4 partitions — the P×P split-piece
     # explosion, not data volume, dominates them otherwise.
     np2 = max(8, num_parts // 4) if num_parts > 1 else 1
-    pair2 = [[] for _ in range(np2)]
-    size2 = [[] for _ in range(np2)]
-    for ref in pair_refs:
-        pieces = split.options(num_returns=np2).remote(ref, "id_a", np2)
-        if np2 == 1:
-            pieces = [pieces]
-        for i, p in enumerate(pieces):
-            pair2[i].append(p)
-    for ref in size_refs:
-        pieces = split.options(num_returns=np2).remote(ref, id_col, np2)
-        if np2 == 1:
-            pieces = [pieces]
-        for i, p in enumerate(pieces):
-            size2[i].append(p)
+    pair2 = fan_out_pieces(split_by_key, pair_refs, np2,
+                           args=("id_a", np2))
+    size2 = fan_out_pieces(split_by_key, size_refs, np2,
+                           args=(id_col, np2))
     stage2 = ray.remote(num_returns=2)(_agg_stage2)
     agg_refs, szloc_refs = [], []
     for pp, sp in zip(pair2, size2):
@@ -340,13 +324,8 @@ def ngram_jaccard_dups(ds, window: int = 4, tau_num: int = 1,
     # Exchange 3: aggregated pairs by hash(id_b); partition p's sizes are
     # exactly stage-2 task p's local sizes table (same hash) — passed as a
     # direct arg ref, no extra shuffle of the sizes side.
-    pair3 = [[] for _ in range(np2)]
-    for ref in agg_refs:
-        pieces = split.options(num_returns=np2).remote(ref, "id_b", np2)
-        if np2 == 1:
-            pieces = [pieces]
-        for i, p in enumerate(pieces):
-            pair3[i].append(p)
+    pair3 = fan_out_pieces(split_by_key, agg_refs, np2,
+                           args=("id_b", np2))
     stage3 = ray.remote(_final_stage3)
     out = [stage3.remote(tau_num, tau_den, szloc, pieces)
            for szloc, pieces in zip(szloc_refs, pair3)]
@@ -508,16 +487,10 @@ def paragraph_dedup(ds, para_tokens: int = 20, num_parts=None,
     rows = ds.map_batches(
         lambda b: _para_rows(b, para_tokens, id_col, col),
         batch_format="pyarrow")
-    split = ray.remote(split_by_key)
+    from .exchange import fan_out_pieces
     work = ray.remote(_para_partition)
-    per_part = [[] for _ in range(num_parts)]
-    for ref in rows.to_arrow_refs():
-        pieces = split.options(num_returns=num_parts).remote(
-            ref, "h", num_parts)
-        if num_parts == 1:
-            pieces = [pieces]
-        for i, p in enumerate(pieces):
-            per_part[i].append(p)
+    per_part = fan_out_pieces(split_by_key, rows.to_arrow_refs(),
+                              num_parts, args=("h", num_parts))
     partials = rd.from_arrow_refs(
         [work.remote(pieces) for pieces in per_part])
     zeros = ds.map_batches(

@@ -326,19 +326,9 @@ def _band_partitions(ds, n_hashes, n_bands, shingle_k, id_col, col,
                                    shingle_k=shingle_k, id_col=id_col,
                                    col=col),
         batch_format="pyarrow", concurrency=(1, 8))
-    if num_parts == 1:
-        # num_returns=1 would hand back the 1-element LIST as one object
-        split = ray.remote(lambda ref, n: _split_bands(ref, n)[0])
-    else:
-        split = ray.remote(_split_bands)
-    per_part = [[] for _ in range(num_parts)]
-    for ref in bands.to_arrow_refs():
-        pieces = split.options(num_returns=num_parts).remote(ref, num_parts)
-        if num_parts == 1:
-            pieces = [pieces]
-        for i, p in enumerate(pieces):
-            per_part[i].append(p)
-    return per_part
+    from .exchange import fan_out_pieces
+    return fan_out_pieces(_split_bands, bands.to_arrow_refs(), num_parts,
+                          args=(num_parts,))
 
 
 def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
@@ -479,19 +469,9 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
         _filter_by_id_fn(ids_ref, id_col, [id_col, col]),
         batch_format="pyarrow")
     block_refs = cand_docs.to_arrow_refs()
-    if num_parts == 1:
-        split_docs = ray.remote(
-            lambda b, ir, i, c: _split_docs_by_need(b, ir, i, c)[0])
-    else:
-        split_docs = ray.remote(_split_docs_by_need)
-    per_part_docs = [[] for _ in range(num_parts)]
-    for b in block_refs:
-        pieces = split_docs.options(num_returns=num_parts).remote(
-            b, id_refs, id_col, col)
-        if num_parts == 1:
-            pieces = [pieces]
-        for i, piece in enumerate(pieces):
-            per_part_docs[i].append(piece)
+    from .exchange import fan_out_pieces
+    per_part_docs = fan_out_pieces(_split_docs_by_need, block_refs,
+                                   num_parts, args=(id_refs, id_col, col))
     verify = ray.remote(_verify_partition)
     out_refs = []
     for p in range(num_parts):
@@ -607,15 +587,9 @@ def label_propagation_clusters(pairs, num_parts: int = 8,
                 b.column("id_b").combine_chunks().cast(pa.int64()),
                 b.column("id_a").combine_chunks().cast(pa.int64())])}),
         batch_format="pyarrow")
-    split = ray.remote(_lp_split)
-    per_part = [[] for _ in range(num_parts)]
-    for ref in sym.to_arrow_refs():
-        pieces = split.options(num_returns=num_parts).remote(
-            ref, "src", num_parts)
-        if num_parts == 1:
-            pieces = [pieces]
-        for i, p in enumerate(pieces):
-            per_part[i].append(p)
+    from .exchange import fan_out_pieces
+    per_part = fan_out_pieces(_lp_split, sym.to_arrow_refs(), num_parts,
+                              args=("src", num_parts))
     edge_task = ray.remote(_lp_edge_partition)
     edge_refs = [edge_task.remote(pieces) for pieces in per_part]
 

@@ -55,22 +55,32 @@ def resolve_all_pieces(pieces):
     return list(pieces)
 
 
-def _fan_out(ds, key: str, num_parts: int):
-    """Fan a Dataset's blocks into per-partition piece-ref lists."""
+def fan_out_pieces(split_fn, block_refs, num_parts: int, args=()):
+    """Fan block refs into per-partition piece-ref lists via
+    ``split_fn(block, *args) -> [num_parts tables]`` run as Ray tasks
+    with ``num_returns=num_parts``.
+
+    Handles the ``num_parts == 1`` degenerate correctly: with
+    ``num_returns=1`` Ray would ship the one-element LIST the splitter
+    returns (not the table), so a wrapper task unpacks ``[0]`` instead —
+    the bug every hand-rolled fan-out loop used to share."""
     import ray
     if num_parts == 1:
-        # degenerate: every block ref IS the single partition's piece (a
-        # num_returns=1 split task would ship the LIST split_by_key
-        # returns, not the table)
-        return [list(ds.to_arrow_refs())]
-    split = ray.remote(split_by_key)
+        one = ray.remote(lambda ref, *a: split_fn(ref, *a)[0])
+        return [[one.remote(ref, *args) for ref in block_refs]]
+    split = ray.remote(split_fn)
     per_part = [[] for _ in range(num_parts)]
-    for ref in ds.to_arrow_refs():
-        pieces = split.options(num_returns=num_parts).remote(
-            ref, key, num_parts)
+    for ref in block_refs:
+        pieces = split.options(num_returns=num_parts).remote(ref, *args)
         for i, p in enumerate(pieces):
             per_part[i].append(p)
     return per_part
+
+
+def _fan_out(ds, key: str, num_parts: int):
+    """Fan a Dataset's blocks into per-partition piece-ref lists."""
+    return fan_out_pieces(split_by_key, ds.to_arrow_refs(), num_parts,
+                          args=(key, num_parts))
 
 
 def hash_exchange(ds, key: str, partition_fn, num_parts: int = 16,

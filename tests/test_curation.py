@@ -70,6 +70,14 @@ def test_ngram_jaccard_matches_brute_force(ray_session):
                got[["id_a", "id_b", "inter", "union_n"]].itertuples(
                    index=False)}
     assert got_set == _brute_jaccard(rows, 3, 1, 2, None)
+    # num_parts=1 degenerate goes through the same fan_out_pieces path
+    # (the num_returns=1 LIST pitfall regression)
+    got1 = ngram_jaccard_dups(_ds(rows), window=3, tau_num=1, tau_den=2,
+                              num_parts=1).to_pandas()
+    got1_set = {tuple(r) for r in
+                got1[["id_a", "id_b", "inter", "union_n"]].itertuples(
+                    index=False)}
+    assert got1_set == got_set
 
 
 def test_ngram_jaccard_max_df_cap_is_capped_universe(ray_session):
