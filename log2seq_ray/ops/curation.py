@@ -302,14 +302,30 @@ def ngram_jaccard_dups(ds, window: int = 4, tau_num: int = 1,
         pr, sr = work.remote(id_col, max_df, pieces)
         pair_refs.append(pr)
         size_refs.append(sr)
-    # Exchange 2: pair partials by hash(id_a) + size partials by hash(id)
-    # (one pair's partials all share id_a → its |A∩B| finalizes in one
-    # partition; pd.util.hash_array depends on values, not column names,
-    # so id and id_a route identically). No Ray groupby / Acero join:
-    # per-partition lexsort + reduceat, measured ~20x faster here.
-    # Pair/size partials are ~100x narrower than shingle rows, so the
-    # follow-up exchanges use P/4 partitions — the P×P split-piece
-    # explosion, not data volume, dominates them otherwise.
+    return _pairs_finalize(pair_refs, size_refs, tau_num, tau_den,
+                           id_col, num_parts)
+
+
+def _pairs_finalize(pair_refs, size_refs, tau_num, tau_den, id_col,
+                    num_parts):
+    """Exchanges 2+3 of the set-similarity join, shared by
+    :func:`ngram_jaccard_dups` and :func:`ingest_neardup_run`.
+
+    Exchange 2: pair partials by hash(id_a) + size partials by hash(id)
+    (one pair's partials all share id_a → its |A∩B| finalizes in one
+    partition; pd.util.hash_array depends on values, not column names,
+    so id and id_a route identically). No Ray groupby / Acero join:
+    per-partition lexsort + reduceat, measured ~20x faster here.
+    Pair/size partials are ~100x narrower than shingle rows, so the
+    follow-up exchanges use P/4 partitions — the P×P split-piece
+    explosion, not data volume, dominates them otherwise.
+
+    Exchange 3: aggregated pairs by hash(id_b); partition p's sizes are
+    exactly stage-2 task p's local sizes table (same hash) — passed as a
+    direct arg ref, no extra shuffle of the sizes side."""
+    import ray
+    import ray.data as rd
+    from .exchange import fan_out_pieces, split_by_key
     np2 = max(8, num_parts // 4) if num_parts > 1 else 1
     pair2 = fan_out_pieces(split_by_key, pair_refs, np2,
                            args=("id_a", np2))
@@ -321,9 +337,6 @@ def ngram_jaccard_dups(ds, window: int = 4, tau_num: int = 1,
         ar, sr = stage2.remote(id_col, pp, sp)
         agg_refs.append(ar)
         szloc_refs.append(sr)
-    # Exchange 3: aggregated pairs by hash(id_b); partition p's sizes are
-    # exactly stage-2 task p's local sizes table (same hash) — passed as a
-    # direct arg ref, no extra shuffle of the sizes side.
     pair3 = fan_out_pieces(split_by_key, agg_refs, np2,
                            args=("id_b", np2))
     stage3 = ray.remote(_final_stage3)
@@ -959,3 +972,172 @@ def mix_sample(ds, group_col: str = "lang", key_col: str = "doc_id"):
         fn_constructor_kwargs=dict(counts_ref=ref, group_col=group_col,
                                    key_col=key_col),
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-run NEAR-dup ingest (persistent shingle index)
+# ---------------------------------------------------------------------------
+
+def _ingest_pair_partition(id_col: str, new_pieces, old_pieces):
+    """One shingle-hash partition of the ingest join: pair partials
+    between this run's docs and (committed docs ∪ this run's lower-id
+    docs). Emits (id_a = the CANDIDATE-DROP new doc, id_b = the other
+    doc, n_part = shared-shingle multiplicity partial). Old-old pairs —
+    the bulk of a mature index — are never expanded."""
+    import ray
+    if new_pieces and isinstance(new_pieces[0], ray.ObjectRef):
+        new_pieces = ray.get(list(new_pieces))
+    if old_pieces and isinstance(old_pieces[0], ray.ObjectRef):
+        old_pieces = ray.get(list(old_pieces))
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "n_part": pa.array([], type=pa.int64())})
+    new_pieces = [t for t in new_pieces if t.num_rows]
+    if not new_pieces:
+        return empty
+    nt = pa.concat_tables(new_pieces)
+    g_n = nt.column("g").to_numpy()
+    id_n = nt.column(id_col).to_numpy()
+    order = np.lexsort((id_n, g_n))
+    g_n, id_n = g_n[order], id_n[order]
+    out_a, out_b = [], []
+    # new-new pairs: i<j within each shingle group, victim = larger id
+    starts = np.ones(len(g_n), dtype=bool)
+    starts[1:] = g_n[1:] != g_n[:-1]
+    seg_start = np.maximum.accumulate(
+        np.where(starts, np.arange(len(g_n)), 0))
+    within = np.arange(len(g_n)) - seg_start
+    tot = int(within.sum())
+    if tot:
+        row_for_pair = np.repeat(np.arange(len(g_n)), within)
+        block_start = np.cumsum(within) - within
+        i_in_block = np.arange(tot) - np.repeat(block_start, within)
+        i_row = np.repeat(seg_start, within) + i_in_block
+        out_a.append(id_n[row_for_pair])   # later (larger) id = victim
+        out_b.append(id_n[i_row])
+    # new-old pairs: full cross product per shared shingle group
+    old_pieces = [t for t in old_pieces if t.num_rows]
+    if old_pieces:
+        ot = pa.concat_tables(old_pieces)
+        g_o = ot.column("g").to_numpy()
+        id_o = ot.column(id_col).to_numpy()
+        oorder = np.argsort(g_o, kind="stable")
+        g_o, id_o = g_o[oorder], id_o[oorder]
+        lo = np.searchsorted(g_o, g_n, side="left")
+        hi = np.searchsorted(g_o, g_n, side="right")
+        cnt = hi - lo
+        tot_o = int(cnt.sum())
+        if tot_o:
+            block_start = np.cumsum(cnt) - cnt
+            within_o = np.arange(tot_o) - np.repeat(block_start, cnt)
+            o_idx = np.repeat(lo, cnt) + within_o
+            out_a.append(np.repeat(id_n, cnt))
+            out_b.append(id_o[o_idx])
+    if not out_a:
+        return empty
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    # pre-reduce multiplicities before the id_a exchange
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.ones(len(a), dtype=bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    sidx = np.nonzero(first)[0]
+    n = np.diff(np.append(sidx, len(a))).astype(np.int64)
+    return pa.table({"id_a": pa.array(a[sidx], type=pa.int64()),
+                     "id_b": pa.array(b[sidx], type=pa.int64()),
+                     "n_part": pa.array(n)})
+
+
+def ingest_neardup_run(ds, state_dir: str, window: int = 4,
+                       tau_num: int = 1, tau_den: int = 2,
+                       id_col: str = "doc_id", col: str = "text",
+                       num_parts=None):
+    """Incremental cross-RUN near-dup ingest — the continuous-crawl
+    near-dedup shape (tonight's crawl vs every committed crawl): a new
+    doc is DROPPED iff its exact ``window``-token shingle Jaccard vs ANY
+    committed survivor, or vs ANY lower-id doc of this run, reaches
+    ``tau_num/tau_den`` (integer-exact decision, same arithmetic as
+    :func:`ngram_jaccard_dups`). Survivors commit their (shingle-hash,
+    id) rows and set sizes to the persistent index under ``state_dir``.
+    Doc ids must be unique across runs. Returns the surviving
+    (id, n_shingles) Dataset.
+
+    100 TB shape: the index stores 8-byte shingle hashes + ids — never
+    text; a new run streams the index's rows through ONE shingle-hash
+    co-partitioned exchange against the new docs' rows, expanding
+    new-new and new-old pairs only (the old-old bulk of a mature index
+    is never touched); threshold evaluation reuses the narrow
+    ``_pairs_finalize`` exchanges; survivor filtering and the commit are
+    hash-partitioned semi/anti joins. The commit is write-to-temp +
+    ``rename`` — a crashed run leaves no partial index."""
+    import os
+    import uuid
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _auto_parts
+    from .exchange import fan_out_pieces, split_by_key
+    from .join import hash_join
+
+    num_parts = _auto_parts(num_parts)
+    os.makedirs(state_dir, exist_ok=True)
+    runs = sorted(d for d in os.listdir(state_dir) if d.startswith("run_"))
+
+    new_rows = ds.map_batches(
+        lambda b: _shingle_rows(b, window, id_col, col),
+        batch_format="pyarrow").materialize()  # consumed 3x: pairs,
+    # sizes, and the survivor commit — narrow (g, id) rows only
+
+    def _size_partial(b: pa.Table) -> pa.Table:
+        uid, sz = np.unique(b.column(id_col).to_numpy(),
+                            return_counts=True)
+        return pa.table({id_col: pa.array(uid, type=pa.int64()),
+                         "sz_part": pa.array(sz.astype(np.int64))})
+
+    sizes_new = new_rows.map_batches(_size_partial,
+                                     batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Sum("sz_part", alias_name="sz_part")) \
+        .materialize()
+
+    def _index_files(sub: str):
+        return [f"{state_dir}/{r}/{sub}/{f}" for r in runs
+                for f in sorted(os.listdir(f"{state_dir}/{r}/{sub}"))
+                if f.endswith(".parquet")]
+
+    new_parts = fan_out_pieces(split_by_key, new_rows.to_arrow_refs(),
+                               num_parts, args=("g", num_parts))
+    if runs:
+        old_rows = rd.read_parquet(_index_files("pairs"))
+        old_sizes = rd.read_parquet(_index_files("sizes"))
+        old_parts = fan_out_pieces(split_by_key, old_rows.to_arrow_refs(),
+                                   num_parts, args=("g", num_parts))
+        size_refs = list(sizes_new.to_arrow_refs()) \
+            + list(old_sizes.to_arrow_refs())
+    else:
+        old_parts = [[] for _ in range(num_parts)]
+        size_refs = list(sizes_new.to_arrow_refs())
+
+    work = ray.remote(_ingest_pair_partition)
+    pair_refs = [work.remote(id_col, np_, op_)
+                 for np_, op_ in zip(new_parts, old_parts)]
+    qualifying = _pairs_finalize(pair_refs, size_refs, tau_num, tau_den,
+                                 id_col, num_parts)
+    victims = qualifying.map_batches(
+        lambda b: pa.table({"id_a": pc.unique(
+            b.column("id_a").combine_chunks())}),
+        batch_format="pyarrow")
+
+    survivors = hash_join(sizes_new, victims, id_col, "id_a",
+                          how="anti").materialize()
+    surv_rows = hash_join(new_rows, survivors.select_columns([id_col]),
+                          id_col, id_col, how="semi")
+
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    surv_rows.write_parquet(f"{tmp}/pairs")
+    survivors.write_parquet(f"{tmp}/sizes")
+    final = f"{state_dir}/run_{len(runs):05d}"
+    os.rename(tmp, final)
+    return survivors

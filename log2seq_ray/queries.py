@@ -490,6 +490,51 @@ def q_cross_run_dedup(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_cross_run_neardup(sf_dir: str):
+    """Two-run incremental NEAR-dup ingest: run A (even docs) commits its
+    shingle-hash index; run B = odd docs + re-keyed NEAR-variants of the
+    even docs (one appended token → Jaccard just below 1) — every variant
+    must drop against the committed index, and run-B-internal near-dups
+    drop against lower ids. Returns run B's survivors with their shingle
+    set sizes."""
+    import hashlib as _hl
+    import shutil
+
+    from .ops.curation import ingest_neardup_run
+
+    state = ("/tmp/l2sr_nd_ingest_"
+             + _hl.md5(sf_dir.encode()).hexdigest()[:10])
+    shutil.rmtree(state, ignore_errors=True)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def half(b: pa.Table, rem: int) -> pa.Table:
+        par = pc.bit_wise_and(pc.cast(b.column("doc_id"), pa.int64()),
+                              pa.scalar(1, pa.int64()))
+        return b.filter(pc.equal(par, pa.scalar(rem, pa.int64())))
+
+    run_a = docs.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    ingest_neardup_run(run_a, state)
+
+    def variant(b: pa.Table) -> pa.Table:
+        t = half(b, 0)
+        return pa.table({
+            "doc_id": pc.add(pc.cast(t.column("doc_id"), pa.int64()),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                t.column("text"), pa.scalar(" zz9"), ""),
+        })
+
+    run_b = docs.map_batches(lambda b: half(b, 1),
+                             batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"]) \
+        .union(docs.map_batches(variant, batch_format="pyarrow"))
+    out = ingest_neardup_run(run_b, state)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "n_shingles": b.column("sz_part")}),
+        batch_format="pyarrow")
+
+
 def q_hourly_users(sf_dir: str):
     """Exact distinct users per hour (unique-pairs-only shuffle keyed by
     the window instead of an entity column)."""
@@ -1190,6 +1235,7 @@ QUERIES = {
     "length_ranks": q_length_ranks,
     "event_spikes": q_event_spikes,
     "cross_run_dedup": q_cross_run_dedup,
+    "cross_run_neardup": q_cross_run_neardup,
     "value_stats": q_value_stats,
     "hourly_users": q_hourly_users,
     "funnel_conversions": q_funnel_conversions,
@@ -2089,6 +2135,46 @@ ORACLE_SQL["ngram_jaccard"] = f"""
            CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_n
     FROM I JOIN SZ sa ON sa.doc_id = ia JOIN SZ sb ON sb.doc_id = ib
     WHERE inter * 3 >= sa.sz + sb.sz
+"""
+
+ORACLE_SQL["cross_run_neardup"] = f"""
+    WITH T AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, {_TOKENS} FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 1000000,
+             list_filter(string_split(text || ' zz9', ' '), x -> x <> '')
+      FROM documents WHERE doc_id % 2 = 0),
+    SH AS (SELECT doc_id, list_distinct(list_transform(
+              CASE WHEN len(t) = 0 THEN ['']
+                   WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                   ELSE list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' ')) END,
+              s -> {_H60.format(s='s')})) AS gs
+           FROM T),
+    EX AS (SELECT doc_id, unnest(gs) AS g FROM SH),
+    SZ AS (SELECT doc_id, COUNT(*) AS sz FROM EX GROUP BY doc_id),
+    Q AS (SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS inter
+          FROM EX a JOIN EX b ON a.g = b.g AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+    QP AS (SELECT x, y FROM Q
+           JOIN SZ sa ON sa.doc_id = Q.x JOIN SZ sb ON sb.doc_id = Q.y
+           WHERE inter * 3 >= sa.sz + sb.sz),
+    ASURV AS (SELECT doc_id FROM SH
+              WHERE doc_id % 2 = 0 AND doc_id < 1000000
+                AND NOT EXISTS (SELECT 1 FROM QP
+                                WHERE x = SH.doc_id AND y % 2 = 0
+                                  AND y < 1000000 AND y < SH.doc_id)),
+    B AS (SELECT doc_id FROM SH
+          WHERE doc_id % 2 = 1 OR doc_id >= 1000000)
+    SELECT B.doc_id, CAST(z.sz AS BIGINT) AS n_shingles
+    FROM B JOIN SZ z ON z.doc_id = B.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM QP JOIN ASURV a ON QP.y = a.doc_id
+                      WHERE QP.x = B.doc_id)
+      AND NOT EXISTS (SELECT 1 FROM QP
+                      WHERE x = B.doc_id AND y < B.doc_id
+                        AND (y % 2 = 1 OR y >= 1000000))
 """
 
 ORACLE_SQL["decontaminate"] = f"""

