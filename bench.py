@@ -234,6 +234,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_ngram_jaccard(SF_DIR).to_pandas())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
+        timed("decontaminate_frac",
+              lambda: Q.q_decontaminate_frac(SF_DIR).to_pandas())
         timed("paragraph_dedup",
               lambda: Q.q_paragraph_dedup(SF_DIR).to_pandas())
         timed("cms_sketch", lambda: Q.q_cms_sketch(SF_DIR).to_pandas())

@@ -376,6 +376,68 @@ class _DecontamStage:
         return batch.select([self.id_col]).filter(pa.array(mask))
 
 
+class _DecontamFracStage:
+    """Actor-pool overlap-fraction scorer: per doc, the DISTINCT gram
+    count and how many of those grams are in the benchmark set; the keep
+    decision ``hits * den <= num * n_grams`` is integer-exact."""
+
+    def __init__(self, block_ref, window: int, num: int, den: int,
+                 id_col: str, col: str):
+        import ray
+        self.block = ray.get(block_ref)
+        self.window, self.num, self.den = window, num, den
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, row_of = shingle_hash_rows(batch, self.col, self.window)
+        hh, rr = _distinct_per_row(h, row_of)
+        n = len(batch)
+        sz = np.bincount(rr, minlength=n).astype(np.int64)
+        hits = np.zeros(n, dtype=np.int64)
+        if len(self.block) and len(hh):
+            pos = np.searchsorted(self.block, hh)
+            pos_c = np.minimum(pos, len(self.block) - 1)
+            hit = self.block[pos_c] == hh
+            if hit.any():
+                hits = np.bincount(rr[hit], minlength=n).astype(np.int64)
+        keep = hits * self.den <= self.num * sz
+        out = pa.table({
+            self.id_col: pc.cast(batch.column(self.id_col), pa.int64()),
+            "n_grams": pa.array(sz),
+            "n_hits": pa.array(hits),
+        })
+        return out.filter(pa.array(keep))
+
+
+def decontaminate_frac(corpus, bench, window: int = 6,
+                       max_frac_num: int = 1, max_frac_den: int = 10,
+                       id_col: str = "doc_id", col: str = "text"):
+    """Fraction-based decontamination: keep a corpus doc iff AT MOST
+    ``max_frac_num/max_frac_den`` of its DISTINCT ``window``-token grams
+    appear in the benchmark set (``hits * den <= num * n_grams``,
+    integer-exact) — the tolerance variant of :func:`decontaminate` for
+    benchmarks whose boilerplate overlaps organically with web text.
+    Same scale shape: bounded benchmark gram broadcast, streaming
+    vectorized scorer, no corpus shuffle. Returns surviving
+    (id, n_grams, n_hits)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    grams = bench.map_batches(
+        lambda b: _gram_set_partials(window, col, b),
+        batch_format="pyarrow").groupby("g").aggregate(Count())
+    parts = [p for p in ray.get(grams.to_arrow_refs()) if p.num_rows]
+    gset = (np.unique(np.concatenate(
+        [p.column("g").to_numpy() for p in parts]))
+        if parts else np.empty(0, dtype=np.int64))
+    ref = ray.put(gset)
+    return corpus.map_batches(
+        _DecontamFracStage, fn_constructor_kwargs=dict(
+            block_ref=ref, window=window, num=max_frac_num,
+            den=max_frac_den, id_col=id_col, col=col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
 def decontaminate(corpus, bench, window: int = 6,
                   id_col: str = "doc_id", col: str = "text"):
     """Drop every corpus document sharing ANY ``window``-token n-gram

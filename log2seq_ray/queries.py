@@ -1106,6 +1106,19 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench, window=6)
 
 
+def q_decontaminate_frac(sf_dir: str):
+    """Fraction-tolerant decontamination: corpus docs survive with AT
+    MOST 10% of their distinct 6-grams shared with the benchmark set
+    (integer-exact threshold); survivors carry their gram/hit counts."""
+    from .ops.curation import decontaminate_frac
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _mod37(b, True), batch_format="pyarrow")
+    corpus = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _mod37(b, False), batch_format="pyarrow")
+    return decontaminate_frac(corpus, bench, window=6,
+                              max_frac_num=1, max_frac_den=10)
+
+
 def q_paragraph_dedup(sf_dir: str):
     """Corpus-level paragraph dedup (20-token chunks): per-doc paragraph
     counts and first-occurrence survivors."""
@@ -1236,6 +1249,7 @@ QUERIES = {
     "event_spikes": q_event_spikes,
     "cross_run_dedup": q_cross_run_dedup,
     "cross_run_neardup": q_cross_run_neardup,
+    "decontaminate_frac": q_decontaminate_frac,
     "value_stats": q_value_stats,
     "hourly_users": q_hourly_users,
     "funnel_conversions": q_funnel_conversions,
@@ -2192,6 +2206,26 @@ ORACLE_SQL["decontaminate"] = f"""
     SELECT doc_id FROM documents
     WHERE doc_id % 37 <> 0
       AND doc_id NOT IN (SELECT doc_id FROM BAD)
+"""
+
+ORACLE_SQL["decontaminate_frac"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    G AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(t) = 0 THEN ['']
+                  WHEN len(t) < 6 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t) - 4),
+                      i -> array_to_string(t[i:i+5], ' ')) END,
+             s -> {_H60.format(s='s')})) AS gs
+          FROM T),
+    B AS (SELECT DISTINCT unnest(gs) AS g FROM G WHERE doc_id % 37 = 0),
+    CE AS (SELECT doc_id, unnest(gs) AS g FROM G WHERE doc_id % 37 <> 0),
+    S AS (SELECT ce.doc_id,
+                 COUNT(*) AS n_grams,
+                 COUNT(*) FILTER (WHERE b.g IS NOT NULL) AS n_hits
+          FROM CE ce LEFT JOIN B b USING (g) GROUP BY ce.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM S WHERE n_hits * 10 <= n_grams
 """
 
 ORACLE_SQL["paragraph_dedup"] = f"""

@@ -125,6 +125,31 @@ def test_decontaminate_empty_benchmark_keeps_all(ray_session):
     assert got == [1, 2]
 
 
+def test_decontaminate_frac_threshold(ray_session):
+    """Fraction variant: docs at or under the hit fraction survive with
+    exact (n_grams, n_hits); over-threshold docs drop."""
+    from log2seq_ray.ops.curation import decontaminate_frac
+    bench = _ds([(100, "alpha beta gamma delta")])  # grams: 1 (4-gram)
+    corpus = _ds([
+        # 8 tokens -> 5 distinct 4-grams, 1 hit = 20% > 10% -> drop
+        (1, "alpha beta gamma delta five six seven eight"),
+        # 23 tokens -> 20 grams, 1 hit = 5% <= 10% -> keep
+        (2, "alpha beta gamma delta " + " ".join(
+            f"w{i}" for i in range(19))),
+        (3, "totally unrelated words right here today okay"),  # 0 hits
+    ])
+    got = decontaminate_frac(corpus, bench, window=4,
+                             max_frac_num=1, max_frac_den=10) \
+        .to_pandas().set_index("doc_id")
+    assert sorted(got.index) == [2, 3]
+    assert got.loc[2, "n_grams"] == 20 and got.loc[2, "n_hits"] == 1
+    assert got.loc[3, "n_hits"] == 0
+    # den=2 (50% tolerance) keeps doc 1 too
+    got2 = decontaminate_frac(corpus, bench, window=4,
+                              max_frac_num=1, max_frac_den=2).to_pandas()
+    assert sorted(got2["doc_id"]) == [1, 2, 3]
+
+
 def test_paragraph_dedup_first_occurrence_survives(ray_session):
     from log2seq_ray.ops.curation import paragraph_dedup
     rows = [
