@@ -260,6 +260,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_trailing_values(SF_DIR).to_pandas())
         timed("postings", lambda: Q.q_postings(SF_DIR).to_pandas())
         timed("mix_sample", lambda: Q.q_mix_sample(SF_DIR).to_pandas())
+        timed("mix_sample_sqrt",
+              lambda: Q.q_mix_sample_sqrt(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

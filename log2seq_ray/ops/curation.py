@@ -977,21 +977,24 @@ def dsir_weights(ds, target_langs=("en",), buckets: int = 256,
 
 
 class _MixFilterStage:
-    """Actor: keep a row iff ``md5_60(str(key)) % n_group < target`` —
-    the integer-exact deterministic downsample used by :func:`mix_sample`
-    (broadcast counts read once per actor)."""
+    """Actor: keep a row iff ``md5_60(str(key)) % n_group < target_group``
+    — the deterministic per-group downsample shared by :func:`mix_sample`
+    (equal-mass target) and :func:`mix_sample_sqrt` (sqrt-temperature
+    target). Broadcast lookup tables read once per actor."""
 
     def __init__(self, counts_ref, group_col: str, key_col: str):
         import ray
-        counts = counts_ref if isinstance(counts_ref, dict) \
-            else ray.get(counts_ref)
-        counts, self.target = counts
-        # vectorized lookup tables (once per actor): group -> count via
-        # index_in; unseen groups default to 1 (keep decision degenerate)
+        counts, targets = ray.get(counts_ref) \
+            if not isinstance(counts_ref, tuple) else counts_ref
+        # vectorized lookup tables (once per actor): group -> (count,
+        # target) via index_in; unseen groups default to (1, 0) — dropped
         self.group_keys = pa.array(list(counts.keys()))
         self.group_n = np.concatenate(
             [np.fromiter(counts.values(), dtype=np.int64,
                          count=len(counts)), [1]])
+        self.group_t = np.concatenate(
+            [np.fromiter((targets[g] for g in counts), dtype=np.int64,
+                         count=len(counts)), [0]])
         self.group_col, self.key_col = group_col, key_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1005,10 +1008,11 @@ class _MixFilterStage:
                 len(self.group_n) - 1), pa.int64())
             .to_numpy(zero_copy_only=False), dtype=np.int64)
         n = self.group_n[idx]
+        t = self.group_t[idx]
         h = np.fromiter(
             (int(hashlib.md5(b).hexdigest()[:15], 16) for b in keys),
             dtype=np.int64, count=len(keys))
-        return batch.filter(pa.array(h % n < self.target))
+        return batch.filter(pa.array(h % n < t))
 
 
 def mix_sample(ds, group_col: str = "lang", key_col: str = "doc_id"):
@@ -1028,7 +1032,37 @@ def mix_sample(ds, group_col: str = "lang", key_col: str = "doc_id"):
     counts = dict(zip(counts_tbl[group_col],
                       counts_tbl["count()"].astype(int)))
     target = int(min(counts.values())) if counts else 0
-    ref = ray.put((counts, target))
+    targets = {g: target for g in counts}
+    ref = ray.put((counts, targets))
+    return ds.map_batches(
+        _MixFilterStage,
+        fn_constructor_kwargs=dict(counts_ref=ref, group_col=group_col,
+                                   key_col=key_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+def mix_sample_sqrt(ds, group_col: str = "lang", key_col: str = "doc_id"):
+    """Sqrt-temperature domain mixing: keep a row of group ``g`` with
+    probability ``sqrt(n_min / n_g)`` — surviving mass ∝ ``sqrt(n_g)``,
+    the standard temperature rebalance that flattens a skewed domain/
+    language distribution WITHOUT collapsing it to equal mass (big
+    domains keep more absolute data, small domains keep everything).
+    Decision: ``md5_60(key) % n_g < floor(sqrt(n_min * n_g))`` — a pure
+    function of (key, counts): partition-independent, resumable. The
+    ``floor(sqrt(double))`` is IEEE and correctly rounded, so numpy and
+    SQL reproduce the same target bit-for-bit (exact only while
+    ``n_min * n_g`` < 2^53 — beyond that the decision is still
+    deterministic and SQL-reproducible, just computed on the rounded
+    double product). Same scale shape as :func:`mix_sample`."""
+    import ray
+
+    counts_tbl = ds.groupby(group_col).count().to_pandas()
+    counts = dict(zip(counts_tbl[group_col],
+                      counts_tbl["count()"].astype(int)))
+    n_min = int(min(counts.values())) if counts else 0
+    targets = {g: int(np.floor(np.sqrt(np.float64(n_min * n))))
+               for g, n in counts.items()}
+    ref = ray.put((counts, targets))
     return ds.map_batches(
         _MixFilterStage,
         fn_constructor_kwargs=dict(counts_ref=ref, group_col=group_col,

@@ -2662,6 +2662,27 @@ ORACLE_SQL["mix_sample"] = """
 """
 
 
+def q_mix_sample_sqrt(sf_dir: str):
+    """Sqrt-temperature domain mixing: surviving mass per lang ~
+    sqrt(count) (md5(doc_id) % n_lang < floor(sqrt(min * n_lang)) —
+    deterministic, partition-independent keep rule)."""
+    from .ops.curation import mix_sample_sqrt
+    return mix_sample_sqrt(_docs(sf_dir, ["doc_id", "lang"]))
+
+
+QUERIES["mix_sample_sqrt"] = q_mix_sample_sqrt
+
+ORACLE_SQL["mix_sample_sqrt"] = """
+    WITH C AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    M AS (SELECT MIN(n) AS mn FROM C)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN C USING (lang) CROSS JOIN M
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % C.n
+          < CAST(floor(sqrt(CAST(M.mn * C.n AS DOUBLE))) AS BIGINT)
+"""
+
+
 def q_trailing_values(sf_dir: str):
     """Per-user trailing 5-event running sum of floor(value*1e6) in
     (ts, event_id) order — the bounded sliding-window aggregate."""

@@ -1661,6 +1661,31 @@ def test_mix_sample_rule(ray_session):
     assert (out["lang"] == "fr").sum() == 5
 
 
+def test_mix_sample_sqrt_rule(ray_session):
+    import hashlib
+    import ray.data as rd
+    from log2seq_ray.ops.curation import mix_sample_sqrt
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(100)), type=pa.int64()),
+        "lang": ["en"] * 80 + ["de"] * 15 + ["fr"] * 5,
+    })
+    out = mix_sample_sqrt(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    counts = {"en": 80, "de": 15, "fr": 5}
+    targets = {g: int(np.floor(np.sqrt(np.float64(5 * n))))
+               for g, n in counts.items()}  # en: 20, de: 8, fr: 5
+    kept = set()
+    for i, lang in zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist()):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        if h % counts[lang] < targets[lang]:
+            kept.add(i)
+    assert set(out["doc_id"].astype(int)) == kept
+    # smallest group survives whole (target == count); big groups keep
+    # MORE than equal-mass would but less than everything
+    assert (out["lang"] == "fr").sum() == 5
+    n_en = (out["lang"] == "en").sum()
+    assert 5 < n_en < 80
+
+
 def test_trailing_totals_reference(ray_session):
     import pandas as pd
     import ray.data as rd
