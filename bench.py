@@ -262,6 +262,10 @@ def run_benchmarks() -> dict:
         timed("mix_sample", lambda: Q.q_mix_sample(SF_DIR).to_pandas())
         timed("mix_sample_sqrt",
               lambda: Q.q_mix_sample_sqrt(SF_DIR).to_pandas())
+        timed("top_tokens_by_lang",
+              lambda: Q.q_top_tokens_by_lang(SF_DIR).to_pandas())
+        timed("event_bigrams",
+              lambda: Q.q_event_bigrams(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -279,3 +279,67 @@ def trailing_totals(ds, key: str = "user_id", ts_col: str = "ts",
     return hash_exchange(ds, key, _trailing_partition, num_parts,
                          fn_args=(key, ts_col, id_col, val_col,
                                   int(window)))
+
+
+def _bigram_partition(key: str, ts_col: str, ev_col: str, id_col: str,
+                      pieces):
+    """One key partition: consecutive event-type pairs per key in
+    (ts, id) order, pre-counted (one lexsort + shift compare — no
+    per-key Python)."""
+    from .exchange import resolve_all_pieces
+    empty = pa.table({"ev_from": pa.array([], type=pa.string()),
+                      "ev_to": pa.array([], type=pa.string()),
+                      "n_part": pa.array([], type=pa.int64())})
+    ps = resolve_all_pieces(pieces)
+    if not ps:
+        return empty
+    t = pa.concat_tables(ps)
+    if t.num_rows < 2:
+        return empty
+    codes = np.asarray(pc.dictionary_encode(
+        t.column(key).combine_chunks()).indices, dtype=np.int64)
+    ts = np.asarray(pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                            pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.lexsort((ids, ts, codes))
+    k = codes[order]
+    same = k[1:] == k[:-1]
+    if not same.any():
+        return empty
+    ev = t.column(ev_col).combine_chunks().take(pa.array(order))
+    sel = pa.array(np.nonzero(same)[0])
+    pairs = pa.table({
+        "ev_from": ev.take(sel),
+        "ev_to": ev.take(pc.add(sel, pa.scalar(1, pa.int64()))),
+    })
+    g = pairs.group_by(["ev_from", "ev_to"]).aggregate([([], "count_all")])
+    return pa.table({"ev_from": g.column("ev_from"),
+                     "ev_to": g.column("ev_to"),
+                     "n_part": g.column("count_all")})
+
+
+def event_bigrams(ds, key: str = "user_id", ts_col: str = "ts",
+                  ev_col: str = "event_type", id_col: str = "event_id",
+                  num_parts: int = 16):
+    """Per-key consecutive event-type transition counts (user-path
+    bigram mining): for each key's events in (ts, id) order, count
+    (from, to) pairs globally. Null timestamps are excluded (their sort
+    position is undefined).
+
+    Scale shape: one hash exchange of narrow (key, ts, id, type) rows;
+    each partition does one lexsort + shift compare and pre-counts its
+    pairs, so the final groupby merges a few (from, to) partials per
+    partition — never raw transitions."""
+    from ray.data.aggregate import Sum
+    from .exchange import hash_exchange
+
+    rows = ds.map_batches(
+        lambda b: b.select([key, ts_col, id_col, ev_col])
+        .filter(pc.is_valid(b.column(ts_col))),
+        batch_format="pyarrow")
+    partials = hash_exchange(rows, key, _bigram_partition, num_parts,
+                             fn_args=(key, ts_col, ev_col, id_col))
+    return partials.groupby(["ev_from", "ev_to"]) \
+        .aggregate(Sum("n_part", alias_name="n"))

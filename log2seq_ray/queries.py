@@ -71,6 +71,32 @@ def q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_top_tokens_by_lang(sf_dir: str):
+    """Top-5 tokens per language (per-group vocabulary heavy hitters):
+    per-batch (lang, token) count partials → one narrow groupby → the
+    pruned top-k-per-group exchange. Raw tokens never shuffle."""
+    from ray.data.aggregate import Sum
+    from .ops.asof import top_k_per_group
+    from .ops.text import _token_lists
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column("text"))
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        lang_rep = b.column("lang").take(pa.array(
+            np.repeat(np.arange(len(b), dtype=np.int64), counts)))
+        t = pa.table({"lang": lang_rep, "token": pc.list_flatten(toks)})
+        g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "token": g.column("token"),
+                         "n_part": g.column("count_all")})
+
+    agg = _docs(sf_dir, ["lang", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "token"]).aggregate(Sum("n_part", alias_name="n"))
+    out = top_k_per_group(agg, "lang", "n", k=5, tiebreak="token")
+    return out.select_columns(["lang", "token", "n", "rank"])
+
+
 def q_quality_scores(sf_dir: str):
     """Per-doc integer quality features."""
     from .ops.text import quality_scores
@@ -533,6 +559,14 @@ def q_cross_run_neardup(sf_dir: str):
         lambda b: pa.table({"doc_id": b.column("doc_id"),
                             "n_shingles": b.column("sz_part")}),
         batch_format="pyarrow")
+
+
+def q_event_bigrams(sf_dir: str):
+    """User-path transition counts: consecutive event-type pairs per
+    user in (ts, event_id) order, counted globally."""
+    from .ops.windows import event_bigrams
+    return event_bigrams(_events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"]))
 
 
 def q_hourly_users(sf_dir: str):
@@ -1216,6 +1250,8 @@ QUERIES = {
     "route_counts": q_route_counts,
     "exact_dedup": q_exact_dedup,
     "top_tokens": q_top_tokens,
+    "top_tokens_by_lang": q_top_tokens_by_lang,
+    "event_bigrams": q_event_bigrams,
     "quality_scores": q_quality_scores,
     "events_hourly": q_events_hourly,
     "parse_events": q_parse_events,
@@ -1324,6 +1360,18 @@ ORACLE_SQL = {
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n
         FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
         GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    "top_tokens_by_lang": f"""
+        WITH C AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM (SELECT lang, unnest({_TOKENS}) AS token
+                         FROM documents)
+                   GROUP BY lang, token)
+        SELECT lang, token, n, rank FROM (
+            SELECT lang, token, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, token ASC) AS rank
+            FROM C)
+        WHERE rank <= 5
     """,
     "quality_scores": f"""
         SELECT doc_id,
@@ -2149,6 +2197,17 @@ ORACLE_SQL["ngram_jaccard"] = f"""
            CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_n
     FROM I JOIN SZ sa ON sa.doc_id = ia JOIN SZ sb ON sb.doc_id = ib
     WHERE inter * 3 >= sa.sz + sb.sz
+"""
+
+ORACLE_SQL["event_bigrams"] = """
+    WITH S AS (SELECT user_id, event_type,
+                      LEAD(event_type) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts, event_id) AS nxt
+               FROM events WHERE ts IS NOT NULL)
+    SELECT event_type AS ev_from, nxt AS ev_to,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM S WHERE nxt IS NOT NULL GROUP BY ev_from, nxt
 """
 
 ORACLE_SQL["cross_run_neardup"] = f"""

@@ -1686,6 +1686,35 @@ def test_mix_sample_sqrt_rule(ray_session):
     assert 5 < n_en < 80
 
 
+def test_event_bigrams_reference(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from log2seq_ray.ops.windows import event_bigrams
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 9, n),
+        "ts": pd.to_datetime(rng.integers(0, 50, n), unit="s"),  # ties
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    df.loc[5, "ts"] = pd.NaT  # null ts excluded
+    got = event_bigrams(rd.from_pandas(df).repartition(4), num_parts=5) \
+        .to_pandas()
+    nxt = df.dropna(subset=["ts"]) \
+        .sort_values(["user_id", "ts", "event_id"])
+    pairs = pd.DataFrame({
+        "ev_from": nxt["event_type"].values[:-1],
+        "ev_to": nxt["event_type"].values[1:],
+        "same": nxt["user_id"].values[:-1] == nxt["user_id"].values[1:],
+    })
+    exp = pairs[pairs["same"]].groupby(["ev_from", "ev_to"]) \
+        .size().to_dict()
+    got_map = {(r.ev_from, r.ev_to): int(r.n)
+               for r in got.itertuples(index=False)}
+    assert got_map == exp
+
+
 def test_trailing_totals_reference(ray_session):
     import pandas as pd
     import ray.data as rd
