@@ -159,3 +159,42 @@ def test_hash_join_bucket_modes_equal_pandas(seed, num_buckets, how):
         keep = ld["lk"].isin(matched) if how == "semi" \
             else ~ld["lk"].isin(matched)
         assert sorted(out["lv"]) == sorted(ld.loc[keep, "lv"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    q=st.floats(min_value=0.0, max_value=1.0,
+                allow_nan=False, allow_infinity=False),
+)
+def test_disc_index_matches_duckdb_quantile_disc(n, q):
+    """_disc_index IS DuckDB's quantile_disc element index — pinned
+    against DuckDB itself, not a re-derivation of its formula."""
+    import duckdb
+    from log2seq_ray.ops.stats import _disc_index
+    vals = list(range(n))
+    duck = duckdb.sql(
+        "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)",
+        params=[q, vals]).fetchone()[0]
+    assert int(_disc_index(n, q)) == int(duck)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.lists(st.floats(min_value=-50, max_value=50,
+                            allow_nan=False, allow_infinity=False),
+                  min_size=1, max_size=200),
+    q=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+)
+def test_histogram_bin_pick_matches_duckdb(data, q):
+    """The binned counting-sort pick (numpy floor/scale + _disc_index)
+    equals DuckDB quantile_disc over the same integer bins."""
+    import duckdb
+    from log2seq_ray.ops.stats import _disc_index
+    bins = np.sort(np.floor(np.asarray(data, dtype=np.float64) * 100)
+                   .astype(np.int64))
+    mine = int(bins[int(_disc_index(len(bins), q))])
+    duck = duckdb.sql(
+        "SELECT quantile_disc(CAST(floor(x * 100) AS BIGINT), ?) "
+        "FROM (SELECT unnest(?) AS x)", params=[q, list(data)]).fetchone()[0]
+    assert mine == int(duck)
