@@ -296,6 +296,29 @@ def run_benchmarks() -> dict:
         extras["dup_spans_40k_spans"] = timed(
             "dup_spans_40k",
             lambda: dup_spans(rd.read_parquet(dd), window=8).count())
+        # incremental near-dup ingest stress: run 1 commits half the
+        # near-dup corpus, run 2's docs all near-dup committed families
+        import shutil as _sh
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from log2seq_ray.ops.curation import ingest_neardup_run
+        nd_state = "/tmp/l2sr_nd_stress_bench"
+        _sh.rmtree(nd_state, ignore_errors=True)
+
+        def _nd_half(rem: int):
+            return rd.read_parquet(dd).map_batches(
+                lambda b: b.filter(pc.equal(
+                    pc.bit_wise_and(b.column("doc_id"),
+                                    pa.scalar(1, pa.int64())),
+                    pa.scalar(rem, pa.int64()))),
+                batch_format="pyarrow")
+
+        extras["neardup_ingest_20k_run1_survivors"] = timed(
+            "neardup_ingest_20k_run1",
+            lambda: ingest_neardup_run(_nd_half(0), nd_state).count())
+        extras["neardup_ingest_20k_run2_survivors"] = timed(
+            "neardup_ingest_20k_run2",
+            lambda: ingest_neardup_run(_nd_half(1), nd_state).count())
 
         # k-means stress: 2M 64-dim vectors (sf0.1), k=16, init + 2 Lloyd
         # updates (4 full streaming passes; only k×(d+1) partials shuffle)
