@@ -22,6 +22,12 @@ import pyarrow as pa
 def split_by_key(tbl: pa.Table, key: str, num_parts: int):
     """One block → num_parts sub-tables by a deterministic vectorized hash
     of ``key`` (pandas.util.hash_array — ints AND strings, never raw %)."""
+    if tbl.num_rows == 0:
+        # Ray group-by outputs can contain a zero-COLUMN empty block;
+        # route the (possibly schemaless) empty through every partition —
+        # resolve_pieces drops empties, resolve_all_pieces keeps them only
+        # for their schema
+        return [tbl] * num_parts
     col = tbl.column(key)
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     h = pd.util.hash_array(col.to_pandas().to_numpy())

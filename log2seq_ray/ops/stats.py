@@ -111,8 +111,10 @@ def group_histogram_quantile(ds, group_col: str, value_col: str,
         ps = resolve_all_pieces(pieces)
         if not ps:
             return pa.table({})
-        t = pa.concat_tables(ps)
+        t = pa.concat_tables(ps, promote_options="permissive")
         if t.num_rows == 0:
+            if group_col not in t.column_names:
+                return pa.table({})  # zero-column empty (Ray groupby quirk)
             return pa.table({group_col: t.column(group_col),
                              alias: pa.array([], type=pa.int64())})
         gcol = t.column(group_col)
