@@ -266,6 +266,7 @@ def run_benchmarks() -> dict:
               lambda: Q.q_top_tokens_by_lang(SF_DIR).to_pandas())
         timed("event_bigrams",
               lambda: Q.q_event_bigrams(SF_DIR).to_pandas())
+        timed("longest_docs", lambda: Q.q_longest_docs(SF_DIR))
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

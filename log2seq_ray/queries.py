@@ -97,6 +97,31 @@ def q_top_tokens_by_lang(sf_dir: str):
     return out.select_columns(["lang", "token", "n", "rank"])
 
 
+def q_longest_docs(sf_dir: str):
+    """Global ORDER BY ... LIMIT without a global sort: per-batch local
+    top-k (every global winner survives its own batch's prune) → the
+    driver merges only k × n_blocks candidate rows."""
+    from .ops.text import _token_lists
+    K = 20
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column("text"))
+        t = pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_tokens": pa.array(
+                np.diff(np.asarray(toks.offsets, dtype=np.int64))),
+        })
+        idx = pc.sort_indices(t, sort_keys=[("n_tokens", "descending"),
+                                            ("doc_id", "ascending")])
+        return t.take(idx.slice(0, K))
+
+    pdf = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    return pdf.sort_values(["n_tokens", "doc_id"],
+                           ascending=[False, True]).head(K) \
+        .reset_index(drop=True)
+
+
 def q_quality_scores(sf_dir: str):
     """Per-doc integer quality features."""
     from .ops.text import quality_scores
@@ -1252,6 +1277,7 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "top_tokens_by_lang": q_top_tokens_by_lang,
     "event_bigrams": q_event_bigrams,
+    "longest_docs": q_longest_docs,
     "quality_scores": q_quality_scores,
     "events_hourly": q_events_hourly,
     "parse_events": q_parse_events,
@@ -1360,6 +1386,11 @@ ORACLE_SQL = {
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n
         FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
         GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    "longest_docs": f"""
+        SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+        ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
     """,
     "top_tokens_by_lang": f"""
         WITH C AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
