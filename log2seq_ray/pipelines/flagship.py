@@ -242,11 +242,18 @@ def run(sf_dir: str, sink_dir: Optional[str] = None,
 
 def run_sharded_corpus(corpus_dir: str, out_dir: str,
                        files_per_shard: int = 32, resume: bool = True,
-                       cpus: Optional[int] = None):
+                       cpus: Optional[int] = None,
+                       continue_on_error: bool = False):
     """Resumable flagship over a materialized corpus, sharded by FILE
     GROUPS — the real 100 TB layout: each shard is a fixed slice of the
     input file list, processed as one streaming job into an atomically
-    renamed dir + lineage manifest; a resumed run skips finished shards."""
+    renamed dir + lineage manifest; a resumed run skips finished shards.
+
+    ``continue_on_error``: a failing shard (corrupt file, poisoned block)
+    records a diagnostic under ``failures/<id>.json`` and the run moves
+    on — at 100 TB one bad shard must not kill a multi-hour job. Failed
+    shards stay manifest-less, so the next resume re-attempts exactly
+    them; a later success clears the failure record."""
     import glob
     import ray.data as rd
     from ..state import manifest as M
@@ -275,10 +282,17 @@ def run_sharded_corpus(corpus_dir: str, out_dir: str,
                     "templates": int(len(pdf)),
                     "files": len(shard_files)}
 
-        results.append(M.run_shard(
-            out_dir, f"{i:05d}",
-            {"corpus_dir": corpus_dir, "files": shard_files[:3] + ["..."]},
-            process, resume=resume))
+        spec = {"corpus_dir": corpus_dir,
+                "files": shard_files[:3] + ["..."]}
+        if continue_on_error:
+            try:
+                results.append(M.run_shard(out_dir, f"{i:05d}", spec,
+                                           process, resume=resume))
+            except Exception as err:  # noqa: BLE001 — recorded + skipped
+                M.record_failure(out_dir, f"{i:05d}", spec, err)
+        else:
+            results.append(M.run_shard(out_dir, f"{i:05d}", spec,
+                                       process, resume=resume))
     return results
 
 

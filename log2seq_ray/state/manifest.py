@@ -64,6 +64,10 @@ def run_shard(out_dir: str, shard_id: str, input_spec,
     tmp_m = mpath.parent / (mpath.name + ".tmp")
     tmp_m.write_text(json.dumps(manifest, indent=1, default=str))
     os.replace(tmp_m, mpath)
+    # a now-successful shard clears its stale failure diagnostic
+    fpath = Path(out_dir) / "failures" / f"{shard_id}.json"
+    if fpath.exists():
+        fpath.unlink()
     return manifest
 
 
@@ -72,3 +76,24 @@ def load_manifests(out_dir: str) -> list[dict]:
     if not mdir.exists():
         return []
     return [json.loads(p.read_text()) for p in sorted(mdir.glob("*.json"))]
+
+
+def record_failure(out_dir: str, shard_id: str, input_spec, err) -> dict:
+    """Diagnostic record for a FAILED shard under ``failures/`` — never
+    under ``manifests/``, so resume still re-attempts it. Overwritten on
+    each attempt (latest error wins)."""
+    rec = {"shard_id": str(shard_id), "input": input_spec,
+           "error": repr(err), "ts": time.time()}
+    fpath = Path(out_dir) / "failures" / f"{shard_id}.json"
+    fpath.parent.mkdir(parents=True, exist_ok=True)
+    tmp = fpath.parent / (fpath.name + ".tmp")
+    tmp.write_text(json.dumps(rec, indent=1, default=str))
+    os.replace(tmp, fpath)
+    return rec
+
+
+def load_failures(out_dir: str) -> list[dict]:
+    fdir = Path(out_dir) / "failures"
+    if not fdir.exists():
+        return []
+    return [json.loads(p.read_text()) for p in sorted(fdir.glob("*.json"))]

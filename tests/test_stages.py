@@ -107,6 +107,68 @@ def test_manifest_resume(tmp_path):
     assert len(calls) == 2
 
 
+def test_shard_failure_record_and_recovery(tmp_path):
+    """A failing shard records a failures/ diagnostic (never a manifest,
+    so resume re-attempts it); a later success clears the record."""
+    from log2seq_ray.state import manifest as M
+    attempts = []
+
+    def flaky(tmp_dir):
+        attempts.append(1)
+        if len(attempts) == 1:
+            raise RuntimeError("corrupt block")
+        (M.Path(tmp_dir) / "out.txt").write_text("x")
+        return {"rows": 7}
+
+    spec = {"src": "a"}
+    try:
+        M.run_shard(str(tmp_path), "s9", spec, flaky)
+    except RuntimeError as err:
+        M.record_failure(str(tmp_path), "s9", spec, err)
+    assert not M.is_done(str(tmp_path), "s9")
+    fails = M.load_failures(str(tmp_path))
+    assert len(fails) == 1 and "corrupt block" in fails[0]["error"]
+    # resume re-attempts (no manifest exists); success clears the record
+    m = M.run_shard(str(tmp_path), "s9", spec, flaky)
+    assert m["rows"] == 7 and len(attempts) == 2
+    assert M.load_failures(str(tmp_path)) == []
+
+
+def test_run_sharded_corpus_continue_on_error(ray_session, tmp_path,
+                                              monkeypatch):
+    """continue_on_error: a poisoned shard is recorded and skipped; the
+    other shards complete; a clean resume finishes the poisoned one."""
+    import ray.data as rd
+    from log2seq_ray.pipelines import flagship
+    from log2seq_ray.sources.webpages import materialize_corpus
+    from log2seq_ray.state import manifest as M
+    corpus = materialize_corpus(
+        "/root/testdata/sf0.001", str(tmp_path / "corpus"),
+        repeat=2, num_files=4)
+    out = str(tmp_path / "run")
+
+    real_run_shard = M.run_shard
+
+    def poisoned(out_dir, shard_id, spec, process, resume=True):
+        if shard_id == "00000" and not M.is_done(out_dir, shard_id):
+            raise RuntimeError("poisoned shard")
+        return real_run_shard(out_dir, shard_id, spec, process,
+                              resume=resume)
+
+    monkeypatch.setattr(M, "run_shard", poisoned)
+    r1 = flagship.run_sharded_corpus(corpus, out, files_per_shard=2,
+                                     cpus=4, continue_on_error=True)
+    assert len(r1) == 1  # the other shard completed
+    assert len(M.load_failures(out)) == 1
+    monkeypatch.setattr(M, "run_shard", real_run_shard)
+    r2 = flagship.run_sharded_corpus(corpus, out, files_per_shard=2,
+                                     cpus=4, continue_on_error=True)
+    assert len(r2) == 2
+    assert M.load_failures(out) == []
+    total = sum(m["rows"] for m in r2)
+    assert total > 0
+
+
 def test_langid_profiles():
     from log2seq_ray.ops.text import LangIdStage
     st = LangIdStage()

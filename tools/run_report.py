@@ -20,8 +20,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def report(state_dir: str) -> dict:
-    from log2seq_ray.state.manifest import load_manifests
+    from log2seq_ray.state.manifest import load_failures, load_manifests
     ms = load_manifests(state_dir)
+    fails = load_failures(state_dir)
     walls = sorted(float(m.get("wall_sec", 0.0)) for m in ms)
     num_keys = sorted({k for m in ms for k, v in m.items()
                        if isinstance(v, (int, float))
@@ -38,6 +39,9 @@ def report(state_dir: str) -> dict:
         "slowest_shards": [
             {"shard_id": m.get("shard_id"),
              "wall_sec": m.get("wall_sec")} for m in slowest],
+        "shards_failed": len(fails),
+        "failures": [{"shard_id": f.get("shard_id"),
+                      "error": f.get("error")} for f in fails],
     }
 
 
@@ -58,6 +62,10 @@ def main() -> None:
         print("slowest shards:", ", ".join(
             f"{s['shard_id']}({s['wall_sec']}s)"
             for s in r["slowest_shards"]))
+        if r["shards_failed"]:
+            print(f"FAILED shards ({r['shards_failed']}):")
+            for f in r["failures"]:
+                print(f"  {f['shard_id']}: {f['error']}")
 
 
 if __name__ == "__main__":
