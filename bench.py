@@ -267,6 +267,8 @@ def run_benchmarks() -> dict:
         timed("event_bigrams",
               lambda: Q.q_event_bigrams(SF_DIR).to_pandas())
         timed("longest_docs", lambda: Q.q_longest_docs(SF_DIR))
+        timed("tokenize_ids",
+              lambda: Q.q_tokenize_ids(SF_DIR).count())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -616,3 +616,62 @@ def chunk_documents(ds, size: int = 64, id_col: str = "doc_id",
         return pa.concat_tables(out)
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+class _TokenizeStage:
+    """Actor: map tokens to their 1-based rank in the broadcast top-V
+    vocabulary (OOV → 0), emitted as EXPLODED (doc, pos, token_id) rows —
+    the materialization step that feeds sequence packing. One ``index_in``
+    per batch; offsets arithmetic gives per-token positions."""
+
+    def __init__(self, vocab_ref, id_col: str, col: str):
+        import ray
+        self.vocab = ray.get(vocab_ref)  # pa.StringArray, rank order
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch.column(self.col))
+        flat = pc.list_flatten(toks)
+        counts = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        if len(flat) == 0:
+            return pa.table({
+                self.id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "token_id": pa.array([], type=pa.int64())})
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(int(counts.sum()), dtype=np.int64) \
+            - np.repeat(starts, counts)
+        ids = np.asarray(
+            pc.cast(batch.column(self.id_col), pa.int64())
+            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        tid = pc.add(pc.fill_null(pc.index_in(flat, value_set=self.vocab),
+                                  -1), 1)  # rank is 1-based; OOV -> 0
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, counts)),
+            "pos": pa.array(pos),
+            "token_id": pc.cast(tid, pa.int64()),
+        })
+
+
+def tokenize_ids(ds, vocab_size: int = 1024, id_col: str = "doc_id",
+                 col: str = "text", vocab_ds=None):
+    """Vocabulary-tokenize a corpus: ids are the 1-based rank of each
+    token in the top-``vocab_size`` vocabulary (count desc, token asc
+    tie-break — fit on ``vocab_ds`` or the corpus itself); OOV tokens get
+    id 0. Returns EXPLODED (id, pos, token_id) rows — order-exact,
+    SQL-reproducible, and the natural input to ``pack_chunks``.
+
+    Scale shape: the vocabulary is the bounded top-V of a distributed
+    count (pre-aggregated partials, per-block local top-k, k×blocks
+    driver merge — never the full vocabulary), broadcast once with
+    ``ray.put``; tokenization itself streams with one vectorized
+    ``index_in`` per batch and no shuffle."""
+    import ray
+
+    vocab = top_tokens(vocab_ds if vocab_ds is not None else ds,
+                       k=vocab_size)
+    ref = ray.put(pa.array(vocab["token"].tolist(), type=pa.string()))
+    return ds.map_batches(
+        _TokenizeStage, fn_constructor_kwargs=dict(
+            vocab_ref=ref, id_col=id_col, col=col),
+        batch_format="pyarrow", concurrency=(1, 8))

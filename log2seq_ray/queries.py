@@ -97,6 +97,13 @@ def q_top_tokens_by_lang(sf_dir: str):
     return out.select_columns(["lang", "token", "n", "rank"])
 
 
+def q_tokenize_ids(sf_dir: str):
+    """Vocabulary tokenization: top-256 vocab ids per token position
+    (OOV → 0), exploded (doc_id, pos, token_id) rows."""
+    from .ops.text import tokenize_ids
+    return tokenize_ids(_docs(sf_dir, ["doc_id", "text"]), vocab_size=256)
+
+
 def q_longest_docs(sf_dir: str):
     """Global ORDER BY ... LIMIT without a global sort: per-batch local
     top-k (every global winner survives its own batch's prune) → the
@@ -1278,6 +1285,7 @@ QUERIES = {
     "top_tokens_by_lang": q_top_tokens_by_lang,
     "event_bigrams": q_event_bigrams,
     "longest_docs": q_longest_docs,
+    "tokenize_ids": q_tokenize_ids,
     "quality_scores": q_quality_scores,
     "events_hourly": q_events_hourly,
     "parse_events": q_parse_events,
@@ -1391,6 +1399,20 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
         FROM documents
         ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
+    """,
+    "tokenize_ids": f"""
+        WITH TK AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        CNT AS (SELECT token, COUNT(*) AS n
+                FROM (SELECT unnest(t) AS token FROM TK) GROUP BY token),
+        V AS (SELECT token,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS vid
+              FROM CNT ORDER BY n DESC, token ASC LIMIT 256),
+        E AS (SELECT doc_id, unnest(t) AS token,
+                     CAST(generate_subscripts(t, 1) AS BIGINT) - 1 AS pos
+              FROM TK)
+        SELECT e.doc_id, e.pos,
+               CAST(COALESCE(v.vid, 0) AS BIGINT) AS token_id
+        FROM E e LEFT JOIN V v USING (token)
     """,
     "top_tokens_by_lang": f"""
         WITH C AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n

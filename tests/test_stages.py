@@ -169,6 +169,24 @@ def test_run_sharded_corpus_continue_on_error(ray_session, tmp_path,
     assert total > 0
 
 
+def test_tokenize_ids_vocab_ranks(ray_session):
+    """Ids are 1-based vocabulary ranks (count desc, token asc), OOV=0,
+    positions are per-doc 0-based; empty docs emit no rows."""
+    import ray.data as rd
+    from log2seq_ray.ops.text import tokenize_ids
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["b a a rare", "a b", ""],
+    })
+    out = tokenize_ids(rd.from_arrow(tbl).repartition(2), vocab_size=2) \
+        .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    # vocab: a (3) -> 1, b (2) -> 2; 'rare' is OOV with vocab_size=2
+    got = list(zip(out["doc_id"].astype(int), out["pos"].astype(int),
+                   out["token_id"].astype(int)))
+    assert got == [(1, 0, 2), (1, 1, 1), (1, 2, 1), (1, 3, 0),
+                   (2, 0, 1), (2, 1, 2)]
+
+
 def test_langid_profiles():
     from log2seq_ray.ops.text import LangIdStage
     st = LangIdStage()
