@@ -198,3 +198,91 @@ def test_histogram_bin_pick_matches_duckdb(data, q):
         "SELECT quantile_disc(CAST(floor(x * 100) AS BIGINT), ?) "
         "FROM (SELECT unnest(?) AS x)", params=[q, list(data)]).fetchone()[0]
     assert mine == int(duck)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=120),
+    num_parts=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_split_by_key_is_an_exact_partition(n, num_parts, seed):
+    """Every row lands in exactly one piece, pieces concat back to the
+    input multiset, and equal keys land in the same piece."""
+    from log2seq_ray.ops.exchange import split_by_key
+    rng = np.random.default_rng(seed)
+    tbl = pa.table({
+        "k": pa.array([f"k{v}" for v in rng.integers(0, 7, n)]),
+        "v": pa.array(rng.integers(0, 100, n), type=pa.int64()),
+    })
+    pieces = split_by_key(tbl, "k", num_parts)
+    assert len(pieces) == num_parts
+    assert sum(p.num_rows for p in pieces) == n
+    seen = {}
+    for i, p in enumerate(pieces):
+        for k in set(p.column("k").to_pylist()):
+            assert seen.setdefault(k, i) == i  # key -> one piece only
+    got = sorted(zip(
+        [x for p in pieces for x in p.column("k").to_pylist()],
+        [x for p in pieces for x in p.column("v").to_pylist()]))
+    exp = sorted(zip(tbl.column("k").to_pylist(),
+                     tbl.column("v").to_pylist()))
+    assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    n_new=st.integers(min_value=0, max_value=25),
+    n_old=st.integers(min_value=0, max_value=25),
+)
+def test_ingest_pair_partition_matches_brute_force(seed, n_new, n_old):
+    """Pair multiplicities from _ingest_pair_partition equal the brute
+    count of shared shingles for (new, old) and (new, lower-id new)
+    pairs; old-old pairs never appear."""
+    from collections import Counter
+    from log2seq_ray.ops.curation import _ingest_pair_partition
+    rng = np.random.default_rng(seed)
+    # small shingle-hash universe so collisions/shared shingles are common
+    new_g = rng.integers(0, 12, n_new * 3)
+    new_id = np.repeat(rng.choice(np.arange(100, 100 + max(n_new, 1)),
+                                  size=max(n_new, 1), replace=False)[:n_new],
+                       3) if n_new else np.empty(0, dtype=np.int64)
+    old_g = rng.integers(0, 12, n_old * 3)
+    old_id = np.repeat(np.arange(n_old), 3) if n_old \
+        else np.empty(0, dtype=np.int64)
+
+    def dedup(g, i):
+        if len(g) == 0:
+            return g.astype(np.int64), i.astype(np.int64)
+        seen = sorted({(int(a), int(b)) for a, b in zip(g, i)})
+        return (np.array([a for a, _ in seen], dtype=np.int64),
+                np.array([b for _, b in seen], dtype=np.int64))
+
+    ng, ni = dedup(new_g, new_id)
+    og, oi = dedup(old_g, old_id)
+    new_tbl = pa.table({"g": pa.array(ng), "doc_id": pa.array(ni)})
+    old_tbl = pa.table({"g": pa.array(og), "doc_id": pa.array(oi)})
+    out = _ingest_pair_partition("doc_id", [new_tbl], [old_tbl])
+    got = {(int(a), int(b)): int(n) for a, b, n in zip(
+        out.column("id_a").to_pylist(), out.column("id_b").to_pylist(),
+        out.column("n_part").to_pylist())}
+
+    exp = Counter()
+    new_sets = {}
+    for g, i in zip(ng, ni):
+        new_sets.setdefault(int(i), set()).add(int(g))
+    old_sets = {}
+    for g, i in zip(og, oi):
+        old_sets.setdefault(int(i), set()).add(int(g))
+    for a, sa in new_sets.items():
+        for b, sb in old_sets.items():
+            inter = len(sa & sb)
+            if inter:
+                exp[(a, b)] = inter
+        for b, sb in new_sets.items():
+            if b < a:
+                inter = len(sa & sb)
+                if inter:
+                    exp[(a, b)] = inter
+    assert got == dict(exp)
