@@ -269,6 +269,8 @@ def run_benchmarks() -> dict:
         timed("longest_docs", lambda: Q.q_longest_docs(SF_DIR))
         timed("tokenize_ids",
               lambda: Q.q_tokenize_ids(SF_DIR).count())
+        timed("packed_tokens",
+              lambda: Q.q_packed_tokens(SF_DIR).count())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

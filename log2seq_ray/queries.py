@@ -104,6 +104,38 @@ def q_tokenize_ids(sf_dir: str):
     return tokenize_ids(_docs(sf_dir, ["doc_id", "text"]), vocab_size=256)
 
 
+def q_packed_tokens(sf_dir: str):
+    """The end artifact of the curation pipeline: fixed-budget training
+    sequences. Composes ``tokenize_ids`` (exploded token ids) with
+    ``pack_chunks`` (per-doc global start offsets) through a distributed
+    hash join — the starts side is one narrow row per doc, never
+    broadcast — then one vectorized pass computes each token's
+    (seq_id, seq_pos). 256-token sequences, 256-word vocabulary."""
+    B = 256
+    from .ops.join import hash_join
+    from .ops.scan import pack_chunks
+    from .ops.text import tokenize_ids
+    toks = tokenize_ids(_docs(sf_dir, ["doc_id", "text"]), vocab_size=256)
+    starts = pack_chunks(_docs(sf_dir, ["doc_id", "text"]),
+                         chunk_tokens=B) \
+        .select_columns(["doc_id", "start_tok"])
+    joined = hash_join(toks, starts, "doc_id", "doc_id",
+                       left_cols=["doc_id", "pos", "token_id"],
+                       right_cols=["doc_id", "start_tok"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        g = np.asarray(b.column("start_tok").to_numpy(), dtype=np.int64) \
+            + np.asarray(b.column("pos").to_numpy(), dtype=np.int64)
+        return pa.table({
+            "seq_id": pa.array(g // B),
+            "seq_pos": pa.array(g % B),
+            "doc_id": b.column("doc_id"),
+            "token_id": b.column("token_id"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_longest_docs(sf_dir: str):
     """Global ORDER BY ... LIMIT without a global sort: per-batch local
     top-k (every global winner survives its own batch's prune) → the
@@ -1286,6 +1318,7 @@ QUERIES = {
     "event_bigrams": q_event_bigrams,
     "longest_docs": q_longest_docs,
     "tokenize_ids": q_tokenize_ids,
+    "packed_tokens": q_packed_tokens,
     "quality_scores": q_quality_scores,
     "events_hourly": q_events_hourly,
     "parse_events": q_parse_events,
@@ -1413,6 +1446,30 @@ ORACLE_SQL = {
         SELECT e.doc_id, e.pos,
                CAST(COALESCE(v.vid, 0) AS BIGINT) AS token_id
         FROM E e LEFT JOIN V v USING (token)
+    """,
+    "packed_tokens": f"""
+        WITH TK AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        CNT AS (SELECT token, COUNT(*) AS n
+                FROM (SELECT unnest(t) AS token FROM TK) GROUP BY token),
+        V AS (SELECT token,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS vid
+              FROM CNT ORDER BY n DESC, token ASC LIMIT 256),
+        E AS (SELECT doc_id, unnest(t) AS token,
+                     CAST(generate_subscripts(t, 1) AS BIGINT) - 1 AS pos
+              FROM TK),
+        T2 AS (SELECT e.doc_id, e.pos,
+                      CAST(COALESCE(v.vid, 0) AS BIGINT) AS token_id
+               FROM E e LEFT JOIN V v USING (token)),
+        N AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM TK),
+        S AS (SELECT doc_id,
+                     COALESCE(SUM(n) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS st
+              FROM N)
+        SELECT CAST((s.st + t.pos) // 256 AS BIGINT) AS seq_id,
+               CAST((s.st + t.pos) % 256 AS BIGINT) AS seq_pos,
+               t.doc_id, t.token_id
+        FROM T2 t JOIN S s USING (doc_id)
     """,
     "top_tokens_by_lang": f"""
         WITH C AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
