@@ -443,8 +443,20 @@ def _run_supervised(argv: list[str]) -> int:
         if out.returncode == 0 and lines:
             print(lines[-1])
             return 0
+        # retry ONLY on the known fatal Ray-core abort (a nondeterministic
+        # completion/GC race) — a deterministic assertion / regression
+        # failure must fail fast, not double the run
+        crash = (out.returncode < 0                      # killed by signal
+                 or "Check failed" in out.stderr
+                 or "task_manager.cc" in out.stderr
+                 or "raylet" in out.stderr and "died" in out.stderr)
+        if attempt == 1 and not crash:
+            print(f"bench failed rc={out.returncode} (deterministic, "
+                  "no Ray-core crash signature); not retrying",
+                  file=sys.stderr)
+            return 1
         print(f"bench attempt {attempt} failed rc={out.returncode}; "
-              f"{'retrying' if attempt == 1 else 'giving up'}",
+              f"{'retrying (Ray-core crash)' if attempt == 1 else 'giving up'}",
               file=sys.stderr)
         time.sleep(10)  # let the crashed Ray session's processes exit
     return 1

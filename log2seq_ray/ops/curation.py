@@ -986,6 +986,13 @@ class _MixFilterStage:
         import ray
         counts, targets = ray.get(counts_ref) \
             if not isinstance(counts_ref, tuple) else counts_ref
+        # empty model (empty input dataset): every row drops; skip the
+        # lookup tables entirely — pa.array([]) would be null-typed and
+        # make index_in raise on any non-empty batch
+        self.empty_model = not counts
+        if self.empty_model:
+            self.group_col, self.key_col = group_col, key_col
+            return
         # vectorized lookup tables (once per actor): group -> (count,
         # target) via index_in; unseen groups default to (1, 0) — dropped
         self.group_keys = pa.array(list(counts.keys()))
@@ -999,6 +1006,8 @@ class _MixFilterStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .hashutil import value_bytes
+        if self.empty_model:
+            return batch.slice(0, 0)
         keys = value_bytes(np.asarray(
             batch.column(self.key_col).to_numpy(zero_copy_only=False)))
         idx = np.asarray(
@@ -1199,19 +1208,25 @@ def ingest_neardup_run(ds, state_dir: str, window: int = 4,
         .materialize()
 
     def _index_files(sub: str):
+        # a committed run with an empty survivor set may have written no
+        # parquet files (or no subdir at all) — skip those; an all-empty
+        # index degrades to the no-committed-runs branch
         return [f"{state_dir}/{r}/{sub}/{f}" for r in runs
+                if os.path.isdir(f"{state_dir}/{r}/{sub}")
                 for f in sorted(os.listdir(f"{state_dir}/{r}/{sub}"))
                 if f.endswith(".parquet")]
 
     new_parts = fan_out_pieces(split_by_key, new_rows.to_arrow_refs(),
                                num_parts, args=("g", num_parts))
-    if runs:
-        old_rows = rd.read_parquet(_index_files("pairs"))
-        old_sizes = rd.read_parquet(_index_files("sizes"))
+    pair_files, size_files = _index_files("pairs"), _index_files("sizes")
+    if pair_files:
+        old_rows = rd.read_parquet(pair_files)
         old_parts = fan_out_pieces(split_by_key, old_rows.to_arrow_refs(),
                                    num_parts, args=("g", num_parts))
-        size_refs = list(sizes_new.to_arrow_refs()) \
-            + list(old_sizes.to_arrow_refs())
+        size_refs = list(sizes_new.to_arrow_refs())
+        if size_files:
+            old_sizes = rd.read_parquet(size_files)
+            size_refs += list(old_sizes.to_arrow_refs())
     else:
         old_parts = [[] for _ in range(num_parts)]
         size_refs = list(sizes_new.to_arrow_refs())

@@ -94,11 +94,13 @@ def ingest_dedup_run(ds, state_dir: str, id_col: str = "doc_id",
                             batch_format="pyarrow")
     survivors = hashed.groupby("content_hash").aggregate(
         Min(id_col, alias_name=id_col))
-    if runs:
-        # a list of paths must be files, not directories
-        files = [f"{state_dir}/{r}/{f}" for r in runs
-                 for f in sorted(os.listdir(f"{state_dir}/{r}"))
-                 if f.endswith(".parquet")]
+    # a list of paths must be files, not directories; a committed run
+    # whose survivor set was empty may hold zero parquet files — skip it
+    files = [f"{state_dir}/{r}/{f}" for r in runs
+             if os.path.isdir(f"{state_dir}/{r}")
+             for f in sorted(os.listdir(f"{state_dir}/{r}"))
+             if f.endswith(".parquet")]
+    if files:
         index = rd.read_parquet(files, columns=["content_hash"])
         survivors = hash_join(survivors, index,
                               "content_hash", "content_hash", how="anti")

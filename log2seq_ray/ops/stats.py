@@ -22,6 +22,18 @@ import pyarrow.compute as pc
 US = 1_000_000
 
 
+def _finite_mask(col) -> pa.Array:
+    """Validity mask for histogram binning: non-null AND (for float
+    columns) finite. NaN is NOT an Arrow null — without this,
+    ``np.floor(nan*scale).astype(int64)`` yields a platform-defined bin
+    (INT64_MIN) that silently skews the quantile, while DuckDB sorts NaN
+    greatest; NaN/inf rows are excluded on both sides instead."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_floating(col.type):
+        return pc.coalesce(pc.is_finite(col), pa.scalar(False))
+    return pc.is_valid(col)
+
+
 def _disc_index(n, q: float):
     """DuckDB ``quantile_disc`` element index: ``ceil(q*n) - 1`` clamped
     to 0, with the multiply in IEEE double exactly as DuckDB computes it
@@ -87,12 +99,14 @@ def group_histogram_quantile(ds, group_col: str, value_col: str,
     Returns (group, ``alias``) where ``alias`` is the bin of the group's
     exact discrete quantile element — SQL-reproducible as
     ``quantile_disc(CAST(floor(value*scale) AS BIGINT), q) GROUP BY
-    group``. Nulls are excluded, like SQL quantiles."""
+    group``. Nulls are excluded, like SQL quantiles; NaN/inf rows are
+    excluded too (unsupported by integer binning — DuckDB would instead
+    sort NaN greatest)."""
     from ray.data.aggregate import Sum
     from .exchange import hash_exchange
 
     def partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b.column(value_col)))
+        b = b.filter(_finite_mask(b.column(value_col)))
         bins = np.floor(np.asarray(
             b.column(value_col).to_numpy(zero_copy_only=False),
             dtype=np.float64) * scale).astype(np.int64)
@@ -518,12 +532,16 @@ def histogram_quantile(ds, value_col: str, q: float = 0.5,
     ``ceil(q*n)-1``-th sorted row falls in), as an integer bin id —
     deterministic, engine-exact, and SQL-reproducible as
     ``quantile_disc(CAST(floor(value * scale) AS BIGINT), q)``.
-    Null values are excluded, like SQL quantiles."""
+    Null values are excluded, like SQL quantiles; NaN/inf rows are
+    excluded too (unsupported by integer binning — DuckDB would instead
+    sort NaN greatest)."""
     from ray.data.aggregate import Sum
 
     def counts(b: pa.Table) -> pa.Table:
         col = b.column(value_col)
-        col = col.filter(pc.is_valid(col)) if col.null_count else col
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        col = col.filter(_finite_mask(col))
         bins = np.floor(np.asarray(col.to_numpy(zero_copy_only=False),
                                    dtype=np.float64)
                         * scale).astype(np.int64)

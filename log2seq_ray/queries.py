@@ -549,13 +549,14 @@ def q_cross_run_dedup(sf_dir: str):
     even-doc content hashes to a fresh persistent index; run B (odd docs)
     drops cross-run AND within-run duplicates via a hash-partitioned anti
     join against the index. Returns run B's surviving doc ids."""
-    import hashlib as _hl
+    import os
     import shutil
 
     from .ops.dedup import ingest_dedup_run
 
-    state = ("/tmp/l2sr_ingest_"
-             + _hl.md5(sf_dir.encode()).hexdigest()[:10])
+    # per-process state dir: two concurrent gate/bench runs on the same
+    # sf_dir must not share (and rmtree) each other's index mid-run
+    state = f"/tmp/l2sr_ingest_{os.getpid()}"
     shutil.rmtree(state, ignore_errors=True)
     docs = _docs(sf_dir, ["doc_id", "text"])
 
@@ -587,13 +588,13 @@ def q_cross_run_neardup(sf_dir: str):
     must drop against the committed index, and run-B-internal near-dups
     drop against lower ids. Returns run B's survivors with their shingle
     set sizes."""
-    import hashlib as _hl
+    import os
     import shutil
 
     from .ops.curation import ingest_neardup_run
 
-    state = ("/tmp/l2sr_nd_ingest_"
-             + _hl.md5(sf_dir.encode()).hexdigest()[:10])
+    # per-process state dir (see q_cross_run_dedup)
+    state = f"/tmp/l2sr_nd_ingest_{os.getpid()}"
     shutil.rmtree(state, ignore_errors=True)
     docs = _docs(sf_dir, ["doc_id", "text"])
 

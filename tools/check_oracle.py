@@ -3,7 +3,11 @@
 DuckDB and compare row count, column names, and order-insensitive values
 (columns sorted by name, rows sorted by all columns).
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--atol=X] [sf_dir] [query ...]
+
+``--atol`` (default off = exact bit equality) compares FLOAT columns with
+an absolute tolerance instead — for future genuinely-float ops only; the
+integer-exact discipline of the existing ops must not be weakened.
 """
 
 from __future__ import annotations
@@ -40,10 +44,33 @@ def normalize(df):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def frames_equal(mine, ref, atol):
+    """Exact ``DataFrame.equals`` by default; with ``atol`` set, float
+    columns compare with absolute tolerance (NaN == NaN) instead."""
+    if atol is None:
+        return mine.equals(ref)
+    import numpy as np
+    for c in mine.columns:
+        a, b = mine[c], ref[c]
+        if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+            if not np.allclose(a.to_numpy(dtype="float64"),
+                               b.to_numpy(dtype="float64"),
+                               rtol=0.0, atol=atol, equal_nan=True):
+                return False
+        elif not a.equals(b):
+            return False
+    return True
+
+
 def main(argv):
     import duckdb
     import ray
 
+    atol = None
+    for a in list(argv):
+        if a.startswith("--atol="):
+            atol = float(a.split("=", 1)[1])
+            argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
@@ -77,7 +104,7 @@ def main(argv):
             continue
         ok_rows = len(mine) == len(ref)
         ok_cols = list(mine.columns) == list(ref.columns)
-        ok_vals = ok_rows and ok_cols and mine.equals(ref)
+        ok_vals = ok_rows and ok_cols and frames_equal(mine, ref, atol)
         if ok_vals:
             print(f"OK   {name}: {len(mine)} rows")
         else:
