@@ -180,7 +180,8 @@ def run_benchmarks() -> dict:
         shutil.rmtree(sink, ignore_errors=True)
         timed("token_stats", lambda: Q.q_token_stats(SF_DIR).to_pandas())
         timed("exact_dedup", lambda: Q.q_exact_dedup(SF_DIR).to_pandas())
-        timed("minhash_dedup", lambda: Q.q_minhash_dedup(SF_DIR))
+        timed("minhash_dedup",
+              lambda: Q.q_minhash_dedup(SF_DIR).to_pandas())
         timed("knn_cosine", lambda: Q.q_knn_cosine(SF_DIR))
         timed("srp_knn", lambda: Q.q_srp_knn(SF_DIR))
         timed("events_hourly", lambda: Q.q_events_hourly(SF_DIR).to_pandas())
@@ -229,7 +230,7 @@ def run_benchmarks() -> dict:
               lambda: Q.q_boilerplate_tokens(SF_DIR).to_pandas())
         timed("curated_docs", lambda: Q.q_curated_docs(SF_DIR).to_pandas())
         timed("minhash_clusters_lp",
-              lambda: Q.q_minhash_clusters_lp(SF_DIR))
+              lambda: Q.q_minhash_clusters_lp(SF_DIR).to_pandas())
         timed("ngram_jaccard",
               lambda: Q.q_ngram_jaccard(SF_DIR).to_pandas())
         timed("decontaminate",
@@ -282,11 +283,18 @@ def run_benchmarks() -> dict:
         dd_rows = rd.read_parquet(dd).count()
         timed("exact_dedup_40k",
               lambda: exact_dedup(rd.read_parquet(dd)).to_pandas())
-        mh = timed("minhash_dedup_40k",
-                   lambda: minhash_dedup(rd.read_parquet(dd),
-                                         threshold=0.8, n_hashes=64,
-                                         n_bands=16))
-        extras["minhash_dedup_40k_pairs"] = len(mh)
+        # the verified pair Dataset STREAMS to parquet (never collected on
+        # the driver) — the timed span covers verify + dedup exchange +
+        # sink; the pair count comes from the written files' metadata
+        import shutil as _sh0
+        mh_sink = "/tmp/l2sr_minhash_pairs_40k"
+        _sh0.rmtree(mh_sink, ignore_errors=True)
+        timed("minhash_dedup_40k",
+              lambda: minhash_dedup(rd.read_parquet(dd),
+                                    threshold=0.8, n_hashes=64,
+                                    n_bands=16).write_parquet(mh_sink))
+        extras["minhash_dedup_40k_pairs"] = \
+            rd.read_parquet(mh_sink).count()
         extras["dedup_corpus_rows"] = dd_rows
         from log2seq_ray.ops.curation import (ngram_jaccard_dups,
                                               paragraph_dedup)

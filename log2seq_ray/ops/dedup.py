@@ -384,30 +384,133 @@ def _split_docs_by_need(block: pa.Table, id_refs, id_col: str, col: str):
             for ids in id_sets]
 
 
+def _shingle_string_rows(texts, k: int):
+    """All rows' ``k``-token shingle STRINGS, vectorized (pyarrow window
+    slices + ``binary_join_element_wise`` — no per-row Python), NOT
+    deduplicated per row. Conventions identical to
+    :func:`_shingle_strings`: 0 < tokens < k → the whole joined sequence,
+    empty/null → ``""``. Returns ``(strs pa.StringArray, row_of int64)``.
+    """
+    from .text import _token_lists
+    texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) \
+        else texts
+    toks_arr = _token_lists(pc.fill_null(texts, ""))
+    offsets = np.asarray(toks_arr.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    flat = pc.list_flatten(toks_arr)
+    n_flat, n = len(flat), len(counts)
+    s_parts, r_parts = [], []
+    short = counts < k  # includes empty rows: binary_join of [] -> ""
+    if short.any():
+        joined = pc.binary_join(toks_arr, " ")
+        idx = np.nonzero(short)[0]
+        s_parts.append(joined.take(pa.array(idx)))
+        r_parts.append(idx.astype(np.int64))
+    if n_flat >= k:
+        w = n_flat - k + 1
+        cols = [flat.slice(j, w) for j in range(k)]
+        shingles = pc.binary_join_element_wise(*cols, " ")
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        valid = row_of[:w] == row_of[k - 1:]  # window within one row
+        if valid.any():
+            vi = np.nonzero(valid)[0]
+            s_parts.append(shingles.take(pa.array(vi)))
+            r_parts.append(row_of[vi])
+    if not s_parts:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    strs = pa.concat_arrays([p.cast(pa.string()) for p in s_parts])
+    return strs, np.concatenate(r_parts)
+
+
 def _verify_partition(threshold: float, shingle_k: int, id_col: str,
                       col: str, pairs: pa.Table, doc_pieces) -> pa.Table:
     """Task: verify ONE bucket partition's candidate pairs against ONLY
     that partition's docs — per-task memory is bounded by the partition's
-    bucket membership, never the global candidate set."""
+    bucket membership, never the global candidate set.
+
+    Shingle SETS are built vectorized: one windowed
+    ``binary_join_element_wise`` pass over all docs (no per-row Python
+    join loop — this dominated the old kernel) + one
+    ``dictionary_encode`` mapping shingle strings to integer codes (exact
+    string identity, no hash collisions). |A∩B| per candidate pair is
+    then a C-speed int-set intersection, O(|A|+|B|) per pair and
+    cache-resident — deliberately NOT the full inverted-index group
+    expansion (``ngram_jaccard_dups``' shape): expanding every
+    co-shingled row pair here would stream ~100 MB of index arrays per
+    task, and at 32+ concurrent verify tasks that saturates node memory
+    bandwidth (measured 8x per-task slowdown vs this kernel)."""
     from .exchange import resolve_pieces
-    shingles: dict = {}
-    for tbl in resolve_pieces(doc_pieces):
-        for i, t in zip(tbl.column(id_col).to_pylist(),
-                        tbl.column(col).to_pylist()):
-            shingles[i] = _shingle_strings(t or "", shingle_k)
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(pairs.column("id_a").to_pylist(),
-                    pairs.column("id_b").to_pylist()):
-        sa, sb = shingles[a], shingles[b]
-        inter = len(sa & sb)
-        j = inter / (len(sa) + len(sb) - inter)
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(j)
-    return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
-                     "id_b": pa.array(out_b, type=pa.int64()),
-                     "jaccard": pa.array(out_j, type=pa.float64())})
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
+    docs = resolve_pieces(doc_pieces)
+    if pairs.num_rows == 0 or not docs:
+        return empty
+    t = pa.concat_tables([d.select([id_col, col]) for d in docs])
+    ids = t.column(id_col).to_numpy()
+    strs, row_of = _shingle_string_rows(t.column(col), shingle_k)
+    codes = np.asarray(pc.dictionary_encode(strs).indices, dtype=np.int64)
+    # per-row code sets (duplicates within a row collapse in the set)
+    order = np.argsort(row_of, kind="stable")
+    cc = codes[order].tolist()
+    bounds = np.searchsorted(row_of[order], np.arange(len(t) + 1))
+    row_sets = [frozenset(cc[bounds[i]:bounds[i + 1]])
+                for i in range(len(t))]
+    # map pair ids → dense row indices
+    sidx = np.argsort(ids, kind="stable")
+    sorted_ids = ids[sidx]
+    a_ids = pairs.column("id_a").to_numpy()
+    b_ids = pairs.column("id_b").to_numpy()
+    ra = sidx[np.searchsorted(sorted_ids, a_ids)]
+    rb = sidx[np.searchsorted(sorted_ids, b_ids)]
+    inter = np.fromiter(
+        (len(row_sets[a] & row_sets[b]) for a, b in zip(ra, rb)),
+        dtype=np.int64, count=len(ra))
+    sizes = np.fromiter((len(s) for s in row_sets), dtype=np.int64,
+                        count=len(row_sets))
+    union = sizes[ra] + sizes[rb] - inter
+    j = inter / union
+    keep = j >= threshold
+    return pa.table({"id_a": pa.array(a_ids[keep], type=pa.int64()),
+                     "id_b": pa.array(b_ids[keep], type=pa.int64()),
+                     "jaccard": pa.array(j[keep], type=pa.float64())})
+
+
+def _unique_pairs_partition(pieces) -> pa.Table:
+    """One pair-dedup partition: lexsort-unique on (id_a, id_b), carrying
+    any extra columns (duplicates of a pair are identical rows)."""
+    from .exchange import resolve_all_pieces
+    pieces = resolve_all_pieces(pieces)
+    nonempty = [p for p in pieces if p.num_rows]
+    if not nonempty:
+        return pieces[0] if pieces else pa.table({})
+    t = pa.concat_tables(nonempty)
+    a = t.column("id_a").to_numpy()
+    b = t.column("id_b").to_numpy()
+    order = np.lexsort((b, a))
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (a[order][1:] != a[order][:-1]) \
+        | (b[order][1:] != b[order][:-1])
+    return t.take(pa.array(order[keep]))
+
+
+def unique_pairs(refs, num_parts: int):
+    """Pair refs/Dataset → globally (id_a, id_b)-deduplicated Dataset via
+    ONE narrow hash exchange keyed on id_a (all duplicates of a pair
+    share it). The distributed replacement for the former driver-side
+    ``to_pandas().drop_duplicates()`` — the verified pair set on a
+    dup-heavy crawl is O(dup docs × replicas) and must never be required
+    to fit the driver; consumers stream it (``write_parquet``) or
+    collapse it explicitly in small-data wrappers."""
+    import ray
+    import ray.data as rd
+    from .exchange import fan_out_pieces, split_by_key
+    if not isinstance(refs, list):
+        refs = refs.to_arrow_refs()
+    per_part = fan_out_pieces(split_by_key, refs, num_parts,
+                              args=("id_a", num_parts))
+    work = ray.remote(_unique_pairs_partition)
+    return rd.from_arrow_refs([work.remote(p) for p in per_part])
 
 
 def _auto_parts(num_parts) -> int:
@@ -427,31 +530,34 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
                   num_parts=None, max_bucket=None):
     """Near-dup pairs verified by exact shingle Jaccard ≥ threshold.
 
-    Returns a pandas DataFrame (id_a, id_b, jaccard), deduplicated and
-    sorted. The verify is CO-PARTITIONED with the LSH pair expansion:
-    each bucket partition's expansion task also emits its needed-doc id
-    set, the corpus filter pulls only globally-candidate docs into plasma,
-    and a per-partition ``is_in`` routes each partition ONLY its own docs
-    — so no verify task ever materializes the global candidate-shingle
-    dict (per-task memory = that partition's bucket membership). The
-    driver holds integer id arrays and the final (small) verified pair
-    set only. A pair expanded in several partitions (bands in different
-    partitions) is verified redundantly — bounded by n_bands — and
-    deduplicated at the end.
+    Returns a ``ray.data.Dataset`` of (id_a, id_b, jaccard), globally
+    deduplicated (one narrow id_a-keyed exchange) — the verified pair set
+    NEVER passes through the driver, so a dup-heavy crawl whose pair set
+    exceeds driver memory streams straight to ``write_parquet`` or the
+    clustering stage. The verify is CO-PARTITIONED with the LSH pair
+    expansion: each bucket partition's expansion task also emits its
+    needed-doc id set, the corpus filter pulls only globally-candidate
+    docs into plasma, and a per-partition ``is_in`` routes each partition
+    ONLY its own docs — so no verify task ever materializes the global
+    candidate-shingle dict (per-task memory = that partition's bucket
+    membership). The driver holds integer id arrays only. A pair expanded
+    in several partitions (bands in different partitions) is verified
+    redundantly — bounded by n_bands — and deduplicated by the final
+    exchange.
 
     With ``n_bands == n_hashes`` (one row per band) LSH recall at Jaccard
     ``j`` is ``1-(1-j)^n_hashes`` — for n_hashes=128, threshold 0.5 the
     miss probability is ~3e-39, i.e. the output deterministically equals
     the exact-Jaccard pair set (how the SQL oracle gates this op).
     """
-    import pandas as pd
     import ray
     import ray.data as rd
 
     num_parts = _auto_parts(num_parts)
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "jaccard": pd.Series([], dtype="float64")})
+    empty = rd.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        "jaccard": pa.array([], type=pa.float64())}))
     per_part = _band_partitions(ds, n_hashes, n_bands, shingle_k, id_col,
                                 col, num_parts)
     expand = ray.remote(num_returns=2)(_expand_pairs_with_ids)
@@ -483,15 +589,15 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
                                       pair_refs[p], per_part_docs[p]))
     if not out_refs:
         return empty
-    verified = rd.from_arrow_refs(out_refs).to_pandas()
-    if len(verified) == 0:
-        return empty
-    return verified.drop_duplicates(["id_a", "id_b"]) \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return unique_pairs(out_refs, max(8, num_parts // 4))
 
 
 def _lp_split(tbl: pa.Table, key: str, num_parts: int):
     """One block → num_parts sub-tables by id hash (ids are int64)."""
+    if tbl.num_rows == 0 or key not in tbl.column_names:
+        # Ray map_batches passes zero-row blocks through UNTRANSFORMED
+        # (input schema) — route them anywhere; consumers drop empties
+        return [tbl.slice(0, 0)] * num_parts
     h = np.asarray(tbl.column(key).to_numpy(), dtype=np.uint64)
     part = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)) \
         .astype(np.int64) % num_parts
@@ -507,9 +613,11 @@ def _lp_split(tbl: pa.Table, key: str, num_parts: int):
 
 def _lp_edge_partition(pieces) -> pa.Table:
     """Concat one partition's symmetrized edges; attach initial labels
-    (label(id) = id for every src in the partition)."""
-    from .exchange import resolve_all_pieces
-    pieces = resolve_all_pieces(pieces)
+    (label(id) = id for every src in the partition). Empty pieces are
+    dropped — they may carry the UNTRANSFORMED upstream schema (Ray
+    map_batches zero-row pass-through)."""
+    from .exchange import resolve_pieces
+    pieces = resolve_pieces(pieces)
     if not pieces:
         return pa.table({"src": pa.array([], type=pa.int64()),
                          "dst": pa.array([], type=pa.int64())})
@@ -569,16 +677,20 @@ def label_propagation_clusters(pairs, num_parts: int = 8,
     per-task memory = one partition's edges + labels, never the graph.
 
     ``pairs``: a pandas DataFrame or Ray Dataset with id_a/id_b columns.
-    Returns (doc_id, cluster_id = min id of the component) for every node.
+    Returns a Dataset of (doc_id, cluster_id = min id of the component)
+    for every node — label tables stay in the object store; the driver
+    sees only per-round changed-counts.
     """
     import pandas as pd
     import ray
     import ray.data as rd
 
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "cluster_id": pa.array([], type=pa.int64())}))
     if isinstance(pairs, pd.DataFrame):
         if len(pairs) == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "cluster_id": pd.Series([], dtype="int64")})
+            return empty
         pairs = rd.from_pandas(pairs[["id_a", "id_b"]])
     sym = pairs.map_batches(
         lambda b: pa.table({
@@ -624,11 +736,11 @@ def label_propagation_clusters(pairs, num_parts: int = 8,
         label_refs = new_labels
         if sum(ray.get(changed_refs)) == 0:
             break
-    out = rd.from_arrow_refs(label_refs).to_pandas()
-    return pd.DataFrame({
-        "doc_id": out["id"].astype("int64"),
-        "cluster_id": out["label"].astype("int64"),
-    }).sort_values("doc_id").reset_index(drop=True)
+    return rd.from_arrow_refs(label_refs).map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("id"), pa.int64()),
+            "cluster_id": pc.cast(b.column("label"), pa.int64())}),
+        batch_format="pyarrow")
 
 
 def minhash_clusters(ds, threshold: float = 0.8, method: str = "auto",
@@ -639,14 +751,19 @@ def minhash_clusters(ds, threshold: float = 0.8, method: str = "auto",
 
     ``method``: 'unionfind' = driver-side union-find over the verified
     pair set (bounded by true near-dup volume — fastest when pairs fit
-    the driver); 'labelprop' = distributed min-label propagation
+    the driver; the ONLY path that collects pairs to the driver, by
+    contract); 'labelprop' = distributed min-label propagation
     (:func:`label_propagation_clusters` — the 10^12-row path where even
     verified pairs exceed driver memory); 'auto' picks union-find below
-    1M pairs. Both produce identical output (min-id components)."""
+    1M pairs. Both produce identical output (min-id components), both
+    return a Dataset."""
     import pandas as pd
-    pairs = minhash_dedup(ds, threshold=threshold, **kw)
-    if method == "labelprop" or (method == "auto" and len(pairs) > 1_000_000):
-        return label_propagation_clusters(pairs)
+    import ray.data as rd
+    pairs_ds = minhash_dedup(ds, threshold=threshold, **kw)
+    if method == "labelprop" \
+            or (method == "auto" and pairs_ds.count() > 1_000_000):
+        return label_propagation_clusters(pairs_ds)
+    pairs = pairs_ds.to_pandas()  # small-pairs path, documented above
     parent: dict = {}
 
     def find(x):
@@ -662,10 +779,11 @@ def minhash_clusters(ds, threshold: float = 0.8, method: str = "auto",
             parent[hi] = lo
     members = sorted({x for p in pairs.itertuples(index=False)
                       for x in (p.id_a, p.id_b)})
-    return pd.DataFrame({
+    return rd.from_pandas(pd.DataFrame({
         "doc_id": pd.Series(members, dtype="int64"),
-        "cluster_id": pd.Series([find(m) for m in members], dtype="int64"),
-    })
+        "cluster_id": pd.Series([find(m) for m in members],
+                                dtype="int64"),
+    }))
 
 
 # ---------------------------------------------------------------------------
@@ -845,8 +963,11 @@ def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
     bounded by ~(2·max_bucket)² regardless of embedding skew while the
     pair set stays EXACTLY the within-centroid pair set (each unordered
     pair lives in exactly one sub-bucket-pair group). Replication factor
-    for a hot bucket is S — linear in its oversize, quadratic never."""
-    import pandas as pd
+    for a hot bucket is S — linear in its oversize, quadratic never.
+
+    Returns a Dataset of (id_a, id_b), globally deduplicated by one
+    narrow id_a-keyed exchange (multi-assignment duplicates) — pairs
+    never pass through the driver."""
     import ray
     from .similarity import train_centroids, _normalize
 
@@ -875,9 +996,8 @@ def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
     import functools
     pairs = salted.groupby("__gk").map_groups(
         functools.partial(_group_cosine_pairs, threshold, id_col, col),
-        batch_format="pandas").to_pandas()
-    return pairs.drop_duplicates().sort_values(["id_a", "id_b"]) \
-        .reset_index(drop=True)
+        batch_format="pandas")
+    return unique_pairs(pairs, _auto_parts(None) // 4)
 
 
 def _simhash_bucket_pairs(max_hamming: int, pieces):

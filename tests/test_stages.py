@@ -953,13 +953,17 @@ def test_minhash_clusters(ray_session):
         "doc_id": [1, 2, 3, 4],
         "text": [base, base + " x", base + " y", "completely different text about nothing at all here"]})
     from log2seq_ray.ops.dedup import minhash_clusters
-    out = minhash_clusters(rd.from_arrow(docs), threshold=0.5)
+
+    def collect(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    out = collect(minhash_clusters(rd.from_arrow(docs), threshold=0.5))
     assert set(out["cluster_id"]) == {1}          # 1,2,3 cluster to min id 1
     assert 4 not in set(out["doc_id"])            # singleton not listed
     # the distributed label-propagation path must agree exactly
-    lp = minhash_clusters(rd.from_arrow(docs), threshold=0.5,
-                          method="labelprop")
-    pd.testing.assert_frame_equal(out.reset_index(drop=True), lp)
+    lp = collect(minhash_clusters(rd.from_arrow(docs), threshold=0.5,
+                                  method="labelprop"))
+    pd.testing.assert_frame_equal(out, lp)
 
 
 def test_label_propagation_chain(ray_session):
@@ -969,7 +973,7 @@ def test_label_propagation_chain(ray_session):
     pairs = pd.DataFrame({
         "id_a": pd.Series([9, 2, 3, 4, 10, 30], dtype="int64"),
         "id_b": pd.Series([2, 3, 4, 5, 11, 31], dtype="int64")})
-    out = label_propagation_clusters(pairs, num_parts=4)
+    out = label_propagation_clusters(pairs, num_parts=4).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {2: 2, 3: 2, 4: 2, 5: 2, 9: 2,
                    10: 10, 11: 10, 30: 30, 31: 30}
@@ -987,12 +991,91 @@ def test_minhash_dedup_copartitioned_verify(ray_session):
         "text": [base + f" tail{i % 3}" if i < 9
                  else f"totally unrelated words group {i} " * 3
                  for i in range(12)]})
-    a = minhash_dedup(rd.from_arrow(docs), threshold=0.5, n_hashes=32,
-                      n_bands=32, num_parts=1)
-    b = minhash_dedup(rd.from_arrow(docs), threshold=0.5, n_hashes=32,
-                      n_bands=32, num_parts=8)
+    def collect(ds):
+        return ds.to_pandas().sort_values(["id_a", "id_b"]) \
+            .reset_index(drop=True)
+
+    a = collect(minhash_dedup(rd.from_arrow(docs), threshold=0.5,
+                              n_hashes=32, n_bands=32, num_parts=1))
+    b = collect(minhash_dedup(rd.from_arrow(docs), threshold=0.5,
+                              n_hashes=32, n_bands=32, num_parts=8))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) >= 3  # the three tail-groups produce near-dup pairs
+
+
+def test_shingle_string_rows_matches_reference():
+    """Vectorized shingle-string generation must equal the per-row
+    reference (_shingle_strings) on every edge: empty, null, single
+    token, exactly-k, multi-space, long."""
+    from log2seq_ray.ops.dedup import _shingle_strings, _shingle_string_rows
+    texts = ["", None, "one", "a b", "a b c", "a  b   c d e f g",
+             "x " * 50, "a b c d e f"]
+    arr = pa.array(texts, type=pa.string())
+    strs, row_of = _shingle_string_rows(arr, 3)
+    got = [set() for _ in texts]
+    for s, r in zip(strs.to_pylist(), row_of):
+        got[r].add(s)
+    for i, t in enumerate(texts):
+        assert got[i] == set(_shingle_strings(t or "", 3)), (i, t)
+
+
+def test_verify_partition_vectorized():
+    """The inverted-index verify must equal exact per-pair Jaccard."""
+    from log2seq_ray.ops.dedup import _verify_partition, jaccard
+    docs = pa.table({
+        "doc_id": pa.array([3, 7, 11, 20], type=pa.int64()),
+        "text": ["a b c d e f g h", "a b c d e f g zz",
+                 "a b c d e f g h", "totally different words here now ok"]})
+    pairs = pa.table({
+        "id_a": pa.array([3, 3, 7, 3], type=pa.int64()),
+        "id_b": pa.array([7, 11, 11, 20], type=pa.int64())})
+    out = _verify_partition(0.3, 5, "doc_id", "text", pairs, [docs])
+    got = {(a, b): j for a, b, j in zip(out.column("id_a").to_pylist(),
+                                        out.column("id_b").to_pylist(),
+                                        out.column("jaccard").to_pylist())}
+    texts = dict(zip(docs.column("doc_id").to_pylist(),
+                     docs.column("text").to_pylist()))
+    exp = {}
+    for a, b in [(3, 7), (3, 11), (7, 11), (3, 20)]:
+        j = jaccard(texts[a], texts[b], 5)
+        if j >= 0.3:
+            exp[(a, b)] = j
+    assert got == exp and (3, 11) in got and got[(3, 11)] == 1.0
+
+
+def test_unique_pairs_exchange(ray_session):
+    """Distributed pair dedup: duplicates across blocks collapse to one
+    row, extra columns carried through."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import unique_pairs
+    t1 = pa.table({"id_a": pa.array([1, 2, 1], type=pa.int64()),
+                   "id_b": pa.array([5, 6, 5], type=pa.int64()),
+                   "jaccard": pa.array([0.5, 0.7, 0.5])})
+    t2 = pa.table({"id_a": pa.array([2, 9], type=pa.int64()),
+                   "id_b": pa.array([6, 9], type=pa.int64()),
+                   "jaccard": pa.array([0.7, 1.0])})
+    out = unique_pairs(rd.from_arrow([t1, t2]), num_parts=4).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert list(zip(out["id_a"], out["id_b"])) == [(1, 5), (2, 6), (9, 9)]
+    assert list(out["jaccard"]) == [0.5, 0.7, 1.0]
+
+
+def test_minhash_dedup_streams_to_parquet(ray_session, tmp_path):
+    """The verified pair set is a Dataset that writes straight to parquet
+    without driver collection."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import minhash_dedup
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), type=pa.int64()),
+        "text": [base + f" t{i % 2}" for i in range(6)]})
+    ds = minhash_dedup(rd.from_arrow(docs), threshold=0.5,
+                       n_hashes=32, n_bands=32, num_parts=4)
+    sink = str(tmp_path / "pairs")
+    ds.write_parquet(sink)
+    back = rd.read_parquet(sink).to_pandas()
+    assert len(back) == len(back.drop_duplicates(["id_a", "id_b"]))
+    assert len(back) >= 6  # two 3-doc families → ≥ 2×C(3,2)
 
 
 def test_expand_pairs_max_bucket_cap():
@@ -1046,7 +1129,7 @@ def test_embedding_dups_hot_bucket_salted(ray_session):
                     "embedding": [list(map(float, v)) for v in vecs]})
     ds = rd.from_arrow(tbl)
     out = embedding_dups(ds, threshold=0.999, n_centroids=1, n_assign=1,
-                         max_bucket=8)
+                         max_bucket=8).to_pandas()
     # brute-force oracle
     X = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     sims = X @ X.T
