@@ -1,11 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-container — each raises ``NotImplementedError`` unless the deterministic
-fake decoder is selected), but the Ray-side plumbing is real and tested:
-schemas, actor-pool stages with per-actor "model" setup, small batch sizes
-for large binary payloads, and typed output layouts.
+The real decode kernels are honestly gated (no image/audio libraries in
+this container — selecting a real backend raises ``NotImplementedError``
+when its library is absent; see the ``pillow`` paths), but the Ray-side
+plumbing is real and tested: schemas, actor-pool stages with per-actor
+"model" setup, small batch sizes for large binary payloads, and typed
+output layouts.
+
+The DEFAULT ``fake`` backends are deterministic md5-derived features so
+every multimodal query is value-hash-gateable by a DuckDB oracle: the
+synthetic payload is ASCII text reconstructible in SQL
+(``substr(repeat(md5(id::VARCHAR), 128), 1, n)``), features come from
+``md5(payload)`` hex prefixes in integer-exact arithmetic, and the fake
+embeddings are dyadic rationals ``uint16/65536`` — exact in float32,
+float64 and SQL DOUBLE alike.
 
 At scale: binary payloads dominate block size — keep ``batch_size`` small
 (32-256) and let ``target_max_block_size`` govern block splitting; decode
@@ -37,30 +46,47 @@ IMAGE_FEATURES_SCHEMA = pa.schema([
 ])
 
 
-def _stacked_digests(payload_col, digest_size: int) -> np.ndarray:
-    """blake2b per payload (hashing is inherently per-value), digests
-    stacked into ONE (n, digest_size) uint8 matrix so all downstream
-    feature math is vectorized."""
+def _stacked_md5(payload_col, extra: bytes = b"") -> np.ndarray:
+    """md5 per payload (hashing is inherently per-value), digests stacked
+    into ONE (n, 16) uint8 matrix so all downstream feature math is
+    vectorized. ``extra`` suffixes the payload (a second independent
+    16-byte digest stream: ``md5(payload || extra)``). SQL bridge:
+    byte ``j`` is ``('0x' || substr(md5(pay), 2j+1, 2))::BIGINT``."""
     col = payload_col.combine_chunks() \
         if isinstance(payload_col, pa.ChunkedArray) else payload_col
     buf = bytearray()
     for p in col.to_pylist():
-        buf += hashlib.blake2b(p, digest_size=digest_size).digest()
-    return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
-        -1, digest_size)
+        buf += hashlib.md5(p + extra).digest()
+    return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(-1, 16)
+
+
+def _u16_features(H: np.ndarray, H2: np.ndarray, dims: int) -> np.ndarray:
+    """(n, dims) float32 features from two stacked md5 digests: the
+    first ``dims`` BIG-ENDIAN uint16 of ``md5(p) || md5(p||'e')``,
+    scaled by 1/65536 — a dyadic rational exact in float32/float64 and
+    in SQL (``('0x'||substr(md5(pay)||md5(pay||'e'), 4i+1, 4))::BIGINT
+    / 65536.0``)."""
+    D = np.ascontiguousarray(np.concatenate([H, H2], axis=1))
+    u16 = D.view(np.dtype(">u2"))[:, :dims]
+    return u16.astype(np.float32) / np.float32(65536.0)
 
 
 def synthesize_media(batch: pa.Table) -> pa.Table:
-    """documents batch → deterministic fake media rows (payload = seeded
-    bytes; stands in for WARC image/audio payloads)."""
+    """documents batch → deterministic fake media rows standing in for
+    WARC image/audio payloads. The payload is ASCII hex text derived
+    from md5 so a SQL oracle reconstructs it byte-for-byte:
+    ``seed = md5(CAST(media_id AS VARCHAR))``,
+    ``n_bytes = 256 + (('0x'||substr(seed,1,8))::BIGINT % 3840)``,
+    ``payload = substr(repeat(seed, 128), 1, n_bytes)``."""
     doc_ids = batch.column("doc_id").to_numpy()
     kinds = ["image", "audio", "video"]
     rows = {k: [] for k in ("media_id", "url", "kind", "payload", "mime",
                             "n_bytes")}
     for did in doc_ids:
-        rng = np.random.Generator(np.random.PCG64(int(did)))
+        seed = hashlib.md5(str(int(did)).encode()).hexdigest()
+        n_bytes = 256 + int(seed[:8], 16) % 3840
+        payload = (seed * 128)[:n_bytes].encode("ascii")
         kind = kinds[int(did) % 3]
-        payload = rng.bytes(int(rng.integers(256, 4096)))
         rows["media_id"].append(int(did))
         rows["url"].append(f"https://media.example.com/{kind}/{did}")
         rows["kind"].append(kind)
@@ -96,12 +122,15 @@ class ImageDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         # per-row hashing is inherent; the feature math runs BATCHED over
         # one stacked digest buffer so a real decode backend swap inherits
-        # batch shape (no per-row Python in the math)
-        H = _stacked_digests(batch.column("payload"), 40)
+        # batch shape (no per-row Python in the math). SQL bridge: with
+        # d = md5(pay), width = 64 + 8*('0x'||substr(d,1,2))::BIGINT etc.
+        if self.backend == "pillow":
+            return _pillow_decode(batch)
+        H = _stacked_md5(batch.column("payload"))
+        H2 = _stacked_md5(batch.column("payload"), b"e")
         width = (64 + H[:, 0].astype(np.int32) * 8)
         height = (64 + H[:, 1].astype(np.int32) * 8)
-        emb = (np.ascontiguousarray(H[:, 8:]).view(np.uint16)
-               .astype(np.float32) / 65535.0)
+        emb = _u16_features(H, H2, 16)
         return pa.table({
             "media_id": batch.column("media_id"),
             "width": pa.array(width, type=pa.int32()),
@@ -156,6 +185,7 @@ class ImageResizeStage:
 
     def __init__(self, max_side: int = 256, backend: str = "fake"):
         self.max_side = max_side
+        self.backend = backend
         if backend == "pillow":
             try:
                 import PIL.Image  # noqa: F401
@@ -167,8 +197,12 @@ class ImageResizeStage:
             raise ValueError(f"unknown backend {backend!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # SQL bridge: w0/h0 from md5(pay) byte 0/1, scale and floor are
+        # IEEE-double-identical in DuckDB (positive trunc == floor)
         import pyarrow.compute as pc
-        H = _stacked_digests(batch.column("payload"), 8)
+        if self.backend == "pillow":
+            return _pillow_resize(batch, self.max_side)
+        H = _stacked_md5(batch.column("payload"))
         w0 = (64 + H[:, 0].astype(np.int64) * 8).astype(np.float64)
         h0 = (64 + H[:, 1].astype(np.int64) * 8).astype(np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(w0, h0))
@@ -198,11 +232,13 @@ class AudioFeatureStage:
             raise ValueError(f"unknown backend {backend!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        H = _stacked_digests(batch.column("payload"), 32)
+        # SQL bridge: sr/dur from md5(pay) byte 0/1, mfcc = first 13
+        # big-endian uint16 of md5(pay)||md5(pay||'e'), / 65536
+        H = _stacked_md5(batch.column("payload"))
+        H2 = _stacked_md5(batch.column("payload"), b"e")
         sr = np.where(H[:, 0] % 2, 16000, 44100).astype(np.int32)
         dur = (200 + H[:, 1].astype(np.int32) * 37)
-        mfcc = (np.ascontiguousarray(H[:, 6:]).view(np.uint16)[:, :13]
-                .astype(np.float32) / 65535.0)
+        mfcc = _u16_features(H, H2, 13)
         return pa.table({
             "media_id": batch.column("media_id"),
             "sample_rate": pa.array(sr),
@@ -229,13 +265,14 @@ class VideoFrameSampleStage:
             raise ValueError(f"unknown backend {backend!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # SQL bridge: frame i = md5(substr(pay, i*L+1, L)),
+        # L = greatest(1, n_bytes // n)
         n = self.n_frames
         payloads = batch.column("payload").to_pylist()
         # per-frame hashing is inherent; ids/frame_nos are vectorized
-        hashes = [hashlib.blake2b(
+        hashes = [hashlib.md5(
                       p[i * max(1, len(p) // n):
-                        (i + 1) * max(1, len(p) // n)],
-                      digest_size=8).hexdigest()
+                        (i + 1) * max(1, len(p) // n)]).hexdigest()
                   for p in payloads for i in range(n)]
         mids = np.repeat(batch.column("media_id").to_numpy(), n)
         return pa.table({
@@ -244,6 +281,68 @@ class VideoFrameSampleStage:
                                          len(payloads))),
             "frame_hash": pa.array(hashes, type=pa.string()),
         }, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def _pillow_decode(batch: pa.Table) -> pa.Table:
+    """Real image decode via Pillow (exercised only where Pillow exists —
+    a conditional test under ``pytest.importorskip``; this container
+    default is the md5 fake). Same output layout as the fake: the
+    16-dim embedding is a 4x4 grayscale thumbnail, mean-pooled by
+    Pillow's resize, scaled to [0, 1]."""
+    import io
+    import PIL.Image
+    widths, heights, chans, embs = [], [], [], []
+    for p in batch.column("payload").to_pylist():
+        img = PIL.Image.open(io.BytesIO(p))
+        widths.append(img.width)
+        heights.append(img.height)
+        chans.append(len(img.getbands()))
+        g = img.convert("L").resize((4, 4))
+        embs.append(np.asarray(g, dtype=np.float32).reshape(-1) / 255.0)
+    return pa.table({
+        "media_id": batch.column("media_id"),
+        "width": pa.array(widths, type=pa.int32()),
+        "height": pa.array(heights, type=pa.int32()),
+        "channels": pa.array(chans, type=pa.int32()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(embs) if embs
+                     else np.array([], dtype=np.float32)), 16),
+    }, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def _pillow_resize(batch: pa.Table, max_side: int) -> pa.Table:
+    """Real thumbnail via Pillow (conditional path; see _pillow_decode):
+    aspect-preserving downscale to ``max_side``, PNG-re-encoded bytes."""
+    import io
+    import PIL.Image
+    widths, heights, thumbs = [], [], []
+    for p in batch.column("payload").to_pylist():
+        img = PIL.Image.open(io.BytesIO(p))
+        img.thumbnail((max_side, max_side))
+        widths.append(img.width)
+        heights.append(img.height)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        thumbs.append(buf.getvalue())
+    return pa.table({
+        "media_id": batch.column("media_id"),
+        "width": pa.array(widths, type=pa.int32()),
+        "height": pa.array(heights, type=pa.int32()),
+        "thumb": pa.array(thumbs, type=pa.binary()),
+    }, schema=RESIZED_SCHEMA)
+
+
+def thumb_pipeline(sf_dir: str, max_side: int = 256):
+    """documents → media rows → resize/thumbnail stage (images only)."""
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    media = docs.map_batches(synthesize_media, batch_format="pyarrow",
+                             batch_size=512)
+    return media.filter(expr="kind == 'image'").map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs=dict(max_side=max_side, backend="fake"),
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
 
 
 def audio_pipeline(sf_dir: str):

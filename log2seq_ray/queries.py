@@ -1104,9 +1104,32 @@ def q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, queries, k=10, n_centroids=8, n_probe=5)
 
 
+def _explode_fixed_list(b: pa.Table, list_col: str, keep,
+                        dim_col: str = "dim",
+                        val_col: str = "value") -> pa.Table:
+    """(id…, list<float32, D>) → one row per (id…, dim, value) with
+    value widened to float64 (the fakes are dyadic uint16/65536 —
+    exact in float32, float64 and SQL DOUBLE alike)."""
+    lst = b.column(list_col).combine_chunks()
+    d = lst.type.list_size
+    n = len(b)
+    idx = np.repeat(np.arange(n, dtype=np.int64), d)
+    out = b.select(keep).take(pa.array(idx))
+    out = out.append_column(
+        dim_col, pa.array(np.tile(np.arange(d, dtype=np.int64), n)))
+    return out.append_column(
+        val_col, pc.cast(lst.flatten(), pa.float64()))
+
+
 def q_media_features(sf_dir: str):
+    """Image decode/feature stage over the synthetic media corpus; the
+    16-dim fake embedding is exploded to (dim, value) rows so the DuckDB
+    oracle hash-gates every value (md5-derived, integer-exact)."""
     from .ops.multimodal import media_pipeline
-    return media_pipeline(sf_dir)
+    return media_pipeline(sf_dir).map_batches(
+        lambda b: _explode_fixed_list(
+            b, "embedding", ["media_id", "width", "height", "channels"]),
+        batch_format="pyarrow")
 
 
 def q_simhash_dups(sf_dir: str):
@@ -1125,13 +1148,31 @@ def q_repetition_scores(sf_dir: str):
 
 
 def q_audio_features(sf_dir: str):
+    """Audio feature stage; the 13-dim fake MFCC explodes to (dim, value)
+    rows for the value-hash gate."""
     from .ops.multimodal import audio_pipeline
-    return audio_pipeline(sf_dir)
+    return audio_pipeline(sf_dir).map_batches(
+        lambda b: _explode_fixed_list(
+            b, "mfcc", ["media_id", "sample_rate", "duration_ms"]),
+        batch_format="pyarrow")
 
 
 def q_video_frames(sf_dir: str):
     from .ops.multimodal import frame_pipeline
     return frame_pipeline(sf_dir)
+
+
+def q_media_thumbs(sf_dir: str):
+    """Resize/thumbnail stage; the binary thumb (ASCII payload prefix)
+    is cast to string for the gate."""
+    from .ops.multimodal import thumb_pipeline
+    return thumb_pipeline(sf_dir).map_batches(
+        lambda b: pa.table({
+            "media_id": b.column("media_id"),
+            "width": pc.cast(b.column("width"), pa.int64()),
+            "height": pc.cast(b.column("height"), pa.int64()),
+            "thumb": pc.cast(b.column("thumb"), pa.string()),
+        }), batch_format="pyarrow")
 
 
 def _aug_embeddings(sf_dir: str):
@@ -1379,6 +1420,7 @@ QUERIES = {
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
+    "media_thumbs": q_media_thumbs,
     "embedding_dups": q_embedding_dups,
     "ngram_jaccard": q_ngram_jaccard,
     "decontaminate": q_decontaminate,
@@ -2147,6 +2189,82 @@ ORACLE_SQL["boilerplate_tokens"] = """
 """
 # label propagation computes the same min-id components as union-find
 ORACLE_SQL["minhash_clusters_lp"] = ORACLE_SQL["minhash_clusters"]
+
+# multimodal fakes: the synthetic payload is SQL-reconstructible ASCII
+# (substr(repeat(md5(id), 128), 1, n)) and every feature is an md5-prefix
+# integer or a dyadic uint16/65536 — see ops/multimodal.py docstrings
+
+
+def _media_payload_sql(rem: int) -> str:
+    """Shared payload CTE: media rows of one kind (media_id % 3 == rem)
+    with the reconstructed ASCII payload."""
+    return f"""
+        m AS (SELECT doc_id AS media_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS seed
+              FROM documents WHERE doc_id % 3 = {rem}),
+        p AS (SELECT media_id,
+                     substr(repeat(seed, 128), 1,
+                            CAST(256 + (('0x' || substr(seed, 1, 8))::BIGINT
+                                        % 3840) AS INT)) AS pay
+              FROM m)"""
+
+
+ORACLE_SQL["media_features"] = f"""
+    WITH {_media_payload_sql(0)},
+    d AS (SELECT media_id, md5(pay) AS d1, md5(pay || 'e') AS d2 FROM p)
+    SELECT media_id,
+           CAST(64 + 8 * (('0x' || substr(d1, 1, 2))::BIGINT) AS BIGINT)
+               AS width,
+           CAST(64 + 8 * (('0x' || substr(d1, 3, 2))::BIGINT) AS BIGINT)
+               AS height,
+           CAST(3 AS BIGINT) AS channels,
+           i.dim AS dim,
+           CAST(('0x' || substr(d1 || d2, CAST(4 * i.dim + 1 AS INT), 4))
+                ::BIGINT AS DOUBLE) / 65536.0 AS value
+    FROM d, (SELECT unnest(range(0, 16)) AS dim) i
+"""
+
+ORACLE_SQL["audio_features"] = f"""
+    WITH {_media_payload_sql(1)},
+    d AS (SELECT media_id, md5(pay) AS d1, md5(pay || 'e') AS d2 FROM p)
+    SELECT media_id,
+           CASE WHEN ('0x' || substr(d1, 1, 2))::BIGINT % 2 = 1
+                THEN 16000 ELSE 44100 END AS sample_rate,
+           CAST(200 + 37 * (('0x' || substr(d1, 3, 2))::BIGINT) AS BIGINT)
+               AS duration_ms,
+           i.dim AS dim,
+           CAST(('0x' || substr(d1 || d2, CAST(4 * i.dim + 1 AS INT), 4))
+                ::BIGINT AS DOUBLE) / 65536.0 AS value
+    FROM d, (SELECT unnest(range(0, 13)) AS dim) i
+"""
+
+ORACLE_SQL["video_frames"] = f"""
+    WITH {_media_payload_sql(2)},
+    l AS (SELECT media_id, pay,
+                 greatest(1, length(pay) // 4) AS L FROM p)
+    SELECT media_id, f.frame_no AS frame_no,
+           md5(substr(pay, CAST(f.frame_no * L + 1 AS INT),
+                      CAST(L AS INT))) AS frame_hash
+    FROM l, (SELECT unnest(range(0, 4)) AS frame_no) f
+"""
+
+ORACLE_SQL["media_thumbs"] = f"""
+    WITH {_media_payload_sql(0)},
+    d AS (SELECT media_id, pay,
+                 CAST(64 + 8 * (('0x' || substr(md5(pay), 1, 2))::BIGINT)
+                      AS DOUBLE) AS w0,
+                 CAST(64 + 8 * (('0x' || substr(md5(pay), 3, 2))::BIGINT)
+                      AS DOUBLE) AS h0
+          FROM p),
+    s AS (SELECT media_id, pay, w0, h0,
+                 least(1.0, 256.0 / greatest(w0, h0)) AS sc FROM d)
+    SELECT media_id,
+           CAST(floor(w0 * sc) AS BIGINT) AS width,
+           CAST(floor(h0 * sc) AS BIGINT) AS height,
+           substr(pay, 1, 64) AS thumb
+    FROM s
+"""
+
 
 # funnel: per-stage survivor counts of the same composed pipeline
 ORACLE_SQL["curation_funnel"] = f"""

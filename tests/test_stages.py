@@ -263,29 +263,33 @@ def test_multimodal_batched_kernels_match_per_row_reference():
     aud = AudioFeatureStage()(media)
     vid = VideoFrameSampleStage(n_frames=3)(media)
     for i, p in enumerate(payloads):
-        h = hashlib.blake2b(p, digest_size=40).digest()
-        assert img.column("width")[i].as_py() == 64 + h[0] * 8
-        assert img.column("embedding")[i].as_py() == list(
-            np.frombuffer(h[8:], dtype=np.uint16).astype(np.float32)
-            / 65535.0)
-        h8 = hashlib.blake2b(p, digest_size=8).digest()
-        w0, h0 = 64 + h8[0] * 8, 64 + h8[1] * 8
+        # payload itself: md5-seeded ASCII, SQL-reconstructible
+        seed = hashlib.md5(str(i).encode()).hexdigest()
+        n_bytes = 256 + int(seed[:8], 16) % 3840
+        assert p == (seed * 128)[:n_bytes].encode("ascii")
+        d1 = hashlib.md5(p).hexdigest()
+        d2 = hashlib.md5(p + b"e").hexdigest()
+        dd = d1 + d2
+        u16 = [int(dd[4 * k:4 * k + 4], 16) for k in range(16)]
+        assert img.column("width")[i].as_py() == 64 + 8 * int(d1[0:2], 16)
+        assert img.column("height")[i].as_py() == 64 + 8 * int(d1[2:4], 16)
+        assert img.column("embedding")[i].as_py() == \
+            [v / 65536.0 for v in u16]
+        w0, h0 = 64 + 8 * int(d1[0:2], 16), 64 + 8 * int(d1[2:4], 16)
         sc = min(1.0, 256 / max(w0, h0))
         assert res.column("width")[i].as_py() == int(w0 * sc)
         assert res.column("height")[i].as_py() == int(h0 * sc)
         assert res.column("thumb")[i].as_py() == p[:64]
-        h32 = hashlib.blake2b(p, digest_size=32).digest()
         assert aud.column("sample_rate")[i].as_py() == \
-            (16000 if h32[0] % 2 else 44100)
-        assert aud.column("duration_ms")[i].as_py() == 200 + h32[1] * 37
-        assert aud.column("mfcc")[i].as_py() == list(
-            np.frombuffer(h32[6:], dtype=np.uint16)[:13]
-            .astype(np.float32) / 65535.0)
+            (16000 if int(d1[0:2], 16) % 2 else 44100)
+        assert aud.column("duration_ms")[i].as_py() == \
+            200 + 37 * int(d1[2:4], 16)
+        assert aud.column("mfcc")[i].as_py() == \
+            [v / 65536.0 for v in u16[:13]]
         step = max(1, len(p) // 3)
         for f in range(3):
             assert vid.column("frame_hash")[i * 3 + f].as_py() == \
-                hashlib.blake2b(p[f * step:(f + 1) * step],
-                                digest_size=8).hexdigest()
+                hashlib.md5(p[f * step:(f + 1) * step]).hexdigest()
 
 
 def test_multimodal_fake_decode_and_stub():
@@ -300,6 +304,36 @@ def test_multimodal_fake_decode_and_stub():
     assert all(len(e) == 16 for e in out.column("embedding").to_pylist())
     with pytest.raises(NotImplementedError):
         ImageDecodeStage(backend="pillow")
+
+
+def test_multimodal_pillow_backend_real_decode():
+    """Real-codec path, exercised only where Pillow exists (skipped in
+    this container): decode + thumbnail over genuine PNG payloads
+    through the SAME stage signatures and output layouts as the fake."""
+    PIL = pytest.importorskip("PIL")
+    import io
+    import PIL.Image
+    from log2seq_ray.ops.multimodal import ImageDecodeStage, ImageResizeStage
+    payloads = []
+    for i, (w, h) in enumerate([(320, 200), (64, 64), (800, 100)]):
+        img = PIL.Image.new("RGB", (w, h), (i * 40, 100, 200))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        payloads.append(buf.getvalue())
+    batch = pa.table({
+        "media_id": pa.array([0, 1, 2], type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary())})
+    out = ImageDecodeStage(backend="pillow")(batch)
+    assert out.column("width").to_pylist() == [320, 64, 800]
+    assert out.column("height").to_pylist() == [200, 64, 100]
+    assert out.column("channels").to_pylist() == [3, 3, 3]
+    assert all(len(e) == 16 for e in out.column("embedding").to_pylist())
+    rz = ImageResizeStage(max_side=256, backend="pillow")(batch)
+    assert max(rz.column("width").to_pylist()
+               + rz.column("height").to_pylist()) <= 256
+    # thumbnails are decodable images
+    t = PIL.Image.open(io.BytesIO(rz.column("thumb")[0].as_py()))
+    assert (t.width, t.height) == (256, 160)
 
 
 # ---------------------------------------------------------------------------
