@@ -34,18 +34,26 @@ def _sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _dedup_corpus(sf_dir: str, replicas: int = 8) -> str:
-    """Deterministic near-dup stress corpus: every document replicated
-    ``replicas`` times with one replica-specific token appended (each
-    family = mutual near-dups, never exact dups). Cached parquet dir —
-    input prep, not part of the measured pipelines."""
+def _dedup_corpus(sf_dir: str, replicas: int = 8,
+                  families: int = 1) -> str:
+    """Deterministic near-dup stress corpus: every document spawns
+    ``families`` DISTINCT base texts (family token interleaved between
+    all tokens — families never near-dup each other), each replicated
+    ``replicas`` times with
+    one replica-specific token appended (each family = mutual near-dups,
+    never exact dups). ``families`` scales total compute LINEARLY while
+    the verified pair count stays ``families × C(replicas, 2)`` —
+    replicas would scale it quadratically. Cached parquet dir — input
+    prep, not part of the measured pipelines."""
     import glob
     from pathlib import Path
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
-    out = Path(f"/tmp/l2sr_dedup_corpus/sf{_sf_of(sf_dir)}_x{replicas}")
+    tag = f"sf{_sf_of(sf_dir)}_x{replicas}" \
+        + (f"_f{families}" if families > 1 else "")
+    out = Path(f"/tmp/l2sr_dedup_corpus/{tag}")
     if (out / "_SUCCESS").exists():
         return str(out)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -53,13 +61,25 @@ def _dedup_corpus(sf_dir: str, replicas: int = 8) -> str:
 
     def rep(b: pa.Table) -> pa.Table:
         n = len(b)
-        idx = np.repeat(np.arange(n, dtype=np.int64), replicas)
-        t = b.take(pa.array(idx))
-        r = np.tile(np.arange(replicas, dtype=np.int64), n)
-        ids = t.column("doc_id").to_numpy() * 1000 + r
-        texts = pc.binary_join_element_wise(
-            t.column("text"), pc.cast(pa.array(r), pa.string()), " rep")
-        return pa.table({"doc_id": pa.array(ids), "text": texts})
+        ids0 = b.column("doc_id").to_numpy()
+        tabs = []
+        for f in range(families):
+            # family token INTERLEAVED between every pair of tokens —
+            # every shingle window then contains family tokens, so
+            # cross-family Jaccard is 0 while within-family replicas
+            # stay near-dups; families == 1 reproduces the original
+            # corpus byte-for-byte (cache compatibility)
+            base = b.column("text") if families == 1 else \
+                pc.replace_substring(b.column("text"), " ", f" f{f} ")
+            idx = np.repeat(np.arange(n, dtype=np.int64), replicas)
+            r = np.tile(np.arange(replicas, dtype=np.int64), n)
+            texts = pc.binary_join_element_wise(
+                pc.take(base, pa.array(idx)),
+                pc.cast(pa.array(r), pa.string()), " rep")
+            ids = np.repeat(ids0, replicas) * 1000 + f * replicas + r
+            tabs.append(pa.table({"doc_id": pa.array(ids),
+                                  "text": texts}))
+        return pa.concat_tables(tabs)
 
     out.mkdir(parents=True, exist_ok=True)
     docs.map_batches(rep, batch_format="pyarrow") \
@@ -431,6 +451,105 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+#: --scaling-ops stress corpus: 8 near-dup replicas × FAMILIES distinct
+#: variants per document (320k docs at sf0.1 with f=8). Families scale
+#: compute linearly while verified pairs stay families × C(8,2) per doc
+#: — big enough that steady-state compute dominates the fixed session +
+#: exchange-orchestration cost on BOTH legs (an 8x/160k corpus measured
+#: fixed-cost-dominated efficiencies, same failure mode BASELINE.md
+#: documents for the r480 flagship legs)
+SCALING_OPS_FAMILIES = int(os.environ.get("GRAFT_SCALING_OPS_FAMILIES",
+                                          "8"))
+
+
+def run_ops_leg() -> dict:
+    """One parallelism leg of ``--scaling-ops``: times an exchange-heavy
+    op (minhash_dedup over the replicated near-dup corpus — LSH band
+    exchange + co-partitioned verify + pair-dedup exchange) and a
+    scan/sort/join op (tokenize → pack offsets scan → distributed starts
+    join, the packed_tokens composition) at RAY_GRAFT_CPUS. Min-of-2
+    runs: steady state, not session spin-up."""
+    import ray
+    import ray.data as rd
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    from log2seq_ray.ops.curation import ngram_jaccard_dups
+    from log2seq_ray.ops.dedup import minhash_dedup
+    from log2seq_ray.ops.join import hash_join
+    from log2seq_ray.ops.scan import pack_chunks
+    from log2seq_ray.ops.text import tokenize_ids
+
+    dd = _dedup_corpus(SF_DIR, replicas=8,
+                       families=SCALING_OPS_FAMILIES)
+    import glob
+    import pyarrow.parquet as pq
+    for f in glob.glob(f"{dd}/*.parquet"):
+        pq.read_table(f)
+
+    def packed_over_dd():
+        toks = tokenize_ids(rd.read_parquet(dd), vocab_size=256)
+        starts = pack_chunks(rd.read_parquet(dd), chunk_tokens=256) \
+            .select_columns(["doc_id", "start_tok"])
+        return hash_join(toks, starts, "doc_id", "doc_id",
+                         left_cols=["doc_id", "pos", "token_id"],
+                         right_cols=["doc_id", "start_tok"]).count()
+
+    out = {"cpus": NUM_CPUS, "families": SCALING_OPS_FAMILIES}
+    for name, fn in (
+        ("minhash_dedup",
+         lambda: minhash_dedup(rd.read_parquet(dd), threshold=0.8,
+                               n_hashes=64, n_bands=16).count()),
+        ("ngram_jaccard",
+         lambda: ngram_jaccard_dups(rd.read_parquet(dd), window=4,
+                                    max_df=64).count()),
+        ("packed_tokens", packed_over_dd),
+    ):
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+    ray.shutdown()
+    return out
+
+
+def run_scaling_ops(lo: int = 8, hi: int = 32) -> dict:
+    """Two-leg (fresh-process) scaling for non-flagship ops — the
+    exchange-heavy and scan legs the N→4N cluster criterion asks about
+    beyond the embarrassingly-parallel headline. Corpus materialized
+    once, shared by both levels."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    _dedup_corpus(SF_DIR, replicas=8, families=SCALING_OPS_FAMILIES)
+    ray.shutdown()
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_OPS_LEG="1")
+        env.pop("GRAFT_BENCH_INNER", None)  # legs re-enter supervised
+        out = subprocess.run([sys.executable, __file__, "--scaling-ops"],
+                             env=env, capture_output=True, text=True,
+                             check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo = one(lo)
+    time.sleep(10)
+    r_hi = one(hi)
+    res = {"metric": "per-op scaling efficiency (sec ratio vs cpu ratio)",
+           "cpus_lo": lo, "cpus_hi": hi, "sf": _sf_of(SF_DIR),
+           "families": SCALING_OPS_FAMILIES}
+    for op in ("minhash_dedup", "ngram_jaccard", "packed_tokens"):
+        res[f"{op}_sec_lo"] = r_lo[op]
+        res[f"{op}_sec_hi"] = r_hi[op]
+        res[f"{op}_scaling_efficiency"] = round(
+            (r_lo[op] / r_hi[op]) / (hi / lo), 3)
+    return res
+
+
 def _run_supervised(argv: list[str]) -> int:
     """Run the suite in a child process, retrying once on a fatal crash.
 
@@ -472,7 +591,11 @@ def _run_supervised(argv: list[str]) -> int:
 
 if __name__ == "__main__":
     if os.environ.get("GRAFT_BENCH_INNER"):
-        if "--scaling" in sys.argv:
+        if "--scaling-ops" in sys.argv:
+            print(json.dumps(run_ops_leg()
+                             if os.environ.get("GRAFT_OPS_LEG")
+                             else run_scaling_ops()))
+        elif "--scaling" in sys.argv:
             print(json.dumps(run_scaling()))
         else:
             print(json.dumps(run_benchmarks()))

@@ -37,6 +37,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .exchange import actor_pool
+
 from .hashutil import bytes_list
 from .text import _token_lists
 
@@ -435,7 +437,7 @@ def decontaminate_frac(corpus, bench, window: int = 6,
         _DecontamFracStage, fn_constructor_kwargs=dict(
             block_ref=ref, window=window, num=max_frac_num,
             den=max_frac_den, id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
 
 
 def decontaminate(corpus, bench, window: int = 6,
@@ -465,7 +467,7 @@ def decontaminate(corpus, bench, window: int = 6,
     return corpus.map_batches(
         _DecontamStage, fn_constructor_kwargs=dict(
             block_ref=ref, window=window, id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
 
 
 # ---------------------------------------------------------------------------
@@ -637,7 +639,7 @@ def doc_lm_score(ds, model_ds, vocab_k: int = 32,
     return ds.map_batches(
         _LMScoreStage, fn_constructor_kwargs=dict(
             vocab_ref=ref, id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
 
 
 # ---------------------------------------------------------------------------
@@ -745,7 +747,7 @@ def tfidf_top_terms(ds, df_ds, k: int = 3,
     return ds.map_batches(
         _TfidfStage, fn_constructor_kwargs=dict(
             df_ref=ref, k=k, id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
 
 
 # ---------------------------------------------------------------------------
@@ -973,7 +975,7 @@ def dsir_weights(ds, target_langs=("en",), buckets: int = 256,
         _DSIRScoreStage,
         fn_constructor_kwargs=dict(ratio_ref=ref, buckets=buckets,
                                    id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
 
 
 class _MixFilterStage:
@@ -1047,7 +1049,7 @@ def mix_sample(ds, group_col: str = "lang", key_col: str = "doc_id"):
         _MixFilterStage,
         fn_constructor_kwargs=dict(counts_ref=ref, group_col=group_col,
                                    key_col=key_col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
 
 
 def mix_sample_sqrt(ds, group_col: str = "lang", key_col: str = "doc_id"):
@@ -1076,7 +1078,7 @@ def mix_sample_sqrt(ds, group_col: str = "lang", key_col: str = "doc_id"):
         _MixFilterStage,
         fn_constructor_kwargs=dict(counts_ref=ref, group_col=group_col,
                                    key_col=key_col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .exchange import actor_pool
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -304,12 +306,15 @@ def _expand_pairs(id_col: str, max_bucket, pieces):
                      "id_b": pa.array(uniq[:, 1], type=pa.int64())})
 
 
-def _expand_pairs_with_ids(id_col: str, max_bucket, pieces):
-    """Pair expansion + the partition's needed-doc id set (for the
-    co-partitioned verify): returns (pairs table, unique int64 id array)."""
-    pairs = _expand_pairs(id_col, max_bucket, pieces)
-    if pairs.num_rows == 0:
-        return pairs, pa.array([], type=pa.int64())
+def _unique_pairs_with_ids(pieces):
+    """Pair-dedup partition (lexsort-unique on (id_a, id_b)) + the
+    partition's needed-doc id set (for the co-partitioned verify):
+    returns (pairs table, unique int64 id array)."""
+    pairs = _unique_pairs_partition(pieces)
+    if pairs.num_rows == 0 or "id_a" not in pairs.column_names:
+        return (pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())}),
+                pa.array([], type=pa.int64()))
     need = np.unique(np.concatenate([
         pairs.column("id_a").to_numpy(), pairs.column("id_b").to_numpy()]))
     return pairs, pa.array(need, type=pa.int64())
@@ -327,7 +332,7 @@ def _band_partitions(ds, n_hashes, n_bands, shingle_k, id_col, col,
         fn_constructor_kwargs=dict(n_hashes=n_hashes, n_bands=n_bands,
                                    shingle_k=shingle_k, id_col=id_col,
                                    col=col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
     from .exchange import fan_out_pieces
     return fan_out_pieces(_split_bands, bands.to_arrow_refs(), num_parts,
                           args=(num_parts,))
@@ -428,17 +433,18 @@ def _verify_partition(threshold: float, shingle_k: int, id_col: str,
     that partition's docs — per-task memory is bounded by the partition's
     bucket membership, never the global candidate set.
 
-    Shingle SETS are built vectorized: one windowed
+    Shingle sets are built vectorized — one windowed
     ``binary_join_element_wise`` pass over all docs (no per-row Python
-    join loop — this dominated the old kernel) + one
-    ``dictionary_encode`` mapping shingle strings to integer codes (exact
-    string identity, no hash collisions). |A∩B| per candidate pair is
-    then a C-speed int-set intersection, O(|A|+|B|) per pair and
-    cache-resident — deliberately NOT the full inverted-index group
-    expansion (``ngram_jaccard_dups``' shape): expanding every
-    co-shingled row pair here would stream ~100 MB of index arrays per
-    task, and at 32+ concurrent verify tasks that saturates node memory
-    bandwidth (measured 8x per-task slowdown vs this kernel)."""
+    join loop) + one ``dictionary_encode`` mapping shingle strings to
+    integer codes (exact string identity, no hash collisions) — and live
+    as ONE sorted int64 buffer with per-row bounds. |A∩B| per candidate
+    pair is a searchsorted merge of two buffer views, O(min log max) per
+    pair with near-zero allocation. Two rejected designs, both measured:
+    the full inverted-index group expansion streams ~100 MB of index
+    arrays per task, and per-row Python frozensets allocate ~500 MB of
+    PyLong objects per task — each saturates node memory bandwidth under
+    32-way task concurrency (6-8x per-task slowdown vs solo) even though
+    both are fast single-task."""
     from .exchange import resolve_pieces
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64()),
@@ -450,12 +456,14 @@ def _verify_partition(threshold: float, shingle_k: int, id_col: str,
     ids = t.column(id_col).to_numpy()
     strs, row_of = _shingle_string_rows(t.column(col), shingle_k)
     codes = np.asarray(pc.dictionary_encode(strs).indices, dtype=np.int64)
-    # per-row code sets (duplicates within a row collapse in the set)
-    order = np.argsort(row_of, kind="stable")
-    cc = codes[order].tolist()
-    bounds = np.searchsorted(row_of[order], np.arange(len(t) + 1))
-    row_sets = [frozenset(cc[bounds[i]:bounds[i + 1]])
-                for i in range(len(t))]
+    # distinct (row, code), codes ascending within each row
+    order = np.lexsort((codes, row_of))
+    cc, rr = codes[order], row_of[order]
+    first = np.ones(len(cc), dtype=bool)
+    first[1:] = (rr[1:] != rr[:-1]) | (cc[1:] != cc[:-1])
+    cc, rr = cc[first], rr[first]
+    bounds = np.searchsorted(rr, np.arange(len(t) + 1))
+    sizes = np.diff(bounds)
     # map pair ids → dense row indices
     sidx = np.argsort(ids, kind="stable")
     sorted_ids = ids[sidx]
@@ -463,11 +471,15 @@ def _verify_partition(threshold: float, shingle_k: int, id_col: str,
     b_ids = pairs.column("id_b").to_numpy()
     ra = sidx[np.searchsorted(sorted_ids, a_ids)]
     rb = sidx[np.searchsorted(sorted_ids, b_ids)]
-    inter = np.fromiter(
-        (len(row_sets[a] & row_sets[b]) for a, b in zip(ra, rb)),
-        dtype=np.int64, count=len(ra))
-    sizes = np.fromiter((len(s) for s in row_sets), dtype=np.int64,
-                        count=len(row_sets))
+    inter = np.empty(len(ra), dtype=np.int64)
+    for i in range(len(ra)):
+        va = cc[bounds[ra[i]]:bounds[ra[i] + 1]]
+        vb = cc[bounds[rb[i]]:bounds[rb[i] + 1]]
+        if len(va) > len(vb):
+            va, vb = vb, va
+        pos = np.searchsorted(vb, va)
+        np.minimum(pos, len(vb) - 1, out=pos)
+        inter[i] = np.count_nonzero(vb[pos] == va)
     union = sizes[ra] + sizes[rb] - inter
     j = inter / union
     keep = j >= threshold
@@ -530,20 +542,23 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
                   num_parts=None, max_bucket=None):
     """Near-dup pairs verified by exact shingle Jaccard ≥ threshold.
 
-    Returns a ``ray.data.Dataset`` of (id_a, id_b, jaccard), globally
-    deduplicated (one narrow id_a-keyed exchange) — the verified pair set
-    NEVER passes through the driver, so a dup-heavy crawl whose pair set
-    exceeds driver memory streams straight to ``write_parquet`` or the
-    clustering stage. The verify is CO-PARTITIONED with the LSH pair
-    expansion: each bucket partition's expansion task also emits its
-    needed-doc id set, the corpus filter pulls only globally-candidate
-    docs into plasma, and a per-partition ``is_in`` routes each partition
-    ONLY its own docs — so no verify task ever materializes the global
-    candidate-shingle dict (per-task memory = that partition's bucket
-    membership). The driver holds integer id arrays only. A pair expanded
-    in several partitions (bands in different partitions) is verified
-    redundantly — bounded by n_bands — and deduplicated by the final
-    exchange.
+    Returns a ``ray.data.Dataset`` of (id_a, id_b, jaccard) — the
+    verified pair set NEVER passes through the driver, so a dup-heavy
+    crawl whose pair set exceeds driver memory streams straight to
+    ``write_parquet`` or the clustering stage.
+
+    Shape: band rows hash-partition by LSH bucket and expand to candidate
+    pairs per partition (vectorized index arithmetic); the candidates
+    then DEDUPLICATE through one narrow id_a-keyed exchange BEFORE any
+    document moves, so each pair is verified exactly once — without this,
+    a pair whose bands land in k partitions is verified k times (≤
+    n_bands) and its documents ship to all k, which measured ~10x
+    redundant verify work on a replica-heavy corpus. Each pair partition
+    emits its needed-doc id set; the corpus filter pulls only
+    globally-candidate docs into plasma, and a per-partition ``is_in``
+    routes each partition ONLY its own docs — no verify task ever
+    materializes the global candidate-shingle dict. The driver holds
+    integer id arrays only.
 
     With ``n_bands == n_hashes`` (one row per band) LSH recall at Jaccard
     ``j`` is ``1-(1-j)^n_hashes`` — for n_hashes=128, threshold 0.5 the
@@ -552,6 +567,7 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
     """
     import ray
     import ray.data as rd
+    from .exchange import fan_out_pieces, split_by_key
 
     num_parts = _auto_parts(num_parts)
     empty = rd.from_arrow(pa.table({
@@ -560,10 +576,17 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
         "jaccard": pa.array([], type=pa.float64())}))
     per_part = _band_partitions(ds, n_hashes, n_bands, shingle_k, id_col,
                                 col, num_parts)
-    expand = ray.remote(num_returns=2)(_expand_pairs_with_ids)
+    expand = ray.remote(_expand_pairs)
+    cand_refs = [expand.remote(id_col, max_bucket, pieces)
+                 for pieces in per_part]
+    # candidate-pair dedup exchange (id_a-keyed): all copies of a pair
+    # share id_a, so each lands in exactly one verify partition
+    pair2 = fan_out_pieces(split_by_key, cand_refs, num_parts,
+                           args=("id_a", num_parts))
+    uniq = ray.remote(num_returns=2)(_unique_pairs_with_ids)
     pair_refs, id_refs = [], []
-    for pieces in per_part:
-        pr, ir = expand.remote(id_col, max_bucket, pieces)
+    for pieces in pair2:
+        pr, ir = uniq.remote(pieces)
         pair_refs.append(pr)
         id_refs.append(ir)
     # global candidate-id union: int64 arrays only — tiny vs the corpus
@@ -577,7 +600,6 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
         _filter_by_id_fn(ids_ref, id_col, [id_col, col]),
         batch_format="pyarrow")
     block_refs = cand_docs.to_arrow_refs()
-    from .exchange import fan_out_pieces
     per_part_docs = fan_out_pieces(_split_docs_by_need, block_refs,
                                    num_parts, args=(id_refs, id_col, col))
     verify = ray.remote(_verify_partition)
@@ -589,7 +611,7 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
                                       pair_refs[p], per_part_docs[p]))
     if not out_refs:
         return empty
-    return unique_pairs(out_refs, max(8, num_parts // 4))
+    return rd.from_arrow_refs(out_refs)  # pairs already globally unique
 
 
 def _lp_split(tbl: pa.Table, key: str, num_parts: int):
@@ -839,7 +861,7 @@ class SimHashStage:
 def simhash_table(ds, id_col="doc_id", col="text"):
     return ds.map_batches(SimHashStage,
                           fn_constructor_kwargs=dict(id_col=id_col, col=col),
-                          batch_format="pyarrow", concurrency=(1, 8))
+                          batch_format="pyarrow", concurrency=actor_pool())
 
 
 # ---------------------------------------------------------------------------
@@ -978,7 +1000,7 @@ def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
         _MultiAssignStage,
         fn_constructor_kwargs=dict(centroids_ref=cref, id_col=id_col,
                                    col=col, n_assign=n_assign),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
     # bucket-size census: a second streaming pass over the (deterministic)
     # assignment — cheaper at scale than materializing n_assign × corpus
     # vectors in the object store just to count them
@@ -991,7 +1013,7 @@ def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
     salted = assigned.map_batches(
         _SaltStage,
         fn_constructor_kwargs=dict(s_map_ref=ray.put(s_map), id_col=id_col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
 
     import functools
     pairs = salted.groupby("__gk").map_groups(

@@ -19,6 +19,25 @@ import pandas as pd
 import pyarrow as pa
 
 
+def actor_pool(cap: int | None = None) -> tuple[int, int]:
+    """Node-relative actor-pool sizing for ``map_batches(Cls,
+    concurrency=...)``: ``(1, cluster CPUs - reserve)``, optionally
+    capped. A hardcoded ``(1, 8)`` ceiling starves a 32-core node (the
+    stage tops out at 25% utilization — measured as the dominant term in
+    the 8→32 scaling gap of the minhash pipeline); leaving a small CPU
+    reserve keeps the driver + exchange tasks schedulable."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    hi = max(2, cpus - max(2, cpus // 8))
+    if cap is not None:
+        hi = min(hi, cap)
+    return (1, hi)
+
+
 def split_by_key(tbl: pa.Table, key: str, num_parts: int):
     """One block → num_parts sub-tables by a deterministic vectorized hash
     of ``key`` (pandas.util.hash_array — ints AND strings, never raw %)."""

@@ -37,6 +37,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .exchange import actor_pool
+
 
 class BroadcastJoinStage:
     """Actor: resolve ``key_col`` against a broadcast (keys, columns) small
@@ -63,9 +65,14 @@ class BroadcastJoinStage:
         return batch
 
 
-def broadcast_join(ds, small: pa.Table, key_col: str, concurrency=(1, 8)):
-    """Left join *ds* against the small *small* table on ``key_col``."""
+def broadcast_join(ds, small: pa.Table, key_col: str, concurrency=None):
+    """Left join *ds* against the small *small* table on ``key_col``.
+    ``concurrency`` defaults to the node-relative pool (resolved at CALL
+    time — a def-time default would bake in the pre-ray.init CPU count).
+    """
     import ray
+    if concurrency is None:
+        concurrency = actor_pool()
     ref = ray.put(small)
     return ds.map_batches(BroadcastJoinStage,
                           fn_constructor_kwargs=dict(small_ref=ref,
@@ -291,7 +298,7 @@ def hash_join(left, right, left_key: str, right_key: str,
                                     [lb], [self.rt])
 
         hot_result = left.map_batches(HotJoin, batch_format="pyarrow",
-                                      concurrency=(1, 8))
+                                      concurrency=actor_pool())
         not_hot_l = left.map_batches(
             lambda b: b.filter(pc.invert(pc.is_in(
                 b.column(left_key), value_set=hot_arr))),

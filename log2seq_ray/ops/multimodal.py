@@ -28,6 +28,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .exchange import actor_pool
+
 MEDIA_SCHEMA = pa.schema([
     pa.field("media_id", pa.int64()),
     pa.field("url", pa.string()),
@@ -151,7 +153,7 @@ def media_pipeline(sf_dir: str):
                              batch_size=512)
     feats = media.filter(expr="kind == 'image'").map_batches(
         ImageDecodeStage, fn_constructor_kwargs=dict(backend="fake"),
-        batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
+        batch_format="pyarrow", batch_size=128, concurrency=actor_pool())
     return feats
 
 
@@ -342,7 +344,7 @@ def thumb_pipeline(sf_dir: str, max_side: int = 256):
     return media.filter(expr="kind == 'image'").map_batches(
         ImageResizeStage,
         fn_constructor_kwargs=dict(max_side=max_side, backend="fake"),
-        batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
+        batch_format="pyarrow", batch_size=128, concurrency=actor_pool())
 
 
 def audio_pipeline(sf_dir: str):
@@ -354,7 +356,7 @@ def audio_pipeline(sf_dir: str):
                              batch_size=512)
     return media.filter(expr="kind == 'audio'").map_batches(
         AudioFeatureStage, fn_constructor_kwargs=dict(backend="fake"),
-        batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
+        batch_format="pyarrow", batch_size=128, concurrency=actor_pool())
 
 
 def frame_pipeline(sf_dir: str, n_frames: int = 4):
@@ -367,4 +369,4 @@ def frame_pipeline(sf_dir: str, n_frames: int = 4):
     return media.filter(expr="kind == 'video'").map_batches(
         VideoFrameSampleStage,
         fn_constructor_kwargs=dict(n_frames=n_frames, backend="fake"),
-        batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
+        batch_format="pyarrow", batch_size=128, concurrency=actor_pool())

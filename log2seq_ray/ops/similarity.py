@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .exchange import actor_pool
+
 
 def _to_matrix(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -89,7 +91,7 @@ def knn_brute_force(ds, queries: tuple[np.ndarray, np.ndarray], k: int = 10,
         fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col,
                                    col=col, exclude_self=exclude_self),
         batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 8))
+        concurrency=actor_pool())
     pdf = cands.to_pandas()
     pdf = pdf.sort_values(["query_id", "cosine", "vec_id"],
                           ascending=[True, False, True])
@@ -183,7 +185,7 @@ def knn_ivf(ds, queries, k: int = 10, n_centroids: int = 16,
     assigned = ds.map_batches(
         _IVFAssignStage, fn_constructor_kwargs=dict(centroids_ref=cref,
                                                     col=col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
     wanted = sorted({int(c) for row in probe for c in row})
     wanted_arr = pa.array(wanted, type=pa.int32())
@@ -255,7 +257,7 @@ def _kmeans_step(ds, centroids, k: int, id_col: str, col: str):
         fn_constructor_kwargs=dict(centroids_ref=ref, k=k,
                                    id_col=id_col, col=col),
         batch_format="pyarrow", batch_size=16384,
-        concurrency=(1, 16)).to_pandas()
+        concurrency=actor_pool()).to_pandas()
     agg = partials.groupby(["c", "dim"], sort=True)["val"].sum()
     counts = agg.xs(-1, level="dim")
     cids = np.asarray(counts.index[counts.to_numpy() > 0], dtype=np.int64)
@@ -301,7 +303,7 @@ def kmeans_assign(ds, k: int = 8, iters: int = 1, id_col: str = "vec_id",
         _KMeansAssignStage,
         fn_constructor_kwargs=dict(centroids_ref=ref, id_col=id_col,
                                    col=col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())
 
 
 def kmeans_centroids(ds, k: int, iters: int, id_col: str = "vec_id",
@@ -387,7 +389,7 @@ def semdedup(ds, k: int = 8, iters: int = 1, threshold: float = 0.9,
         _AssignKeepStage,
         fn_constructor_kwargs=dict(centroids_ref=ref, id_col=id_col,
                                    col=col),
-        batch_format="pyarrow", batch_size=16384, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=16384, concurrency=actor_pool())
     return hash_exchange(assigned, "cluster", _semdedup_partition,
                          num_parts, fn_args=(threshold, id_col))
 
@@ -504,7 +506,7 @@ def srp_knn(ds, queries, k: int = 10, n_planes: int = 8, probe: int = 1,
             queries_ref=ray.put(payload), k=k, id_col=id_col, col=col,
             exclude_self=exclude_self,
             planes_ref=ray.put((W, q_buckets)), probe=probe),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=4096, concurrency=actor_pool())
     pdf = cands.to_pandas()
     if pdf.empty:  # all-empty blocks lose column names in to_pandas
         return pd.DataFrame({c: pd.Series([], dtype="int64")

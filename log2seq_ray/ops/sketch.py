@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .exchange import actor_pool
+
 HASH_BITS = 60
 # exact rational alpha_m for the small register counts (Flajolet et al.);
 # larger m would need the float 0.7213/(1+1.079/m) formula
@@ -193,7 +195,7 @@ def cms_sketch(ds, depth: int = 4, width: int = 256, col: str = "text"):
     return ds.map_batches(
         CMSPartialStage, fn_constructor_kwargs=dict(
             depth=depth, width=width, col=col),
-        batch_format="pyarrow", concurrency=(1, 8)) \
+        batch_format="pyarrow", concurrency=actor_pool()) \
         .groupby(["r", "c"]).aggregate(Sum("n_part", alias_name="n"))
 
 

@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .exchange import actor_pool
+
 US = 1_000_000
 
 
@@ -295,7 +297,7 @@ def percentile_rank(ds, value_col: str, id_col: str,
             })
 
     return ds.map_batches(Ranker, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=actor_pool())
 
 
 def hourly_spikes(ds, ts_col: str = "ts", by: str = "event_type",
@@ -360,7 +362,7 @@ def hourly_spikes(ds, ts_col: str = "ts", by: str = "event_type",
                                    pa.array(spike.astype(np.int64)))
 
     return hourly.map_batches(Flag, batch_format="pyarrow",
-                              concurrency=(1, 4))
+                              concurrency=actor_pool())
 
 
 def group_value_stats(ds, key: str, value_col: str):

@@ -14,6 +14,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .exchange import actor_pool
+
 
 def _token_lists(text: pa.ChunkedArray | pa.Array):
     """text → list<string> of non-empty space-separated tokens (identical
@@ -674,4 +676,4 @@ def tokenize_ids(ds, vocab_size: int = 1024, id_col: str = "doc_id",
     return ds.map_batches(
         _TokenizeStage, fn_constructor_kwargs=dict(
             vocab_ref=ref, id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=actor_pool())

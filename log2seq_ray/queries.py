@@ -12,6 +12,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .ops.exchange import actor_pool
+
 
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
@@ -47,7 +49,7 @@ def q_route_counts(sf_dir: str):
     ref = ray.put(dict(DEFAULT_LANG_CLASSES))
     ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
         EnrichStage, fn_constructor_kwargs=dict(lang_lookup_ref=ref),
-        batch_format="pyarrow", concurrency=(1, 4))
+        batch_format="pyarrow", concurrency=actor_pool())
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.select(["lang_class"]).group_by(["lang_class"]).aggregate(
@@ -233,7 +235,7 @@ def q_parse_events(sf_dir: str):
 
     return _events(sf_dir, ["ts", "event_type", "user_id"]) \
         .map_batches(RenderParse, batch_format="pyarrow",
-                     concurrency=(1, 4)) \
+                     concurrency=actor_pool()) \
         .groupby(["severity", "hour"]) \
         .aggregate(Sum("partial_n", alias_name="n"))
 
@@ -1080,7 +1082,7 @@ def q_simhash(sf_dir: str):
 def q_langid(sf_dir: str):
     from .ops.text import LangIdStage
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=(1, 4)) \
+        LangIdStage, batch_format="pyarrow", concurrency=actor_pool()) \
         .select_columns(["doc_id", "lang_pred", "lang_hits"])
 
 
