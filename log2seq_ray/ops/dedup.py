@@ -580,9 +580,13 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
     cand_refs = [expand.remote(id_col, max_bucket, pieces)
                  for pieces in per_part]
     # candidate-pair dedup exchange (id_a-keyed): all copies of a pair
-    # share id_a, so each lands in exactly one verify partition
-    pair2 = fan_out_pieces(split_by_key, cand_refs, num_parts,
-                           args=("id_a", num_parts))
+    # share id_a, so each lands in exactly one verify partition. Half the
+    # band-partition count: the fan-out piece-ref count is
+    # O(band_parts × pair_parts) and pairs are ~100x narrower than band
+    # rows, while verify parallelism only needs ~CPU-many partitions
+    np2 = max(8, num_parts // 2)
+    pair2 = fan_out_pieces(split_by_key, cand_refs, np2,
+                           args=("id_a", np2))
     uniq = ray.remote(num_returns=2)(_unique_pairs_with_ids)
     pair_refs, id_refs = [], []
     for pieces in pair2:
@@ -601,10 +605,10 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
         batch_format="pyarrow")
     block_refs = cand_docs.to_arrow_refs()
     per_part_docs = fan_out_pieces(_split_docs_by_need, block_refs,
-                                   num_parts, args=(id_refs, id_col, col))
+                                   np2, args=(id_refs, id_col, col))
     verify = ray.remote(_verify_partition)
     out_refs = []
-    for p in range(num_parts):
+    for p in range(np2):
         if len(id_arrays[p]) == 0:
             continue
         out_refs.append(verify.remote(threshold, shingle_k, id_col, col,
