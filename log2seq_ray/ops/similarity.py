@@ -516,3 +516,163 @@ def srp_knn(ds, queries, k: int = 10, n_planes: int = 8, probe: int = 1,
     pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
     pdf = pdf[pdf["rank"] <= k].reset_index(drop=True)
     return pdf[["query_id", "vec_id", "rank"]]
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-run SEMANTIC dedup ingest (persistent vector index)
+# ---------------------------------------------------------------------------
+
+def _sem_ingest_partition(threshold: float, id_col: str, col: str,
+                          new_pieces, old_pieces) -> pa.Table:
+    """One centroid-bucket partition of the semantic ingest join: victims
+    among this run's vectors — cosine >= ``threshold`` vs ANY committed
+    survivor sharing a bucket, or vs ANY lower-id new vector sharing a
+    bucket. Old-old pairs — the bulk of a mature index — are never
+    computed; all scans are vectorized matmuls per bucket."""
+    from .exchange import resolve_pieces
+    empty = pa.table({"vic": pa.array([], type=pa.int64())})
+    new_pieces = resolve_pieces(new_pieces)
+    if not new_pieces:
+        return empty
+    nt = pa.concat_tables(new_pieces)
+    old_pieces = resolve_pieces(old_pieces)
+    ot = pa.concat_tables(old_pieces) if old_pieces else None
+    cents = nt.column("__centroid").to_numpy()
+    ids_n = np.asarray(nt.column(id_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    Xn_all = _normalize(_to_matrix(nt.column(col)))
+    if ot is not None:
+        cents_o = ot.column("__centroid").to_numpy()
+        Xo_all = _normalize(_to_matrix(ot.column(col)))
+    out = np.zeros(len(nt), dtype=bool)
+    for c in np.unique(cents):
+        m = cents == c
+        rows = np.nonzero(m)[0]
+        Xn, idn = Xn_all[m], ids_n[m]
+        if ot is not None:
+            mo = cents_o == c
+            if mo.any():
+                sims = Xn @ Xo_all[mo].T
+                out[rows[(sims >= threshold).any(axis=1)]] = True
+        if len(idn) > 1:
+            sims = Xn @ Xn.T
+            hit = ((sims >= threshold)
+                   & (idn[None, :] < idn[:, None])).any(axis=1)
+            out[rows[hit]] = True
+    if not out.any():
+        return empty
+    return pa.table({"vic": pa.array(np.unique(ids_n[out]),
+                                     type=pa.int64())})
+
+
+def _anti_filter_partition(id_col: str, row_pieces, vic_pieces) -> pa.Table:
+    """One id-hash partition of the survivor anti-filter: keep rows whose
+    id is NOT in this partition's victim set (both sides arrived through
+    the same ``split_by_key(id)`` exchange, so membership is decided
+    locally and exactly)."""
+    from .exchange import resolve_all_pieces, resolve_pieces
+    rows = resolve_all_pieces(row_pieces)
+    tbl = pa.concat_tables(rows)
+    vics = resolve_pieces(vic_pieces)
+    if tbl.num_rows == 0 or not vics:
+        return tbl
+    vic = np.unique(np.concatenate(
+        [np.asarray(v.column("vic").to_numpy(zero_copy_only=False),
+                    dtype=np.int64) for v in vics]))
+    ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    keep = ~np.isin(ids, vic)
+    return tbl.filter(pa.array(keep))
+
+
+def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
+                        n_centroids: int = 8, n_assign: int = 3,
+                        id_col: str = "vec_id", col: str = "embedding",
+                        num_parts=None):
+    """Incremental cross-RUN SEMANTIC dedup — the continuous-crawl
+    embedding-dedup shape (tonight's embeddings vs every committed crawl,
+    the SemDeDup criterion made incremental): a new vector is DROPPED iff
+    its cosine vs ANY committed survivor, or vs ANY lower-id vector of
+    this run, reaches ``threshold``. Survivors commit their (id, vector)
+    rows to the persistent index under ``state_dir``. Ids must be unique
+    across runs. Returns the surviving ``id_col`` Dataset.
+
+    100 TB shape: the index stores vectors only (no text); coarse k-means
+    centroids are trained ONCE (first run, driver-side sample) and
+    PERSISTED, so bucketing is identical across runs; both sides
+    multi-assign to their ``n_assign`` nearest centroids and meet in ONE
+    centroid-keyed co-partitioned exchange — per-bucket work is
+    O(new_b x (old_b + new_b)), never old x old, and the hot-bucket
+    salting lever of :func:`log2seq_ray.ops.dedup.embedding_dups` applies
+    unchanged if a centroid overfills. The commit is write-to-temp +
+    ``rename`` — a crashed run leaves no partial index. Recall follows
+    the multi-probe LSH contract (a qualifying pair is caught when the
+    two vectors share any of their top-``n_assign`` centroids — certain
+    for near-identical vectors, which is the dedup regime)."""
+    import os
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from .dedup import _MultiAssignStage, _auto_parts
+    from .exchange import fan_out_pieces, split_by_key
+
+    os.makedirs(state_dir, exist_ok=True)
+    runs = sorted(d for d in os.listdir(state_dir)
+                  if d.startswith("run_"))
+    cpath = f"{state_dir}/centroids.npy"
+    if os.path.exists(cpath):
+        C = np.load(cpath)
+    else:
+        C = train_centroids(ds, n_centroids=n_centroids, col=col,
+                            id_col=id_col)
+        tmpc = f"{cpath}.{uuid.uuid4().hex}"
+        with open(tmpc, "wb") as f:
+            np.save(f, C)
+        os.replace(tmpc, cpath)
+    cref = ray.put(C)
+    assign_kwargs = dict(centroids_ref=cref, id_col=id_col, col=col,
+                         n_assign=n_assign)
+    from .exchange import actor_pool as _pool
+    new_assigned = ds.map_batches(
+        _MultiAssignStage, fn_constructor_kwargs=assign_kwargs,
+        batch_format="pyarrow", concurrency=_pool())
+    num_parts = min(_auto_parts(num_parts), max(1, n_centroids))
+    new_parts = fan_out_pieces(split_by_key, new_assigned.to_arrow_refs(),
+                               num_parts, args=("__centroid", num_parts))
+    files = [f"{state_dir}/{r}/{f}" for r in runs
+             if os.path.isdir(f"{state_dir}/{r}")
+             for f in sorted(os.listdir(f"{state_dir}/{r}"))
+             if f.endswith(".parquet")]
+    if files:
+        old_assigned = rd.read_parquet(files).map_batches(
+            _MultiAssignStage, fn_constructor_kwargs=assign_kwargs,
+            batch_format="pyarrow", concurrency=_pool())
+        old_parts = fan_out_pieces(
+            split_by_key, old_assigned.to_arrow_refs(), num_parts,
+            args=("__centroid", num_parts))
+    else:
+        old_parts = [[] for _ in range(num_parts)]
+    work = ray.remote(_sem_ingest_partition)
+    victim_refs = [work.remote(threshold, id_col, col, np_, op_)
+                   for np_, op_ in zip(new_parts, old_parts)]
+    # Survivor anti-filter: Acero joins reject nested non-key fields
+    # (list<double> embedding), so route rows AND victim ids through one
+    # id-hash co-partitioned exchange and mask per partition — same
+    # exactness argument as hash_join(anti), list payloads never enter a
+    # join kernel.
+    narrow = ds.map_batches(lambda b: b.select([id_col, col]),
+                            batch_format="pyarrow")
+    row_parts = fan_out_pieces(split_by_key, narrow.to_arrow_refs(),
+                               num_parts, args=(id_col, num_parts))
+    vic_parts = fan_out_pieces(split_by_key, victim_refs, num_parts,
+                               args=("vic", num_parts))
+    anti = ray.remote(_anti_filter_partition)
+    survivors = rd.from_arrow_refs(
+        [anti.remote(id_col, rp, vp)
+         for rp, vp in zip(row_parts, vic_parts)]).materialize()
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    survivors.write_parquet(tmp)
+    os.rename(tmp, f"{state_dir}/run_{len(runs):05d}")
+    return survivors.select_columns([id_col])

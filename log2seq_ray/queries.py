@@ -628,6 +628,55 @@ def q_cross_run_neardup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_cross_run_semdedup(sf_dir: str):
+    """Two-run incremental SEMANTIC dedup ingest: run A (even vec_ids)
+    commits its survivor vectors + the persisted bucketing centroids;
+    run B = odd vectors + re-keyed NEAR-COPIES of the even vectors
+    (+0.001 on dim 1 → cosine ≈ 1 vs the committed original) — every
+    copy must drop against the committed index. Returns run B's
+    surviving vec_ids."""
+    import os
+    import shutil
+
+    from .ops.similarity import ingest_semdedup_run, _to_matrix
+
+    state = f"/tmp/l2sr_sem_ingest_{os.getpid()}"
+    shutil.rmtree(state, ignore_errors=True)
+
+    base = _embeddings(sf_dir).map_batches(
+        lambda b: pa.table({
+            "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+            "embedding": pc.cast(b.column("embedding"),
+                                 pa.list_(pa.float64()))}),
+        batch_format="pyarrow")
+
+    def half(b: pa.Table, rem: int) -> pa.Table:
+        par = pc.bit_wise_and(b.column("vec_id"),
+                              pa.scalar(1, pa.int64()))
+        return b.filter(pc.equal(par, pa.scalar(rem, pa.int64())))
+
+    run_a = base.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    ingest_semdedup_run(run_a, state, threshold=0.9, n_centroids=8,
+                        n_assign=3)
+
+    def near_copy(b: pa.Table) -> pa.Table:
+        t = half(b, 0)
+        X = _to_matrix(t.column("embedding")).copy()
+        if len(X):
+            X[:, 0] += 0.001
+        return pa.table({
+            "vec_id": pc.add(t.column("vec_id"),
+                             pa.scalar(200000, pa.int64())),
+            "embedding": pa.array(list(X), type=pa.list_(pa.float64())),
+        })
+
+    run_b = base.map_batches(lambda b: half(b, 1),
+                             batch_format="pyarrow") \
+        .union(base.map_batches(near_copy, batch_format="pyarrow"))
+    return ingest_semdedup_run(run_b, state, threshold=0.9,
+                               n_centroids=8, n_assign=3)
+
+
 def q_event_bigrams(sf_dir: str):
     """User-path transition counts: consecutive event-type pairs per
     user in (ts, event_id) order, counted globally."""
@@ -1396,6 +1445,7 @@ QUERIES = {
     "event_spikes": q_event_spikes,
     "cross_run_dedup": q_cross_run_dedup,
     "cross_run_neardup": q_cross_run_neardup,
+    "cross_run_semdedup": q_cross_run_semdedup,
     "decontaminate_frac": q_decontaminate_frac,
     "value_stats": q_value_stats,
     "hourly_users": q_hourly_users,
@@ -2479,6 +2529,33 @@ ORACLE_SQL["cross_run_neardup"] = f"""
       AND NOT EXISTS (SELECT 1 FROM QP
                       WHERE x = B.doc_id AND y < B.doc_id
                         AND (y % 2 = 1 OR y >= 1000000))
+"""
+
+# cross-run semantic ingest: run A survivors = evens with no lower-id
+# even near-twin; run B = odds + near-copies of the evens (+0.001 on
+# dim 1, re-keyed +200000) — survivors drop vs committed A survivors and
+# vs lower-id run-B vectors, all at cosine >= 0.9 in double precision
+ORACLE_SQL["cross_run_semdedup"] = """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+    A AS (SELECT * FROM base WHERE vec_id % 2 = 0),
+    surA AS (SELECT a.vec_id, a.e FROM A a
+             WHERE NOT EXISTS (
+                 SELECT 1 FROM A a2 WHERE a2.vec_id < a.vec_id
+                   AND list_cosine_similarity(a.e, a2.e) >= 0.9)),
+    B AS (SELECT vec_id, e FROM base WHERE vec_id % 2 = 1
+          UNION ALL
+          SELECT vec_id + 200000,
+                 list_transform(range(1, len(e) + 1),
+                     i -> CASE WHEN i = 1 THEN e[i] + 0.001
+                               ELSE e[i] END)
+          FROM A)
+    SELECT b.vec_id
+    FROM B b
+    WHERE NOT EXISTS (SELECT 1 FROM surA s
+                      WHERE list_cosine_similarity(b.e, s.e) >= 0.9)
+      AND NOT EXISTS (SELECT 1 FROM B b2 WHERE b2.vec_id < b.vec_id
+                      AND list_cosine_similarity(b.e, b2.e) >= 0.9)
 """
 
 ORACLE_SQL["decontaminate"] = f"""

@@ -712,6 +712,50 @@ def test_ingest_neardup_run(ray_session, tmp_path):
     assert not [d for d in os.listdir(state) if d.startswith("_tmp")]
 
 
+def test_ingest_semdedup_run(ray_session, tmp_path):
+    """Cross-run incremental SEMANTIC dedup: run 2 drops vectors cosine-
+    near a run-1 SURVIVOR (not run 1's own dropped vectors) plus its own
+    within-run near-dups against lower ids; run 3 sees run 2's survivors.
+    n_assign == n_centroids probes every bucket → exact recall, so the
+    tiny fixture is deterministic."""
+    import os
+
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import ingest_semdedup_run
+    state = str(tmp_path / "sem_index")
+
+    def vecs(ids, vs):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vs],
+                                  type=pa.list_(pa.float64()))}))
+
+    kw = dict(threshold=0.9, n_centroids=2, n_assign=2)
+    # v2 ~ v1 (cos ≈ 0.995, dropped within-run); v3 orthogonal
+    s1 = ingest_semdedup_run(
+        vecs([1, 2, 3], [[1, 0], [0.995, 0.0999], [0, 1]]),
+        state, **kw).to_pandas()
+    assert sorted(s1["vec_id"]) == [1, 3]
+
+    # v10 ~ committed v1 → drop; v11 45° from both axes → keep;
+    # v12 ~ v11 (cos ≈ 0.9998) → within-run drop against lower id
+    s2 = ingest_semdedup_run(
+        vecs([10, 11, 12],
+             [[0.99, 0.05], [0.7071, 0.7071], [0.72, 0.69]]),
+        state, **kw).to_pandas()
+    assert sorted(s2["vec_id"]) == [11]
+
+    # v20 ~ run-2 SURVIVOR v11 → drop; v21 far from every survivor → keep
+    s3 = ingest_semdedup_run(
+        vecs([20, 21], [[0.71, 0.70], [-1, 0.1]]), state, **kw).to_pandas()
+    assert sorted(s3["vec_id"]) == [21]
+
+    runs = sorted(d for d in os.listdir(state) if d.startswith("run_"))
+    assert runs == ["run_00000", "run_00001", "run_00002"]
+    assert os.path.exists(f"{state}/centroids.npy")  # persisted bucketing
+    assert not [d for d in os.listdir(state) if d.startswith("_tmp")]
+
+
 def test_group_value_stats(ray_session):
     """Micro-unit stats match a serial reference; null values excluded;
     multi-block merge is order-independent."""
