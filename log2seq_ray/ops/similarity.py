@@ -621,11 +621,17 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     os.makedirs(state_dir, exist_ok=True)
     runs = sorted(d for d in os.listdir(state_dir)
                   if d.startswith("run_"))
+    # One narrow (id, vector) projection, materialized ONCE: it feeds
+    # centroid training, bucket assignment AND the survivor anti-filter
+    # (and is exactly the payload committed to the index), so the
+    # upstream — a full parquet scan at 100 TB — executes once, not 3x.
+    narrow = ds.map_batches(lambda b: b.select([id_col, col]),
+                            batch_format="pyarrow").materialize()
     cpath = f"{state_dir}/centroids.npy"
     if os.path.exists(cpath):
         C = np.load(cpath)
     else:
-        C = train_centroids(ds, n_centroids=n_centroids, col=col,
+        C = train_centroids(narrow, n_centroids=n_centroids, col=col,
                             id_col=id_col)
         tmpc = f"{cpath}.{uuid.uuid4().hex}"
         with open(tmpc, "wb") as f:
@@ -635,7 +641,7 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     assign_kwargs = dict(centroids_ref=cref, id_col=id_col, col=col,
                          n_assign=n_assign)
     from .exchange import actor_pool as _pool
-    new_assigned = ds.map_batches(
+    new_assigned = narrow.map_batches(
         _MultiAssignStage, fn_constructor_kwargs=assign_kwargs,
         batch_format="pyarrow", concurrency=_pool())
     num_parts = min(_auto_parts(num_parts), max(1, n_centroids))
@@ -662,8 +668,6 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     # id-hash co-partitioned exchange and mask per partition — same
     # exactness argument as hash_join(anti), list payloads never enter a
     # join kernel.
-    narrow = ds.map_batches(lambda b: b.select([id_col, col]),
-                            batch_format="pyarrow")
     row_parts = fan_out_pieces(split_by_key, narrow.to_arrow_refs(),
                                num_parts, args=(id_col, num_parts))
     vic_parts = fan_out_pieces(split_by_key, victim_refs, num_parts,

@@ -286,3 +286,52 @@ def test_ingest_pair_partition_matches_brute_force(seed, n_new, n_old):
                 if inter:
                     exp[(a, b)] = inter
     assert got == dict(exp)
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 10_000), n_new=st.integers(0, 20),
+       n_old=st.integers(0, 20), n_cent=st.integers(1, 4))
+def test_sem_ingest_partition_matches_brute_force(seed, n_new, n_old,
+                                                  n_cent):
+    """Victims from _sem_ingest_partition equal the brute-force rule:
+    a new id drops iff some OLD vector in a shared centroid bucket, or
+    some LOWER-id NEW vector in a shared bucket, has cosine >= t.
+    Old-old pairs never produce victims. t = 0.77 is unreachable exactly
+    by integer vectors of these norms, so no float-tie flakes."""
+    from log2seq_ray.ops.similarity import (_normalize,
+                                            _sem_ingest_partition)
+    t = 0.77
+    rng = np.random.default_rng(seed)
+
+    def mk(n, id_lo):
+        X = rng.integers(0, 4, size=(n, 4)).astype(np.float64)
+        if n:
+            X[X.sum(axis=1) == 0, 0] = 1.0  # no zero vectors
+        ids = np.arange(id_lo, id_lo + n, dtype=np.int64)
+        cents = rng.integers(0, n_cent, size=n).astype(np.int32)
+        tbl = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(r) for r in X],
+                                  type=pa.list_(pa.float64())),
+            "__centroid": pa.array(cents)})
+        return X, ids, cents, tbl
+
+    Xn, idn, cn, new_tbl = mk(n_new, 100)
+    Xo, ido, co, old_tbl = mk(n_old, 0)
+
+    out = _sem_ingest_partition(t, "vec_id", "embedding",
+                                [new_tbl], [old_tbl])
+    got = set(out.column("vic").to_pylist())
+
+    Nn = _normalize(Xn) if n_new else Xn
+    No = _normalize(Xo) if n_old else Xo
+    exp = set()
+    for i in range(n_new):
+        hit = any(cn[i] == co[j] and float(Nn[i] @ No[j]) >= t
+                  for j in range(n_old))
+        hit = hit or any(cn[i] == cn[j] and idn[j] < idn[i]
+                         and float(Nn[i] @ Nn[j]) >= t
+                         for j in range(n_new))
+        if hit:
+            exp.add(int(idn[i]))
+    assert got == exp
