@@ -384,6 +384,33 @@ def run_benchmarks() -> dict:
             "semdedup_2m",
             lambda: semdedup(rd.read_parquet(ec), k=256, iters=1,
                              threshold=0.95, num_parts=64).count())
+        # incremental SEMANTIC ingest stress: 200k vectors, run 1 commits
+        # the evens, run 2's odds drop against the committed index (the
+        # 2M-vector reading lives in BASELINE.md — kept out of the
+        # per-round suite to bound its wall time)
+        from log2seq_ray.ops.similarity import ingest_semdedup_run
+        ec2 = _embed_corpus(SF_DIR, replicas=100)
+        sem_state = "/tmp/l2sr_sem_stress_bench"
+        _sh.rmtree(sem_state, ignore_errors=True)
+
+        def _sem_half(rem: int):
+            return rd.read_parquet(ec2).map_batches(
+                lambda b: b.filter(pc.equal(
+                    pc.bit_wise_and(b.column("vec_id"),
+                                    pa.scalar(1, pa.int64())),
+                    pa.scalar(rem, pa.int64()))),
+                batch_format="pyarrow")
+
+        extras["semdedup_ingest_200k_run1_survivors"] = timed(
+            "semdedup_ingest_200k_run1",
+            lambda: ingest_semdedup_run(
+                _sem_half(0), sem_state, threshold=0.95, n_centroids=64,
+                n_assign=2, num_parts=64).count())
+        extras["semdedup_ingest_200k_run2_survivors"] = timed(
+            "semdedup_ingest_200k_run2",
+            lambda: ingest_semdedup_run(
+                _sem_half(1), sem_state, threshold=0.95, n_centroids=64,
+                n_assign=2, num_parts=64).count())
 
     ray.shutdown()
     headline = timings["flagship"]

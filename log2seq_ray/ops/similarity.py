@@ -545,20 +545,40 @@ def _sem_ingest_partition(threshold: float, id_col: str, col: str,
         cents_o = ot.column("__centroid").to_numpy()
         Xo_all = _normalize(_to_matrix(ot.column(col)))
     out = np.zeros(len(nt), dtype=bool)
+    chunk = 2048  # bounds each similarity slab at chunk×b floats —
+    #               an unchunked 8k×8k float64 slab is 512 MB PER TASK
+    #               (same lesson as _semdedup_partition)
     for c in np.unique(cents):
         m = cents == c
         rows = np.nonzero(m)[0]
-        Xn, idn = Xn_all[m], ids_n[m]
+        idn, Xn = ids_n[m], Xn_all[m]
+        order = np.argsort(idn, kind="stable")  # ids unique per run →
+        rows, idn, Xn = rows[order], idn[order], Xn[order]
+        b = len(idn)
+        vic = np.zeros(b, dtype=bool)
         if ot is not None:
             mo = cents_o == c
             if mo.any():
-                sims = Xn @ Xo_all[mo].T
-                out[rows[(sims >= threshold).any(axis=1)]] = True
-        if len(idn) > 1:
-            sims = Xn @ Xn.T
-            hit = ((sims >= threshold)
-                   & (idn[None, :] < idn[:, None])).any(axis=1)
-            out[rows[hit]] = True
+                Xo = Xo_all[mo]
+                for lo in range(0, b, chunk):
+                    hi = min(lo + chunk, b)
+                    vic[lo:hi] |= (Xn[lo:hi] @ Xo.T
+                                   >= threshold).any(axis=1)
+        # Within-run scan: rows the old-scan already marked are skipped
+        # as ROWS (a mature index marks nearly everything, collapsing
+        # this scan) but stay as COLUMNS — a dropped vector still
+        # victimizes higher ids, matching the oracle's EXISTS over ALL
+        # lower-id vectors of the run.
+        alive = np.nonzero(~vic)[0]
+        for lo in range(0, len(alive), chunk):
+            sel = alive[lo:lo + chunk]
+            hi = int(sel[-1]) + 1
+            if hi <= 1:
+                continue
+            S = Xn[sel] @ Xn[:hi].T
+            older = sel[:, None] > np.arange(hi)[None, :]  # pos ≡ id order
+            vic[sel] |= ((S >= threshold) & older).any(axis=1)
+        out[rows[vic]] = True
     if not out.any():
         return empty
     return pa.table({"vic": pa.array(np.unique(ids_n[out]),
@@ -641,9 +661,12 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     assign_kwargs = dict(centroids_ref=cref, id_col=id_col, col=col,
                          n_assign=n_assign)
     from .exchange import actor_pool as _pool
+    # big batches: the fan-out splits every block into num_parts pieces,
+    # so small default blocks would mean 100k+ tiny plasma objects
+    # (the measured 512s -> 25s semdedup lesson)
     new_assigned = narrow.map_batches(
         _MultiAssignStage, fn_constructor_kwargs=assign_kwargs,
-        batch_format="pyarrow", concurrency=_pool())
+        batch_format="pyarrow", batch_size=16384, concurrency=_pool())
     num_parts = min(_auto_parts(num_parts), max(1, n_centroids))
     new_parts = fan_out_pieces(split_by_key, new_assigned.to_arrow_refs(),
                                num_parts, args=("__centroid", num_parts))
@@ -654,7 +677,8 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     if files:
         old_assigned = rd.read_parquet(files).map_batches(
             _MultiAssignStage, fn_constructor_kwargs=assign_kwargs,
-            batch_format="pyarrow", concurrency=_pool())
+            batch_format="pyarrow", batch_size=16384,
+            concurrency=_pool())
         old_parts = fan_out_pieces(
             split_by_key, old_assigned.to_arrow_refs(), num_parts,
             args=("__centroid", num_parts))
