@@ -513,6 +513,7 @@ def run_ops_leg() -> dict:
 
     dd = _dedup_corpus(SF_DIR, replicas=8,
                        families=SCALING_OPS_FAMILIES)
+    ec3 = _embed_corpus(SF_DIR, replicas=300)
     import glob
     import pyarrow.parquet as pq
     for f in glob.glob(f"{dd}/*.parquet"):
@@ -526,6 +527,33 @@ def run_ops_leg() -> dict:
                          left_cols=["doc_id", "pos", "token_id"],
                          right_cols=["doc_id", "start_tok"]).count()
 
+    def sem_ingest_two_runs():
+        # both incremental legs, fresh index: run 1 commits the evens
+        # (within-run self-scan dominates), run 2 ingests the odds
+        # against the committed index (new-vs-old scan dominates) —
+        # compute-dense BLAS slabs, unlike the bandwidth-bound exchanges
+        import shutil as _sh
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from log2seq_ray.ops.similarity import ingest_semdedup_run
+        state = f"/tmp/l2sr_sem_scaling_{NUM_CPUS}"
+        _sh.rmtree(state, ignore_errors=True)
+
+        def halfp(rem: int):
+            return rd.read_parquet(ec3).map_batches(
+                lambda b: b.filter(pc.equal(
+                    pc.bit_wise_and(b.column("vec_id"),
+                                    pa.scalar(1, pa.int64())),
+                    pa.scalar(rem, pa.int64()))),
+                batch_format="pyarrow")
+
+        kw = dict(threshold=0.95, n_centroids=128, n_assign=2,
+                  num_parts=64)
+        n = ingest_semdedup_run(halfp(0), state, **kw).count()
+        return n + ingest_semdedup_run(halfp(1), state, **kw).count()
+
+    only = set(filter(None, os.environ.get("GRAFT_OPS_ONLY",
+                                           "").split(",")))
     out = {"cpus": NUM_CPUS, "families": SCALING_OPS_FAMILIES}
     for name, fn in (
         ("minhash_dedup",
@@ -535,7 +563,10 @@ def run_ops_leg() -> dict:
          lambda: ngram_jaccard_dups(rd.read_parquet(dd), window=4,
                                     max_df=64).count()),
         ("packed_tokens", packed_over_dd),
+        ("semdedup_ingest", sem_ingest_two_runs),
     ):
+        if only and name not in only:
+            continue
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -555,6 +586,7 @@ def run_scaling_ops(lo: int = 8, hi: int = 32) -> dict:
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     _dedup_corpus(SF_DIR, replicas=8, families=SCALING_OPS_FAMILIES)
+    _embed_corpus(SF_DIR, replicas=300)
     ray.shutdown()
 
     def one(ncpu: int) -> dict:
@@ -571,7 +603,10 @@ def run_scaling_ops(lo: int = 8, hi: int = 32) -> dict:
     res = {"metric": "per-op scaling efficiency (sec ratio vs cpu ratio)",
            "cpus_lo": lo, "cpus_hi": hi, "sf": _sf_of(SF_DIR),
            "families": SCALING_OPS_FAMILIES}
-    for op in ("minhash_dedup", "ngram_jaccard", "packed_tokens"):
+    for op in ("minhash_dedup", "ngram_jaccard", "packed_tokens",
+               "semdedup_ingest"):
+        if op not in r_lo or op not in r_hi:
+            continue
         res[f"{op}_sec_lo"] = r_lo[op]
         res[f"{op}_sec_hi"] = r_hi[op]
         res[f"{op}_scaling_efficiency"] = round(

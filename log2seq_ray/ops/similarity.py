@@ -336,19 +336,13 @@ def _semdedup_partition(threshold, id_col, pieces):
     cl = t.column("cluster").to_numpy()
     X = _normalize(_to_matrix(t.column("embedding")))
     out_i, out_c = [], []
-    chunk = 2048          # bounds the similarity slab at chunk×b floats
     for c in np.unique(cl):
         m = cl == c
         cid, cx = ids[m], X[m]
         order = np.argsort(cid, kind="stable")
         cid, cx = cid[order], cx[order]
-        b = len(cid)
-        dup = np.zeros(b, dtype=bool)
-        for lo in range(0, b, chunk):
-            hi = min(lo + chunk, b)
-            S = cx[lo:hi] @ cx[:hi].T           # rows i ∈ [lo,hi), cols j < hi
-            older = np.arange(lo, hi)[:, None] > np.arange(hi)[None, :]
-            dup[lo:hi] = ((S >= threshold) & older).any(axis=1)
+        dup = np.zeros(len(cid), dtype=bool)
+        _mark_older_victims(cx, dup, threshold)
         out_i.append(cid[~dup])
         out_c.append(np.full(int((~dup).sum()), c, dtype=np.int64))
     return pa.table({
@@ -522,6 +516,39 @@ def srp_knn(ds, queries, k: int = 10, n_planes: int = 8, probe: int = 1,
 # incremental cross-run SEMANTIC dedup ingest (persistent vector index)
 # ---------------------------------------------------------------------------
 
+def _mark_older_victims(X, vic, threshold, rch: int = 4096,
+                        cch: int = 256) -> None:
+    """In-place keep-first scan over row-normalized ``X`` (rows in id
+    order): set ``vic[i]`` when some j < i has ``X[i]·X[j] >= threshold``.
+    Pre-marked rows are skipped as ROWS but stay COLUMNS forever (a
+    dropped vector still victimizes higher ids — the EXISTS-over-all-
+    lower-ids contract of semdedup and the semantic ingest).
+
+    Columns scan in REVERSE id order with row pruning: crawl near-dups
+    are id-adjacent (replica runs, recrawls), so a victim's witness is
+    usually in its first column chunk and the dup-heavy regime costs
+    ~O(b×cch×d) instead of O(b²d). Every GEMM is ≤rch×cch (8 MB f64) —
+    the 128 MB chunk×b slabs of the first version made 32 concurrent
+    tasks allocator/bandwidth-bound (32 CPUs measured SLOWER than 8)."""
+    b = len(vic)
+    act = np.nonzero(~vic)[0]
+    for clo in range((max(b - 1, 1) - 1) // cch * cch, -1, -cch):
+        act = act[~vic[act]]
+        sel_all = act[np.searchsorted(act, clo, side="right"):]
+        if not len(sel_all):
+            continue  # lower chunks still serve lower-id rows
+        chi = min(clo + cch, b)
+        Ct = X[clo:chi].T
+        cols = np.arange(clo, chi)
+        for rlo in range(0, len(sel_all), rch):
+            sel = sel_all[rlo:rlo + rch]
+            hit = X[sel] @ Ct >= threshold
+            inside = sel < chi  # diagonal chunk: strictly-lower only
+            if inside.any():
+                hit[inside] &= sel[inside, None] > cols[None, :]
+            vic[sel] |= hit.any(axis=1)
+
+
 def _sem_ingest_partition(threshold: float, id_col: str, col: str,
                           new_pieces, old_pieces) -> pa.Table:
     """One centroid-bucket partition of the semantic ingest join: victims
@@ -545,9 +572,14 @@ def _sem_ingest_partition(threshold: float, id_col: str, col: str,
         cents_o = ot.column("__centroid").to_numpy()
         Xo_all = _normalize(_to_matrix(ot.column(col)))
     out = np.zeros(len(nt), dtype=bool)
-    chunk = 2048  # bounds each similarity slab at chunk×b floats —
-    #               an unchunked 8k×8k float64 slab is 512 MB PER TASK
-    #               (same lesson as _semdedup_partition)
+    # Slab geometry: every GEMM is (≤rch rows) × (≤cch columns), so the
+    # peak float64 temporary is rch×cch = 8 MB per task regardless of
+    # bucket size (the 128 MB chunk×b slabs of the first version made 32
+    # concurrent tasks allocator/bandwidth-bound — 32 CPUs measured
+    # SLOWER than 8). Narrow column chunks matter more than wide GEMMs:
+    # a row stops scanning at its first witness chunk, so per-victim
+    # work is O(cch×d), not O(b×d).
+    rch, cch = 4096, 256
     for c in np.unique(cents):
         m = cents == c
         rows = np.nonzero(m)[0]
@@ -560,24 +592,21 @@ def _sem_ingest_partition(threshold: float, id_col: str, col: str,
             mo = cents_o == c
             if mo.any():
                 Xo = Xo_all[mo]
-                for lo in range(0, b, chunk):
-                    hi = min(lo + chunk, b)
-                    vic[lo:hi] |= (Xn[lo:hi] @ Xo.T
-                                   >= threshold).any(axis=1)
-        # Within-run scan: rows the old-scan already marked are skipped
-        # as ROWS (a mature index marks nearly everything, collapsing
-        # this scan) but stay as COLUMNS — a dropped vector still
-        # victimizes higher ids, matching the oracle's EXISTS over ALL
-        # lower-id vectors of the run.
-        alive = np.nonzero(~vic)[0]
-        for lo in range(0, len(alive), chunk):
-            sel = alive[lo:lo + chunk]
-            hi = int(sel[-1]) + 1
-            if hi <= 1:
-                continue
-            S = Xn[sel] @ Xn[:hi].T
-            older = sel[:, None] > np.arange(hi)[None, :]  # pos ≡ id order
-            vic[sel] |= ((S >= threshold) & older).any(axis=1)
+                # Column-chunked with row pruning: against a mature
+                # index nearly every row hits in its first chunk, so the
+                # scan is ~O(rows×cch×d) instead of O(rows×|index|×d).
+                act = np.arange(b)
+                for clo in range(0, Xo.shape[0], cch):
+                    act = act[~vic[act]]
+                    if not len(act):
+                        break
+                    Oc = Xo[clo:clo + cch].T
+                    for rlo in range(0, len(act), rch):
+                        sel = act[rlo:rlo + rch]
+                        vic[sel] |= (Xn[sel] @ Oc >= threshold).any(axis=1)
+        # Within-run scan: a dropped vector still victimizes higher ids,
+        # matching the oracle's EXISTS over ALL lower-id vectors.
+        _mark_older_victims(Xn, vic, threshold, rch=rch, cch=cch)
         out[rows[vic]] = True
     if not out.any():
         return empty
@@ -645,8 +674,14 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     # centroid training, bucket assignment AND the survivor anti-filter
     # (and is exactly the payload committed to the index), so the
     # upstream — a full parquet scan at 100 TB — executes once, not 3x.
+    import time as _time
+    _t0 = _time.perf_counter()
+    _trace = (lambda tag: print(
+        f"[sem_ingest +{_time.perf_counter() - _t0:6.1f}s] {tag}",
+        flush=True)) if os.environ.get("L2SR_TIMING") else (lambda tag: None)
     narrow = ds.map_batches(lambda b: b.select([id_col, col]),
                             batch_format="pyarrow").materialize()
+    _trace("narrow materialized")
     cpath = f"{state_dir}/centroids.npy"
     if os.path.exists(cpath):
         C = np.load(cpath)
@@ -657,6 +692,7 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
         with open(tmpc, "wb") as f:
             np.save(f, C)
         os.replace(tmpc, cpath)
+    _trace("centroids ready")
     cref = ray.put(C)
     assign_kwargs = dict(centroids_ref=cref, id_col=id_col, col=col,
                          n_assign=n_assign)
@@ -670,6 +706,7 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     num_parts = min(_auto_parts(num_parts), max(1, n_centroids))
     new_parts = fan_out_pieces(split_by_key, new_assigned.to_arrow_refs(),
                                num_parts, args=("__centroid", num_parts))
+    _trace("new side assigned + fanned out")
     files = [f"{state_dir}/{r}/{f}" for r in runs
              if os.path.isdir(f"{state_dir}/{r}")
              for f in sorted(os.listdir(f"{state_dir}/{r}"))
@@ -684,6 +721,7 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
             args=("__centroid", num_parts))
     else:
         old_parts = [[] for _ in range(num_parts)]
+    _trace("old side assigned + fanned out")
     work = ray.remote(_sem_ingest_partition)
     victim_refs = [work.remote(threshold, id_col, col, np_, op_)
                    for np_, op_ in zip(new_parts, old_parts)]
@@ -696,10 +734,12 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
                                num_parts, args=(id_col, num_parts))
     vic_parts = fan_out_pieces(split_by_key, victim_refs, num_parts,
                                args=("vic", num_parts))
+    _trace("victim + anti fan-outs submitted")
     anti = ray.remote(_anti_filter_partition)
     survivors = rd.from_arrow_refs(
         [anti.remote(id_col, rp, vp)
          for rp, vp in zip(row_parts, vic_parts)]).materialize()
+    _trace("survivors materialized")
     tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
     survivors.write_parquet(tmp)
     os.rename(tmp, f"{state_dir}/run_{len(runs):05d}")
