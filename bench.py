@@ -76,7 +76,11 @@ def _dedup_corpus(sf_dir: str, replicas: int = 8,
             texts = pc.binary_join_element_wise(
                 pc.take(base, pa.array(idx)),
                 pc.cast(pa.array(r), pa.string()), " rep")
-            ids = np.repeat(ids0, replicas) * 1000 + f * replicas + r
+            # stride must exceed families*replicas or replica ids of
+            # adjacent docs collide; 1000 keeps default-config ids (and
+            # the cached corpus) byte-identical
+            stride = max(1000, families * replicas)
+            ids = np.repeat(ids0, replicas) * stride + f * replicas + r
             tabs.append(pa.table({"doc_id": pa.array(ids),
                                   "text": texts}))
         return pa.concat_tables(tabs)
@@ -393,12 +397,11 @@ def run_benchmarks() -> dict:
         sem_state = "/tmp/l2sr_sem_stress_bench"
         _sh.rmtree(sem_state, ignore_errors=True)
 
+        from log2seq_ray.queries import parity_half
+
         def _sem_half(rem: int):
             return rd.read_parquet(ec2).map_batches(
-                lambda b: b.filter(pc.equal(
-                    pc.bit_wise_and(b.column("vec_id"),
-                                    pa.scalar(1, pa.int64())),
-                    pa.scalar(rem, pa.int64()))),
+                lambda b: parity_half(b, rem, col="vec_id"),
                 batch_format="pyarrow")
 
         extras["semdedup_ingest_200k_run1_survivors"] = timed(
@@ -533,18 +536,14 @@ def run_ops_leg() -> dict:
         # against the committed index (new-vs-old scan dominates) —
         # compute-dense BLAS slabs, unlike the bandwidth-bound exchanges
         import shutil as _sh
-        import pyarrow as pa
-        import pyarrow.compute as pc
         from log2seq_ray.ops.similarity import ingest_semdedup_run
+        from log2seq_ray.queries import parity_half
         state = f"/tmp/l2sr_sem_scaling_{NUM_CPUS}"
         _sh.rmtree(state, ignore_errors=True)
 
         def halfp(rem: int):
             return rd.read_parquet(ec3).map_batches(
-                lambda b: b.filter(pc.equal(
-                    pc.bit_wise_and(b.column("vec_id"),
-                                    pa.scalar(1, pa.int64())),
-                    pa.scalar(rem, pa.int64()))),
+                lambda b: parity_half(b, rem, col="vec_id"),
                 batch_format="pyarrow")
 
         kw = dict(threshold=0.95, n_centroids=128, n_assign=2,

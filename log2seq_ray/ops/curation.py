@@ -1249,8 +1249,19 @@ def ingest_neardup_run(ds, state_dir: str, window: int = 4,
                           id_col, id_col, how="semi")
 
     tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    # write_parquet of an EMPTY dataset creates no directory — pre-create
+    # both payload dirs so the commit rename succeeds when every row of
+    # the run was a near-duplicate of the committed index
+    os.makedirs(f"{tmp}/pairs", exist_ok=True)
+    os.makedirs(f"{tmp}/sizes", exist_ok=True)
     surv_rows.write_parquet(f"{tmp}/pairs")
     survivors.write_parquet(f"{tmp}/sizes")
     final = f"{state_dir}/run_{len(runs):05d}"
     os.rename(tmp, final)
+    if survivors.count() == 0:
+        # the anti join's all-filtered output loses its schema — return
+        # a TYPED empty so downstream select/schema keep working
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "sz_part": pa.array([], type=pa.int64())}))
     return survivors

@@ -109,9 +109,18 @@ def ingest_dedup_run(ds, state_dir: str, id_col: str = "doc_id",
     survivors = survivors.materialize()
 
     tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    # write_parquet of an EMPTY dataset creates no directory — pre-create
+    # tmp so the commit rename succeeds when every row was a duplicate
+    os.makedirs(tmp, exist_ok=True)
     survivors.select_columns(["content_hash", id_col]).write_parquet(tmp)
     final = f"{state_dir}/run_{len(runs):05d}"
     os.rename(tmp, final)
+    if survivors.count() == 0:
+        # the anti join's all-filtered output loses its schema — return
+        # a TYPED empty so downstream select/schema keep working
+        return rd.from_arrow(pa.table({
+            "content_hash": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=pa.int64())}))
     return survivors
 
 
@@ -762,11 +771,13 @@ def label_propagation_clusters(pairs, num_parts: int = 8,
         label_refs = new_labels
         if sum(ray.get(changed_refs)) == 0:
             break
-    return rd.from_arrow_refs(label_refs).map_batches(
-        lambda b: pa.table({
-            "doc_id": pc.cast(b.column("id"), pa.int64()),
-            "cluster_id": pc.cast(b.column("label"), pa.int64())}),
-        batch_format="pyarrow")
+    # rename via a plain task, NOT map_batches: Ray skips map_batches on
+    # zero-row blocks (they come out zero-COLUMN), so an all-empty pair
+    # set would lose the doc_id/cluster_id schema — the task always runs
+    ren = ray.remote(lambda t: pa.table({
+        "doc_id": pc.cast(t.column("id"), pa.int64()),
+        "cluster_id": pc.cast(t.column("label"), pa.int64())}))
+    return rd.from_arrow_refs([ren.remote(l) for l in label_refs])
 
 
 def minhash_clusters(ds, threshold: float = 0.8, method: str = "auto",

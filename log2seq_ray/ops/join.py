@@ -231,6 +231,19 @@ def hash_join(left, right, left_key: str, right_key: str,
         except Exception:
             num_buckets = 32
 
+    # A side with zero rows AND no recoverable type info (schema() is
+    # None — e.g. a map_batches chain whose every block came out empty)
+    # can't flow through the typed exchange; resolve the join by its
+    # semantics instead of crashing on the missing schema.
+    if left.schema() is None:
+        return left  # empty left → empty result for every join type
+    if right.schema() is None:
+        l_out = left if left_cols is None \
+            else left.select_columns(list(left_cols))
+        if how in ("anti", "left"):
+            return l_out  # nothing on the right matches/filters
+        return l_out.limit(0)  # inner/semi: no matches possible
+
     def _names(ds, given):
         if given:
             return list(given)

@@ -137,6 +137,8 @@ def train_centroids(ds, n_centroids: int = 16, sample: int = 4096,
                 dtype=np.int64))
         if sum(len(x) for x in X) >= sample:
             break
+    if not X:
+        raise ValueError("train_centroids: dataset has no rows")
     X = np.concatenate(X)
     if id_col is not None:
         order = np.argsort(np.concatenate(ids), kind="stable")
@@ -620,7 +622,12 @@ def _anti_filter_partition(id_col: str, row_pieces, vic_pieces) -> pa.Table:
     the same ``split_by_key(id)`` exchange, so membership is decided
     locally and exactly)."""
     from .exchange import resolve_all_pieces, resolve_pieces
-    rows = resolve_all_pieces(row_pieces)
+    # zero-COLUMN empties (a zero-row block upstream that skipped every
+    # map_batches) carry no schema and break concat_tables with the
+    # typed pieces — drop them, keep typed empties for their schema
+    rows = [t for t in resolve_all_pieces(row_pieces) if t.num_columns]
+    if not rows:
+        return pa.table({})
     tbl = pa.concat_tables(rows)
     vics = resolve_pieces(vic_pieces)
     if tbl.num_rows == 0 or not vics:
@@ -674,14 +681,16 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     # centroid training, bucket assignment AND the survivor anti-filter
     # (and is exactly the payload committed to the index), so the
     # upstream — a full parquet scan at 100 TB — executes once, not 3x.
-    import time as _time
-    _t0 = _time.perf_counter()
-    _trace = (lambda tag: print(
-        f"[sem_ingest +{_time.perf_counter() - _t0:6.1f}s] {tag}",
-        flush=True)) if os.environ.get("L2SR_TIMING") else (lambda tag: None)
     narrow = ds.map_batches(lambda b: b.select([id_col, col]),
                             batch_format="pyarrow").materialize()
-    _trace("narrow materialized")
+    empty_ids = rd.from_arrow(
+        pa.table({id_col: pa.array([], type=pa.int64())}))
+    if narrow.count() == 0:
+        # nothing to ingest: commit an empty run (keeps run numbering
+        # monotone for resume) and return a TYPED empty id set
+        run_dir = f"{state_dir}/run_{len(runs):05d}"
+        os.makedirs(run_dir, exist_ok=True)
+        return empty_ids
     cpath = f"{state_dir}/centroids.npy"
     if os.path.exists(cpath):
         C = np.load(cpath)
@@ -692,7 +701,6 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
         with open(tmpc, "wb") as f:
             np.save(f, C)
         os.replace(tmpc, cpath)
-    _trace("centroids ready")
     cref = ray.put(C)
     assign_kwargs = dict(centroids_ref=cref, id_col=id_col, col=col,
                          n_assign=n_assign)
@@ -706,7 +714,6 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     num_parts = min(_auto_parts(num_parts), max(1, n_centroids))
     new_parts = fan_out_pieces(split_by_key, new_assigned.to_arrow_refs(),
                                num_parts, args=("__centroid", num_parts))
-    _trace("new side assigned + fanned out")
     files = [f"{state_dir}/{r}/{f}" for r in runs
              if os.path.isdir(f"{state_dir}/{r}")
              for f in sorted(os.listdir(f"{state_dir}/{r}"))
@@ -721,7 +728,6 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
             args=("__centroid", num_parts))
     else:
         old_parts = [[] for _ in range(num_parts)]
-    _trace("old side assigned + fanned out")
     work = ray.remote(_sem_ingest_partition)
     victim_refs = [work.remote(threshold, id_col, col, np_, op_)
                    for np_, op_ in zip(new_parts, old_parts)]
@@ -734,13 +740,17 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
                                num_parts, args=(id_col, num_parts))
     vic_parts = fan_out_pieces(split_by_key, victim_refs, num_parts,
                                args=("vic", num_parts))
-    _trace("victim + anti fan-outs submitted")
     anti = ray.remote(_anti_filter_partition)
     survivors = rd.from_arrow_refs(
         [anti.remote(id_col, rp, vp)
          for rp, vp in zip(row_parts, vic_parts)]).materialize()
-    _trace("survivors materialized")
     tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    # write_parquet of an EMPTY dataset creates no directory — pre-create
+    # tmp so the commit rename always has something to move (an empty run
+    # is the normal recrawl outcome: every vector already indexed)
+    os.makedirs(tmp, exist_ok=True)
     survivors.write_parquet(tmp)
     os.rename(tmp, f"{state_dir}/run_{len(runs):05d}")
+    if survivors.count() == 0:
+        return empty_ids
     return survivors.select_columns([id_col])

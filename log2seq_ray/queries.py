@@ -30,6 +30,16 @@ def _embeddings(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def parity_half(b: pa.Table, rem: int, col: str = "doc_id") -> pa.Table:
+    """Rows whose int64 ``col`` has parity ``rem`` — the deterministic
+    two-run split shared by every cross-run ingest query and the bench
+    stress legs (run A = evens commits the index, run B = odds ingests
+    against it)."""
+    par = pc.bit_wise_and(pc.cast(b.column(col), pa.int64()),
+                          pa.scalar(1, pa.int64()))
+    return b.filter(pc.equal(par, pa.scalar(rem, pa.int64())))
+
+
 # ---------------------------------------------------------------------------
 # SQL-checked queries
 # ---------------------------------------------------------------------------
@@ -561,11 +571,7 @@ def q_cross_run_dedup(sf_dir: str):
     state = f"/tmp/l2sr_ingest_{os.getpid()}"
     shutil.rmtree(state, ignore_errors=True)
     docs = _docs(sf_dir, ["doc_id", "text"])
-
-    def half(b: pa.Table, rem: int) -> pa.Table:
-        par = pc.bit_wise_and(pc.cast(b.column("doc_id"), pa.int64()),
-                              pa.scalar(1, pa.int64()))
-        return b.filter(pc.equal(par, pa.scalar(rem, pa.int64())))
+    half = parity_half
 
     run_a = docs.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
     ingest_dedup_run(run_a, state)
@@ -599,11 +605,7 @@ def q_cross_run_neardup(sf_dir: str):
     state = f"/tmp/l2sr_nd_ingest_{os.getpid()}"
     shutil.rmtree(state, ignore_errors=True)
     docs = _docs(sf_dir, ["doc_id", "text"])
-
-    def half(b: pa.Table, rem: int) -> pa.Table:
-        par = pc.bit_wise_and(pc.cast(b.column("doc_id"), pa.int64()),
-                              pa.scalar(1, pa.int64()))
-        return b.filter(pc.equal(par, pa.scalar(rem, pa.int64())))
+    half = parity_half
 
     run_a = docs.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
     ingest_neardup_run(run_a, state)
@@ -651,9 +653,7 @@ def q_cross_run_semdedup(sf_dir: str):
         batch_format="pyarrow")
 
     def half(b: pa.Table, rem: int) -> pa.Table:
-        par = pc.bit_wise_and(b.column("vec_id"),
-                              pa.scalar(1, pa.int64()))
-        return b.filter(pc.equal(par, pa.scalar(rem, pa.int64())))
+        return parity_half(b, rem, col="vec_id")
 
     run_a = base.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
     ingest_semdedup_run(run_a, state, threshold=0.9, n_centroids=8,

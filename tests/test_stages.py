@@ -756,6 +756,111 @@ def test_ingest_semdedup_run(ray_session, tmp_path):
     assert not [d for d in os.listdir(state) if d.startswith("_tmp")]
 
 
+def test_ingest_runs_all_duplicates(ray_session, tmp_path):
+    """The recrawl regression: a run whose EVERY row is already committed
+    must still commit (an empty run dir — write_parquet of an empty
+    dataset creates no files) and return a typed empty survivor set, and
+    the index must keep working for the run after it."""
+    import os
+
+    import ray.data as rd
+    from log2seq_ray.ops.curation import ingest_neardup_run
+    from log2seq_ray.ops.dedup import ingest_dedup_run
+    from log2seq_ray.ops.similarity import ingest_semdedup_run
+
+    # exact: run 2 re-ingests run 1's texts verbatim
+    state = str(tmp_path / "idx_exact")
+    r1 = pa.table({"doc_id": [1, 2], "text": ["aa", "bb"]})
+    ingest_dedup_run(rd.from_arrow(r1), state)
+    s2 = ingest_dedup_run(
+        rd.from_arrow(pa.table({"doc_id": [10, 11],
+                                "text": ["aa", "bb"]})), state)
+    # Ray's to_pandas drops columns at zero rows; the TYPED contract
+    # lives in the Dataset schema
+    assert s2.count() == 0 and "doc_id" in s2.schema().names
+    s3 = ingest_dedup_run(
+        rd.from_arrow(pa.table({"doc_id": [20], "text": ["cc"]})),
+        state).to_pandas()
+    assert sorted(s3["doc_id"]) == [20]
+    assert sorted(os.listdir(state)) == [f"run_{i:05d}" for i in range(3)]
+
+    # near-dup: run 2 is all near-variants of committed docs
+    state = str(tmp_path / "idx_near")
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    ingest_neardup_run(
+        rd.from_arrow(pa.table({"doc_id": [1], "text": [base]})),
+        state, window=4, num_parts=2)
+    s2 = ingest_neardup_run(
+        rd.from_arrow(pa.table({"doc_id": [10], "text": [base + " y"]})),
+        state, window=4, num_parts=2)
+    assert s2.count() == 0 and "sz_part" in s2.schema().names
+    s3 = ingest_neardup_run(
+        rd.from_arrow(pa.table({"doc_id": [20],
+                                "text": ["q1 q2 q3 q4 q5 q6"]})),
+        state, window=4, num_parts=2).to_pandas()
+    assert sorted(s3["doc_id"]) == [20]
+
+    # semantic: run 2 is all cosine-near-copies of committed vectors
+    state = str(tmp_path / "idx_sem")
+
+    def vecs(ids, vs):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vs],
+                                  type=pa.list_(pa.float64()))}))
+
+    kw = dict(threshold=0.9, n_centroids=2, n_assign=2)
+    ingest_semdedup_run(vecs([1, 2], [[1, 0], [0, 1]]), state, **kw)
+    s2 = ingest_semdedup_run(
+        vecs([10, 11], [[0.999, 0.04], [0.04, 0.999]]), state, **kw)
+    assert s2.count() == 0 and "vec_id" in s2.schema().names
+    s3 = ingest_semdedup_run(
+        vecs([20], [[-1, 0.1]]), state, **kw).to_pandas()
+    assert sorted(s3["vec_id"]) == [20]
+    assert sorted(d for d in os.listdir(state)
+                  if d.startswith("run_")) == \
+        [f"run_{i:05d}" for i in range(3)]
+
+
+def test_ingest_semdedup_zero_row_blocks(ray_session, tmp_path):
+    """Zero-row upstream blocks (a filter that empties whole blocks —
+    the q_cross_run_semdedup parity split shape) must flow through the
+    anti-filter exchange: Ray turns them into zero-COLUMN blocks that
+    used to break concat_tables inside _anti_filter_partition."""
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import ingest_semdedup_run
+    from log2seq_ray.queries import parity_half
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4, 6, 8], type=pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [1.0, 0.01],
+             [0.0, 0.99], [-1.0, 0.0]], type=pa.list_(pa.float64()))})
+    # 3 blocks; the odd-parity filter empties the all-even third block
+    ds = rd.from_arrow(t).repartition(3).map_batches(
+        lambda b: parity_half(b, 1, col="vec_id"),
+        batch_format="pyarrow")
+    out = ingest_semdedup_run(ds, str(tmp_path / "sem0"), threshold=0.9,
+                              n_centroids=2, n_assign=2).to_pandas()
+    assert sorted(out["vec_id"]) == [1, 3]  # 3 is 45° off both axes
+
+
+def test_label_propagation_empty_pairs_dataset(ray_session):
+    """labelprop on a DATASET with zero pairs keeps the typed
+    doc_id/cluster_id schema (map_batches skips zero-row blocks, so the
+    rename must run as a task)."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import label_propagation_clusters
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64())}))
+    out = label_propagation_clusters(pairs, num_parts=2)
+    assert out.count() == 0
+    # Ray's to_pandas drops columns at zero rows; the typed contract
+    # lives in the Dataset schema
+    assert set(out.schema().names) == {"doc_id", "cluster_id"}
+
+
 def test_group_value_stats(ray_session):
     """Micro-unit stats match a serial reference; null values excluded;
     multi-block merge is order-independent."""
