@@ -20,18 +20,20 @@ def _asof_partition(key, ts_col, keep_right, suffix, strict,
     """All keys of one partition in ONE ``pd.merge_asof(by=key)`` call —
     the grouped as-of is a single C pass over the (ts, key)-sorted sides,
     no per-key Python loop."""
-    from .exchange import resolve_all_pieces
-    # keep empty pieces: their schema types the empty-partition output
-    l_pieces = resolve_all_pieces(l_pieces)
-    r_pieces = resolve_all_pieces(r_pieces)
-    if not l_pieces:
+    from .exchange import concat_typed
+    # zero-row pieces can carry the untransformed upstream schema (Ray
+    # map_batches pass-through) — concat rows only; an all-empty side
+    # keeps the transformed schema when any piece has it
+    lt = concat_typed(l_pieces, key, ts_col)
+    rt = concat_typed(r_pieces, key, *keep_right)
+    if lt is None:
         return pa.table({})  # zero-block input: no schema available at all
-    lg = pa.concat_tables(l_pieces).to_pandas() \
+    lg = lt.to_pandas() \
         .sort_values([ts_col, key], kind="mergesort").reset_index(drop=True)
-    if r_pieces:
+    if rt is not None:
         # an all-empty right side still flows through merge_asof (empty rg
         # with the right dtypes → all-null <col><suffix> columns)
-        rg = pa.concat_tables(r_pieces).to_pandas()[[key] + keep_right] \
+        rg = rt.to_pandas()[[key] + keep_right] \
             .sort_values([ts_col, key], kind="mergesort") \
             .reset_index(drop=True)
         rg = rg.rename(columns={c: c + suffix for c in rg.columns
@@ -95,12 +97,14 @@ def _topk_frame(df: pd.DataFrame, group_col: str, order_col: str, k: int,
 
 
 def _topk_partition(group_col, order_col, k, descending, tiebreak, pieces):
-    from .exchange import resolve_all_pieces
-    # keep empty pieces: their schema types the empty-partition output
-    pieces = resolve_all_pieces(pieces)
-    if not pieces:
+    from .exchange import concat_typed
+    # concat rows only (zero-row pieces can carry the untransformed
+    # upstream schema); an all-empty partition keeps the transformed
+    # schema when any piece has it
+    t = concat_typed(pieces, group_col, order_col)
+    if t is None:
         return pa.table({})  # zero-block input: no schema available at all
-    df = pa.concat_tables(pieces).to_pandas()
+    df = t.to_pandas()
     return pa.Table.from_pandas(
         _topk_frame(df, group_col, order_col, k, descending, tiebreak,
                     with_rank=True), preserve_index=False)

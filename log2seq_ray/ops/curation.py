@@ -797,7 +797,9 @@ def _dupwin_partition(pieces) -> pa.Table:
     hash is local, so local multiplicity IS global multiplicity; only
     (doc_id, pos) of duplicated windows (multiplicity >= 2) survive."""
     from .exchange import resolve_all_pieces
-    pieces = resolve_all_pieces(pieces)
+    # rows only: zero-row pieces can carry the untransformed upstream
+    # schema (Ray map_batches pass-through) and break a plain concat
+    pieces = [p for p in resolve_all_pieces(pieces) if p.num_rows]
     empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
                       "pos": pa.array([], type=pa.int64())})
     t = pa.concat_tables(pieces) if pieces else _WIN_EMPTY

@@ -80,6 +80,25 @@ def resolve_all_pieces(pieces):
     return list(pieces)
 
 
+def concat_typed(pieces, *required):
+    """Task-side concat of one partition's pieces for kernels that need a
+    plain (single-schema) ``concat_tables``. Zero-row pieces are excluded
+    from the concat — Ray passes zero-row blocks through ``map_batches``
+    UNTOUCHED, so they can carry the upstream schema (or, one map later,
+    no schema at all) and break a plain concat against the transformed
+    pieces. When EVERY piece is empty, returns the zero-row piece that
+    carries all ``required`` columns (i.e. the transformed schema) so the
+    partition's output stays typed, or ``None`` when none does."""
+    pieces = resolve_all_pieces(pieces)
+    rows = [p for p in pieces if p.num_rows]
+    if rows:
+        return pa.concat_tables(rows)
+    for p in pieces:
+        if p.num_columns and all(c in p.column_names for c in required):
+            return p
+    return None
+
+
 def fan_out_pieces(split_fn, block_refs, num_parts: int, args=()):
     """Fan block refs into per-partition piece-ref lists via
     ``split_fn(block, *args) -> [num_parts tables]`` run as Ray tasks

@@ -49,12 +49,13 @@ def _quantile_partition(group_col, value_col, q, alias, pieces):
     """All groups of one partition in one vectorized pass: lexsort by
     (group, value), segment boundaries, per-segment index pick."""
     import pyarrow as pa
-    from .exchange import resolve_all_pieces
-    # keep empty pieces: their schema types the empty-partition output
-    pieces = resolve_all_pieces(pieces)
-    if not pieces:
+    from .exchange import concat_typed
+    # zero-row pieces can carry the untransformed upstream schema (Ray
+    # map_batches pass-through) — concat rows only; an all-empty
+    # partition keeps the transformed schema when any piece has it
+    t = concat_typed(pieces, group_col, value_col)
+    if t is None:
         return pa.table({})  # zero-block input: no schema available at all
-    t = pa.concat_tables(pieces)
     gcol = t.column(group_col)
     gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) \
         else gcol

@@ -290,7 +290,9 @@ def _bigram_partition(key: str, ts_col: str, ev_col: str, id_col: str,
     empty = pa.table({"ev_from": pa.array([], type=pa.string()),
                       "ev_to": pa.array([], type=pa.string()),
                       "n_part": pa.array([], type=pa.int64())})
-    ps = resolve_all_pieces(pieces)
+    # rows only: zero-row pieces can carry the untransformed upstream
+    # schema (Ray map_batches pass-through) and break a plain concat
+    ps = [p for p in resolve_all_pieces(pieces) if p.num_rows]
     if not ps:
         return empty
     t = pa.concat_tables(ps)

@@ -845,6 +845,51 @@ def test_ingest_semdedup_zero_row_blocks(ray_session, tmp_path):
     assert sorted(out["vec_id"]) == [1, 3]  # 3 is 45° off both axes
 
 
+def test_exchange_kernels_skip_stale_empty_blocks(ray_session):
+    """Zero-row blocks pass through map_batches UNTRANSFORMED, so an
+    exchange partition can receive zero-row pieces whose STALE schema
+    (extra column) differs from the transformed rows — the plain-concat
+    kernels (quantile / topk / asof) must exclude them."""
+    import ray.data as rd
+    from log2seq_ray.ops.asof import asof_join, top_k_per_group
+    from log2seq_ray.ops.stats import group_quantile
+
+    def with_stale_block(t: pa.Table, drop: str):
+        # block 2 empties BEFORE the drop-column map; the drop map skips
+        # the zero-row block, so its piece keeps the stale schema
+        # (including `drop`) into the exchange
+        return rd.from_arrow(t).repartition(2).map_batches(
+            lambda b: b.filter(pc.less(b.column("k"),
+                                       pa.scalar(100, pa.int64()))),
+            batch_format="pyarrow").map_batches(
+            lambda b: b.drop_columns([drop]), batch_format="pyarrow")
+
+    t = pa.table({"k": pa.array([1, 1, 2, 2, 100, 100, 100, 100],
+                                type=pa.int64()),
+                  "v": pa.array([1.0, 3.0, 5.0, 7.0, 0, 0, 0, 0]),
+                  "stale": pa.array([0] * 8, type=pa.int64())})
+    q = group_quantile(with_stale_block(t, "stale"), "k", "v", q=0.5,
+                       alias="med", num_parts=2).to_pandas() \
+        .sort_values("k").set_index("k")
+    assert list(q["med"]) == [1.0, 5.0]
+
+    topk = top_k_per_group(with_stale_block(t, "stale"), "k", "v",
+                           k=1).to_pandas()
+    assert sorted(zip(topk["k"], topk["v"])) == [(1, 3.0), (2, 7.0)]
+
+    lt = pa.table({"k": pa.array([1, 1, 100, 100], type=pa.int64()),
+                   "ts": pa.array([10, 20, 0, 0], type=pa.int64()),
+                   "stale": pa.array([0] * 4, type=pa.int64())})
+    rt = pa.table({"k": pa.array([1], type=pa.int64()),
+                   "ts": pa.array([15], type=pa.int64()),
+                   "rv": pa.array([7.5])})
+    out = asof_join(with_stale_block(lt, "stale"), rd.from_arrow(rt),
+                    key="k", ts_col="ts", right_cols=["rv"]) \
+        .to_pandas().sort_values("ts")
+    assert list(out["ts"]) == [10, 20]
+    assert list(out["rv_prev"].fillna(-1)) == [-1, 7.5]
+
+
 def test_label_propagation_empty_pairs_dataset(ray_session):
     """labelprop on a DATASET with zero pairs keeps the typed
     doc_id/cluster_id schema (map_batches skips zero-row blocks, so the
