@@ -105,8 +105,12 @@ def queries_from_dataset(ds, n_queries: int, id_col="vec_id",
     """First n vectors (by id) as the query set."""
     import pyarrow.compute as pc
     small = ds.filter(expr=f"{id_col} < {n_queries}")
-    tbl = pa.concat_tables(
-        list(small.iter_batches(batch_size=4096, batch_format="pyarrow")))
+    batches = list(small.iter_batches(batch_size=4096,
+                                      batch_format="pyarrow"))
+    if not batches:
+        raise ValueError(
+            f"queries_from_dataset: no vectors with {id_col} < {n_queries}")
+    tbl = pa.concat_tables(batches)
     order = pc.sort_indices(tbl.column(id_col))
     tbl = tbl.take(order)
     return (np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False),
