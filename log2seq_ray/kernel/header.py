@@ -225,6 +225,16 @@ class CompiledRuleSet:
         and ``error``.
         """
         n = len(lines)
+        if n == 0:
+            # typed empty output (the chunk-gather below needs ≥1 chunk)
+            out = {"rule_id": pa.array([], type=pa.int32()),
+                   "timestamp": pa.array([], type=pa.timestamp("us")),
+                   "tz_offset_sec": pa.array([], type=pa.int32()),
+                   KEY_STATEMENT: pa.array([], type=pa.string()),
+                   "error": pa.array([], type=pa.string())}
+            for tgt, typ in self.field_types.items():
+                out[tgt] = pa.array([], type=typ)
+            return out
         order_chunks: list[np.ndarray] = []   # global indices, cascade order
         col_chunks: dict[str, list[pa.Array]] = {
             t: [] for t in self.field_types}

@@ -126,6 +126,10 @@ class FusedFlagshipStage:
                                     use_threads=False)
                       for p in batch.column("path").to_pylist()]
             batch = pa.concat_tables(tables)
+            if batch.num_rows == 0:
+                # an empty shard file still yields a typed empty output
+                # (the 512-slice loop would leave concat_tables nothing)
+                return self._process(batch)
             out_chunks = []
             for lo in range(0, batch.num_rows, 512):
                 out_chunks.append(self._process(batch.slice(lo, 512)))
@@ -142,13 +146,18 @@ class FusedFlagshipStage:
         return template_partial_counts(t, by=("route",))
 
 
+def _node_cpus(cpus: Optional[int]) -> int:
+    if cpus is not None:
+        return cpus
+    try:
+        import ray
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
 def _pool(cpus: Optional[int]) -> int:
-    if cpus is None:
-        try:
-            import ray
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
+    cpus = _node_cpus(cpus)
     # leave real headroom for the read + reduce stages: actor pools RESERVE
     # their CPUs for the whole run, and a starved read serializes the
     # pipeline (observed: a ~20 core-s parquet read taking 10s on the 2
@@ -175,7 +184,7 @@ def build_parsed_dataset(sf_dir: str, cpus: Optional[int] = None,
         pages = read_webpages(sf_dir, repeat=repeat)
         # synthesize fuses into the parse stage; keep the *input-row* batch
         # small so each fused task handles ~5k lines, not repeat x that
-        parse_batch_size = max(16, 256 // max(1, repeat))
+        parse_batch_size = max(1, 256 // max(1, repeat))
     rules = flagship_header_rules()
     actions = default_statement_actions()
 
@@ -220,7 +229,12 @@ def run(sf_dir: str, sink_dir: Optional[str] = None,
         # CPU shares the pool, and task granularity = one file.
         import glob
         files = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
-        pool = max(2, (cpus or 32) - 2) if cpus else _pool(cpus)
+        if not files:
+            raise FileNotFoundError(
+                f"run: no *.parquet files under {corpus_dir!r}")
+        # reads happen inside the fused actors, so only the tiny count
+        # merge needs headroom — size off the actual node, never a guess
+        pool = max(2, _node_cpus(cpus) - 2)
         # one block per file path → one actor task per input shard
         pages = rd.from_items([{"path": f} for f in files],
                               override_num_blocks=len(files))
@@ -228,7 +242,7 @@ def run(sf_dir: str, sink_dir: Optional[str] = None,
     else:
         pool = _pool(cpus)
         pages = read_webpages(sf_dir, repeat=repeat)
-        parse_batch_size = max(16, 256 // max(1, repeat))
+        parse_batch_size = max(1, 256 // max(1, repeat))
 
     partials = pages.map_batches(
         FusedFlagshipStage,
@@ -259,9 +273,12 @@ def run_sharded_corpus(corpus_dir: str, out_dir: str,
     from ..state import manifest as M
 
     files = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(
+            f"run_sharded_corpus: no *.parquet files under {corpus_dir!r}")
     shards = [files[i:i + files_per_shard]
               for i in range(0, len(files), files_per_shard)]
-    pool = max(2, (cpus or 32) - 2)
+    pool = max(2, _node_cpus(cpus) - 2)
     results = []
     for i, shard_files in enumerate(shards):
         def process(tmp_dir: str, shard_files=shard_files) -> dict:
@@ -282,8 +299,17 @@ def run_sharded_corpus(corpus_dir: str, out_dir: str,
                     "templates": int(len(pdf)),
                     "files": len(shard_files)}
 
+        # the spec carries a content hash of the FULL file list: shards
+        # are positional slices of the sorted listing, so a corpus that
+        # gained/lost a file shifts every boundary — run_shard compares
+        # the spec and re-runs a shard whose input changed instead of
+        # trusting the manifest's existence alone
+        import hashlib
         spec = {"corpus_dir": corpus_dir,
-                "files": shard_files[:3] + ["..."]}
+                "n_files": len(shard_files),
+                "files_md5": hashlib.md5(
+                    "\n".join(shard_files).encode()).hexdigest(),
+                "files_head": shard_files[:3]}
         if continue_on_error:
             try:
                 results.append(M.run_shard(out_dir, f"{i:05d}", spec,

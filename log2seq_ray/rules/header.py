@@ -143,8 +143,6 @@ class HeaderRule:
             raise RuleDefinitionError(
                 "at least one item (usually Statement) must be non-optional")
         value_names = {s.target for it in items for s in it.all_group_specs()}
-        top_level = [s.target for it in items for s in
-                     (it.group_specs() if not it.dummy else [])]
         if KEY_STATEMENT not in value_names:
             raise RuleDefinitionError(
                 "one Statement item is mandatory in a header rule")

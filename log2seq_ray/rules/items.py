@@ -90,6 +90,16 @@ def noncapturing(pattern: str) -> str:
             in_class = True
             out.append(c)
             i += 1
+            # ']' is a LITERAL when it is the first class member
+            # (optionally after '^') — '[]x]' / '[^]]' are valid in both
+            # CPython re and RE2; consume it so it can't close the class
+            # (a later '(' inside the class must stay untouched)
+            if i < n and pattern[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and pattern[i] == "]":
+                out.append("]")
+                i += 1
             continue
         if c == "(":
             if pattern.startswith("(?", i):
@@ -149,12 +159,6 @@ class Item:
 
     def all_group_specs(self) -> list[GroupSpec]:
         return [] if self.dummy else self.group_specs()
-
-
-def noncapturing_preserving_named(pattern: str) -> str:
-    """Like :func:`noncapturing` but must leave ``(?P<name>`` intact —
-    :func:`noncapturing` already does (it only rewrites bare ``(``)."""
-    return noncapturing(pattern)
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,13 @@ def action_from_dict(d: dict):
     cls = _ACTION_TYPES[d.pop("type")]
     if cls is A.FixParenthesis:
         return cls(d.pop("pairs"), recursive=d.pop("recursive", False))
+    # FixPartial/RemovePartial declare dataclass defaults for fields their
+    # custom __init__ makes positional; action_to_dict drops default-equal
+    # fields, so restore them or the round-trip raises TypeError
+    if cls is A.FixPartial:
+        d.setdefault("fix_groups", ())
+    if cls is A.RemovePartial:
+        d.setdefault("remove_groups", ())
     return cls(**d)
 
 

@@ -1,11 +1,14 @@
 """Line-oriented sources: plain text, gzip, bz2, tar archives (SURVEY §2.1
 S1-S5) as Ray Data datasets of ``{text: line}`` rows.
 
-Plain/gz/bz2 files ride ``ray.data.read_text`` (Arrow auto-decompresses by
-extension via ``arrow_open_stream_args``); tar members are unpacked in a
-``flat_map``-style ``map_batches`` over ``read_binary_files`` payloads.
-Empty lines are preserved here (the parse stage decides, mirroring the
-reference CLI's skip at ``/root/reference/log2seq/__main__.py:114-115``).
+Granularity is ONE FILE PER TASK (``read_binary_files`` + a decode/split
+map at ``batch_size=1``): gz/bz2/tar are not byte-range splittable, so a
+whole-file read per task is inherent — Ray's own ``read_text`` does the
+same (``f.readall()``). The scale contract is therefore many
+moderately-sized files (the standard log-shipping layout); a single
+larger-than-worker-heap file must be pre-split upstream. Empty lines are
+preserved (the parse stage decides, mirroring the reference CLI's skip at
+``/root/reference/log2seq/__main__.py:114-115``).
 """
 
 from __future__ import annotations
@@ -37,12 +40,13 @@ def read_lines(paths: str | list[str], encoding: str = "utf-8"):
 
     parts = []
     if plain:
-        # read whole files as bytes, decode + split lines vectorially —
+        # one file per decode task: a task's peak heap is ONE file's
+        # bytes + decoded lines (batch_size=4 used to hold four at once);
         # handles .gz/.bz2 transparently and keeps the source path column
         parts.append(
             rd.read_binary_files(plain, include_paths=True).map_batches(
                 _DecodeSplit(encoding), batch_format="pyarrow",
-                batch_size=4))
+                batch_size=1))
     if tars:
         parts.append(
             rd.read_binary_files(tars, include_paths=True).map_batches(

@@ -153,7 +153,18 @@ def materialize_corpus(sf_dir: str, out_dir: str, repeat: int = 1,
     if tmp.exists():
         import shutil
         shutil.rmtree(tmp)
-    ds.repartition(num_files).write_parquet(str(tmp))
+    # multi-file layout WITHOUT a repartition shuffle: the old
+    # repartition(num_files) was an all-to-all that materialized the whole
+    # html+text corpus in the object store purely to control file count;
+    # the total row count is known from the documents.parquet footer, so a
+    # row-budget on the streaming write gets the same layout for free
+    import math
+    import pyarrow.parquet as _pq
+    n_docs = _pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    rows_per_file = max(1, math.ceil(n_docs * max(1, repeat) / num_files))
+    ds.write_parquet(str(tmp), max_rows_per_file=rows_per_file,
+                     min_rows_per_file=max(1, rows_per_file // 2))
     if out.exists():
         import shutil
         shutil.rmtree(out)

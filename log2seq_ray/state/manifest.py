@@ -36,10 +36,17 @@ def run_shard(out_dir: str, shard_id: str, input_spec,
               process: Callable[[str], dict], resume: bool = True) -> dict:
     """Run one shard through ``process(tmp_dir) -> metrics`` with
     atomic-rename checkpointing. Returns the manifest dict (cached when
-    already done and ``resume``)."""
+    already done, ``resume`` is set, AND the recorded ``input`` equals
+    ``input_spec`` — a shard whose input changed since the manifest was
+    written (e.g. the corpus listing shifted) re-runs instead of being
+    silently skipped with stale output)."""
     mpath = manifest_path(out_dir, shard_id)
     if resume and mpath.exists():
-        return json.loads(mpath.read_text())
+        cached = json.loads(mpath.read_text())
+        if cached.get("input") == json.loads(
+                json.dumps(input_spec, default=str)):
+            return cached
+        mpath.unlink()  # stale manifest: input changed → reprocess
 
     final = shard_dir(out_dir, shard_id)
     tmp = final.parent / (final.name + ".tmp")

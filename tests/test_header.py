@@ -321,3 +321,29 @@ def test_hostile_input_probes_never_raise():
         rebuilt = s[0] + "".join(a + b for a, b in zip(w, s[1:]))
         assert rebuilt == m
         assert len(s) == len(w) + 1
+
+
+def test_noncapturing_bracket_first_char_class():
+    """']' as the FIRST member of a character class (optionally after
+    '^') is a literal — the rewriter must not exit the class there and
+    rewrite a later '(' inside it (that silently changes the regex)."""
+    import re
+    from log2seq_ray.rules.items import noncapturing
+    for pat in (r"[]()]+", r"[^]]+\(x\)", r"a[](]b", r"[^](]+"):
+        assert noncapturing(pat) == pat, pat
+        re.compile(pat)  # stays a valid regex
+    # bare groups OUTSIDE classes still rewrite
+    assert noncapturing(r"(ab)[](]") == r"(?:ab)[](]"
+    assert noncapturing(r"(?P<n>x)([)])") == r"(?P<n>x)(?:[)])"
+
+
+def test_parse_lines_empty_array():
+    """Zero input lines (an empty shard) yield a typed empty table, not
+    a concat_arrays crash."""
+    from log2seq_ray import CompiledLogParser
+    from log2seq_ray.rules.presets import default_parser_spec
+    p = CompiledLogParser(*default_parser_spec(year=2024))
+    t = p.parse_lines(pa.array([], type=pa.string()))
+    assert t.num_rows == 0
+    assert {"rule_id", "timestamp", "message", "words", "symbols",
+            "error"} <= set(t.schema.names)

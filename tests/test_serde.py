@@ -63,3 +63,15 @@ def test_cli_rules_file(tmp_path):
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0
     assert r.stdout.strip() == "hello world"
+
+
+def test_partial_actions_roundtrip_with_default_fields():
+    """FixPartial/RemovePartial declare dataclass defaults for fields
+    their __init__ makes positional; a remove-only FixPartial (or an
+    empty-group RemovePartial) must survive the JSON round-trip."""
+    from log2seq_ray.rules import actions as A
+    acts = [A.FixPartial([r"(?P<k>\d+)"], [], remove_groups=["k"]),
+            A.RemovePartial([r"(?P<x>\w+)"], []),
+            A.FixPartial([r"(?P<v>\S+)"], ["v"])]
+    back = [serde.action_from_dict(serde.action_to_dict(a)) for a in acts]
+    assert back == acts

@@ -2133,3 +2133,54 @@ def test_trailing_totals_reference(ray_session):
     assert (got["trail_n"].to_numpy() == exp["trail_n"].to_numpy()).all()
     assert (got["trail_val"].to_numpy() ==
             exp["trail_val"].to_numpy()).all()
+
+
+def test_manifest_rerun_on_input_change(tmp_path):
+    """A cached manifest is only trusted when its recorded input equals
+    the new spec: shards are positional slices of the corpus listing, so
+    a shifted listing must re-run, not silently skip with stale output."""
+    from log2seq_ray.state import manifest as M
+    calls = []
+
+    def process(tmp_dir):
+        calls.append(1)
+        (M.Path(tmp_dir) / "out.txt").write_text("x")
+        return {"rows": len(calls)}
+
+    M.run_shard(str(tmp_path), "s1", {"files_md5": "aaa"}, process)
+    # same spec: cached
+    m = M.run_shard(str(tmp_path), "s1", {"files_md5": "aaa"}, process)
+    assert len(calls) == 1 and m["rows"] == 1
+    # changed spec: reprocessed, manifest replaced
+    m = M.run_shard(str(tmp_path), "s1", {"files_md5": "bbb"}, process)
+    assert len(calls) == 2 and m["rows"] == 2
+    assert m["input"] == {"files_md5": "bbb"}
+
+
+def test_flagship_empty_corpus_and_empty_shard(ray_session, tmp_path):
+    """A missing/empty corpus dir raises a clear error (not a Ray
+    internals crash / silent success); a zero-row shard FILE flows
+    through the fused stage instead of crashing concat_tables."""
+    import pyarrow.parquet as pq
+    import pytest as _pt
+    from log2seq_ray.pipelines import flagship
+
+    with _pt.raises(FileNotFoundError, match="no \\*.parquet"):
+        flagship.run("/root/testdata/sf0.001",
+                     corpus_dir=str(tmp_path / "nope"))
+    with _pt.raises(FileNotFoundError, match="no \\*.parquet"):
+        flagship.run_sharded_corpus(str(tmp_path / "nope"),
+                                    str(tmp_path / "out"))
+
+    # corpus of one real shard + one ZERO-ROW shard
+    from log2seq_ray.sources.webpages import synthesize_batch
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "lang", "source"]).slice(0, 8)
+    pq.write_table(synthesize_batch(docs), corpus / "a.parquet")
+    pq.write_table(synthesize_batch(docs.slice(0, 0)),
+                   corpus / "empty.parquet")
+    out = flagship.run("/root/testdata/sf0.001",
+                       corpus_dir=str(corpus)).to_pandas()
+    assert len(out) > 0 and int(out["n"].sum()) > 0
