@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _asof_partition(key, ts_col, keep_right, suffix, strict,
@@ -28,6 +29,13 @@ def _asof_partition(key, ts_col, keep_right, suffix, strict,
     rt = concat_typed(r_pieces, key, *keep_right)
     if lt is None:
         return pa.table({})  # zero-block input: no schema available at all
+    # null timestamps: pd.merge_asof raises on null merge keys; a null ts
+    # matches nothing in ASOF semantics (DuckDB drops such rows from an
+    # inner ASOF join), so filter both sides — same guard as sessionize /
+    # the running/trailing window kernels
+    lt = lt.filter(pc.is_valid(lt.column(ts_col)))
+    if rt is not None:
+        rt = rt.filter(pc.is_valid(rt.column(ts_col)))
     lg = lt.to_pandas() \
         .sort_values([ts_col, key], kind="mergesort").reset_index(drop=True)
     if rt is not None:

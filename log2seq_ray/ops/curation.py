@@ -150,25 +150,17 @@ def _jacc_partition(id_col: str, max_df, pieces):
         if hot.any():
             keep = ~hot[seg_id]
             g, ids = g[keep], ids[keep]
-            starts = np.ones(len(g), dtype=bool)
-            starts[1:] = g[1:] != g[:-1]
     if len(g) == 0:
         return pairs_empty, sizes_empty
     uid, sz = np.unique(ids, return_counts=True)
     sizes = pa.table({id_col: pa.array(uid, type=pa.int64()),
                       "sz_part": pa.array(sz.astype(np.int64))})
-    # i<j pair expansion (same index arithmetic as minhash _expand_pairs)
-    seg_start = np.maximum.accumulate(
-        np.where(starts, np.arange(len(g)), 0))
-    within = np.arange(len(g)) - seg_start
-    tot = int(within.sum())
-    if tot == 0:
+    # i<j pair expansion — the shared bucketed-expansion kernel
+    from .exchange import segment_pair_indices
+    _, i_row, j_row = segment_pair_indices(g)
+    if not len(i_row):
         return pairs_empty, sizes
-    row_for_pair = np.repeat(np.arange(len(g)), within)
-    block_start = np.cumsum(within) - within
-    i_in_block = np.arange(tot) - np.repeat(block_start, within)
-    i_row = np.repeat(seg_start, within) + i_in_block
-    id_a, id_b = ids[i_row], ids[row_for_pair]  # id-sorted → a < b
+    id_a, id_b = ids[i_row], ids[j_row]  # id-sorted → a < b
     # partial |A∩B|: multiplicity of each pair across this partition's
     # shingle groups
     po = np.lexsort((id_b, id_a))
@@ -411,6 +403,26 @@ class _DecontamFracStage:
         return out.filter(pa.array(keep))
 
 
+def _bench_gram_broadcast(bench, window: int, col: str):
+    """Distributed distinct of the benchmark's ``window``-token gram
+    hashes (per-batch distinct → groupby), collected as ONE sorted int64
+    array and broadcast via ``ray.put`` — the shared front half of both
+    decontamination variants. Bounded by the benchmark size (MBs); if it
+    ever outgrows worker heaps, swap the sorted array for a Bloom filter
+    here (false positives drop extra docs — conservative)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    grams = bench.map_batches(
+        lambda b: _gram_set_partials(window, col, b),
+        batch_format="pyarrow").groupby("g").aggregate(Count())
+    parts = [p for p in ray.get(grams.to_arrow_refs()) if p.num_rows]
+    gset = (np.unique(np.concatenate(
+        [p.column("g").to_numpy() for p in parts]))
+        if parts else np.empty(0, dtype=np.int64))
+    return ray.put(gset)
+
+
 def decontaminate_frac(corpus, bench, window: int = 6,
                        max_frac_num: int = 1, max_frac_den: int = 10,
                        id_col: str = "doc_id", col: str = "text"):
@@ -422,17 +434,7 @@ def decontaminate_frac(corpus, bench, window: int = 6,
     Same scale shape: bounded benchmark gram broadcast, streaming
     vectorized scorer, no corpus shuffle. Returns surviving
     (id, n_grams, n_hits)."""
-    import ray
-    from ray.data.aggregate import Count
-
-    grams = bench.map_batches(
-        lambda b: _gram_set_partials(window, col, b),
-        batch_format="pyarrow").groupby("g").aggregate(Count())
-    parts = [p for p in ray.get(grams.to_arrow_refs()) if p.num_rows]
-    gset = (np.unique(np.concatenate(
-        [p.column("g").to_numpy() for p in parts]))
-        if parts else np.empty(0, dtype=np.int64))
-    ref = ray.put(gset)
+    ref = _bench_gram_broadcast(bench, window, col)
     return corpus.map_batches(
         _DecontamFracStage, fn_constructor_kwargs=dict(
             block_ref=ref, window=window, num=max_frac_num,
@@ -450,20 +452,9 @@ def decontaminate(corpus, bench, window: int = 6,
     surviving ``id_col`` Dataset.
 
     At 100 TB the corpus side stays a stream; the broadcast is bounded by
-    the benchmark size (MBs). If the gram set ever outgrows worker heaps,
-    swap the sorted array for a Bloom filter (same stage shape, false
-    positives drop extra docs — conservative for decontamination)."""
-    import ray
-    from ray.data.aggregate import Count
-
-    grams = bench.map_batches(
-        lambda b: _gram_set_partials(window, col, b),
-        batch_format="pyarrow").groupby("g").aggregate(Count())
-    parts = [p for p in ray.get(grams.to_arrow_refs()) if p.num_rows]
-    gset = (np.unique(np.concatenate(
-        [p.column("g").to_numpy() for p in parts]))
-        if parts else np.empty(0, dtype=np.int64))
-    ref = ray.put(gset)
+    the benchmark size (MBs) — see :func:`_bench_gram_broadcast` for the
+    Bloom-filter upgrade path if it ever outgrows worker heaps."""
+    ref = _bench_gram_broadcast(bench, window, col)
     return corpus.map_batches(
         _DecontamStage, fn_constructor_kwargs=dict(
             block_ref=ref, window=window, id_col=id_col, col=col),
@@ -928,11 +919,11 @@ class _DSIRScoreStage:
         vc = pc.value_counts(flat)
         uniq = vc.field("values").to_pylist()
         b_of = np.empty(len(uniq), dtype=np.int64)
+        from .hashutil import cache_put
         for j, t in enumerate(uniq):
             b = self._cache.get(t)
             if b is None:
-                b = _md5_60(t) % self.buckets
-                self._cache[t] = b
+                b = cache_put(self._cache, t, _md5_60(t) % self.buckets)
             b_of[j] = b
         idx = pc.index_in(flat, value_set=vc.field("values"))
         per_tok = self.ratios[b_of[np.asarray(idx)]] \
@@ -1087,12 +1078,21 @@ def mix_sample_sqrt(ds, group_col: str = "lang", key_col: str = "doc_id"):
 # incremental cross-run NEAR-dup ingest (persistent shingle index)
 # ---------------------------------------------------------------------------
 
-def _ingest_pair_partition(id_col: str, new_pieces, old_pieces):
+def _ingest_pair_partition(id_col: str, max_df, new_pieces, old_pieces):
     """One shingle-hash partition of the ingest join: pair partials
     between this run's docs and (committed docs ∪ this run's lower-id
     docs). Emits (id_a = the CANDIDATE-DROP new doc, id_b = the other
     doc, n_part = shared-shingle multiplicity partial). Old-old pairs —
-    the bulk of a mature index — are never expanded."""
+    the bulk of a mature index — are never expanded.
+
+    ``max_df`` bounds the pair blow-up of a boilerplate shingle (page
+    footer / nav chrome shared by the whole crawl AND the whole index):
+    a shingle whose combined new+old df exceeds it is skipped entirely —
+    every row of a shingle lands in this partition, so the local count
+    IS the global df. The trade is conservative (set sizes stay
+    uncapped, so estimated intersections only shrink → strictly fewer
+    drops), the same stop-shingle trade :func:`ngram_jaccard_dups`
+    documents for ``max_df``."""
     import ray
     if new_pieces and isinstance(new_pieces[0], ray.ObjectRef):
         new_pieces = ray.get(list(new_pieces))
@@ -1109,29 +1109,40 @@ def _ingest_pair_partition(id_col: str, new_pieces, old_pieces):
     id_n = nt.column(id_col).to_numpy()
     order = np.lexsort((id_n, g_n))
     g_n, id_n = g_n[order], id_n[order]
-    out_a, out_b = [], []
-    # new-new pairs: i<j within each shingle group, victim = larger id
-    starts = np.ones(len(g_n), dtype=bool)
-    starts[1:] = g_n[1:] != g_n[:-1]
-    seg_start = np.maximum.accumulate(
-        np.where(starts, np.arange(len(g_n)), 0))
-    within = np.arange(len(g_n)) - seg_start
-    tot = int(within.sum())
-    if tot:
-        row_for_pair = np.repeat(np.arange(len(g_n)), within)
-        block_start = np.cumsum(within) - within
-        i_in_block = np.arange(tot) - np.repeat(block_start, within)
-        i_row = np.repeat(seg_start, within) + i_in_block
-        out_a.append(id_n[row_for_pair])   # later (larger) id = victim
-        out_b.append(id_n[i_row])
-    # new-old pairs: full cross product per shared shingle group
     old_pieces = [t for t in old_pieces if t.num_rows]
+    g_o = id_o = None
     if old_pieces:
         ot = pa.concat_tables(old_pieces)
         g_o = ot.column("g").to_numpy()
         id_o = ot.column(id_col).to_numpy()
         oorder = np.argsort(g_o, kind="stable")
         g_o, id_o = g_o[oorder], id_o[oorder]
+    if max_df is not None:
+        ug = np.unique(np.concatenate(
+            [g_n] + ([g_o] if g_o is not None else [])))
+        cnt = np.searchsorted(g_n, ug, "right") \
+            - np.searchsorted(g_n, ug, "left")
+        if g_o is not None:
+            cnt += np.searchsorted(g_o, ug, "right") \
+                - np.searchsorted(g_o, ug, "left")
+        hot = ug[cnt > max_df]
+        if len(hot):
+            kn = ~np.isin(g_n, hot)
+            g_n, id_n = g_n[kn], id_n[kn]
+            if g_o is not None:
+                ko = ~np.isin(g_o, hot)
+                g_o, id_o = g_o[ko], id_o[ko]
+            if not len(g_n):
+                return empty
+    out_a, out_b = [], []
+    # new-new pairs: i<j within each shingle group, victim = larger id
+    from .exchange import segment_pair_indices
+    _, i_row, j_row = segment_pair_indices(g_n)
+    if len(i_row):
+        out_a.append(id_n[j_row])   # later (larger) id = victim
+        out_b.append(id_n[i_row])
+    # new-old pairs: full cross product per shared shingle group
+    if g_o is not None and len(g_o):
         lo = np.searchsorted(g_o, g_n, side="left")
         hi = np.searchsorted(g_o, g_n, side="right")
         cnt = hi - lo
@@ -1161,7 +1172,7 @@ def _ingest_pair_partition(id_col: str, new_pieces, old_pieces):
 def ingest_neardup_run(ds, state_dir: str, window: int = 4,
                        tau_num: int = 1, tau_den: int = 2,
                        id_col: str = "doc_id", col: str = "text",
-                       num_parts=None):
+                       num_parts=None, max_df=None):
     """Incremental cross-RUN near-dup ingest — the continuous-crawl
     near-dedup shape (tonight's crawl vs every committed crawl): a new
     doc is DROPPED iff its exact ``window``-token shingle Jaccard vs ANY
@@ -1170,7 +1181,10 @@ def ingest_neardup_run(ds, state_dir: str, window: int = 4,
     :func:`ngram_jaccard_dups`). Survivors commit their (shingle-hash,
     id) rows and set sizes to the persistent index under ``state_dir``.
     Doc ids must be unique across runs. Returns the surviving
-    (id, n_shingles) Dataset.
+    (id, n_shingles) Dataset. ``max_df`` caps the per-shingle pair
+    blow-up (boilerplate footers shared by crawl AND index) — the
+    stop-shingle trade of :func:`ngram_jaccard_dups`, evaluated on the
+    combined new+old document frequency.
 
     100 TB shape: the index stores 8-byte shingle hashes + ids — never
     text; a new run streams the index's rows through ONE shingle-hash
@@ -1236,7 +1250,7 @@ def ingest_neardup_run(ds, state_dir: str, window: int = 4,
         size_refs = list(sizes_new.to_arrow_refs())
 
     work = ray.remote(_ingest_pair_partition)
-    pair_refs = [work.remote(id_col, np_, op_)
+    pair_refs = [work.remote(id_col, max_df, np_, op_)
                  for np_, op_ in zip(new_parts, old_parts)]
     qualifying = _pairs_finalize(pair_refs, size_refs, tau_num, tau_den,
                                  id_col, num_parts)

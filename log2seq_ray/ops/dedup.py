@@ -186,10 +186,10 @@ class MinHashStage:
         for i, t in enumerate(toks):
             h = cache.get(t)
             if h is None:
-                h = int.from_bytes(
+                from .hashutil import cache_put
+                h = cache_put(cache, t, int.from_bytes(
                     hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                    "little")
-                cache[t] = h
+                    "little"))
             out[i] = h
         return out
 
@@ -282,33 +282,14 @@ def _expand_pairs(id_col: str, max_bucket, pieces):
     keep = np.ones(len(b), dtype=bool)
     keep[1:] = (b[1:] != b[:-1]) | (ids[1:] != ids[:-1])
     b, ids = b[keep], ids[keep]
-    starts = np.ones(len(b), dtype=bool)
-    starts[1:] = b[1:] != b[:-1]
-    seg_start = np.maximum.accumulate(
-        np.where(starts, np.arange(len(b)), 0))
-    within = np.arange(len(b)) - seg_start      # position j in its segment
-    if max_bucket is not None:
-        over = within >= max_bucket
-        if over.any():
-            import logging
-            logging.getLogger(__name__).warning(
-                "minhash pair expansion: truncated %d rows beyond "
-                "max_bucket=%d (hot LSH bucket) — candidate recall reduced",
-                int(over.sum()), max_bucket)
-            b, ids = b[~over], ids[~over]
-            starts = np.ones(len(b), dtype=bool)
-            starts[1:] = b[1:] != b[:-1]
-            seg_start = np.maximum.accumulate(
-                np.where(starts, np.arange(len(b)), 0))
-            within = np.arange(len(b)) - seg_start
-    tot = int(within.sum())                     # Σ j = Σ m(m-1)/2
-    if tot == 0:
+    from .exchange import segment_pair_indices
+    kept, i_row, j_row = segment_pair_indices(
+        b, max_seg=max_bucket, warn_label="minhash pair expansion")
+    if kept is not None:
+        ids = ids[kept]
+    if not len(i_row):
         return empty
-    row_for_pair = np.repeat(np.arange(len(b)), within)
-    block_start = np.cumsum(within) - within
-    i_in_block = np.arange(tot) - np.repeat(block_start, within)
-    i_row = np.repeat(seg_start, within) + i_in_block
-    id_a, id_b = ids[i_row], ids[row_for_pair]  # sorted → id_a < id_b
+    id_a, id_b = ids[i_row], ids[j_row]         # sorted → id_a < id_b
     # dedup pairs within the partition (same pair from multiple bands)
     uniq = np.unique(np.stack([id_a, id_b], axis=1), axis=0)
     return pa.table({"id_a": pa.array(uniq[:, 0], type=pa.int64()),
@@ -845,8 +826,10 @@ class SimHashStage:
     def _tok_hash(self, tok: str) -> int:
         h = self._cache.get(tok)
         if h is None:
-            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
-            self._cache[tok] = h
+            from .hashutil import cache_put
+            h = cache_put(self._cache, tok,
+                          int(hashlib.md5(tok.encode()).hexdigest()[:15],
+                              16))
         return h
 
     def simhash(self, text: str) -> int:
@@ -1052,24 +1035,16 @@ def _simhash_bucket_pairs(max_hamming: int, pieces):
     ids = t.column("doc_id").to_numpy()
     order = np.lexsort((ids, b))
     b, h, ids = b[order], h[order], ids[order]
-    starts = np.ones(len(b), dtype=bool)
-    starts[1:] = b[1:] != b[:-1]
-    seg_start = np.maximum.accumulate(
-        np.where(starts, np.arange(len(b)), 0))
-    within = np.arange(len(b)) - seg_start
-    tot = int(within.sum())
-    if tot == 0:
+    from .exchange import segment_pair_indices
+    _, i_row, j_row = segment_pair_indices(b)
+    if not len(i_row):
         return empty
-    row_for_pair = np.repeat(np.arange(len(b)), within)
-    block_start = np.cumsum(within) - within
-    i_in_block = np.arange(tot) - np.repeat(block_start, within)
-    i_row = np.repeat(seg_start, within) + i_in_block
-    x = h[i_row] ^ h[row_for_pair]
+    x = h[i_row] ^ h[j_row]
     # vectorized popcount via byte-view + lookup table
     lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
     ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
     keep = ham <= max_hamming
-    ia, ib = ids[i_row][keep], ids[row_for_pair][keep]
+    ia, ib = ids[i_row][keep], ids[j_row][keep]
     lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
     return pa.table({"id_a": pa.array(lo, type=pa.int64()),
                      "id_b": pa.array(hi, type=pa.int64()),

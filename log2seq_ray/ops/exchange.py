@@ -80,6 +80,53 @@ def resolve_all_pieces(pieces):
     return list(pieces)
 
 
+def segment_pair_indices(keys: np.ndarray, max_seg: int | None = None,
+                         warn_label: str | None = None):
+    """All i<j row-index pairs within equal-key segments of a SORTED key
+    array — the shared kernel of every bucketed pair expansion (MinHash
+    bands, SimHash buckets, n-gram Jaccard shingles, near-dup ingest).
+    Fully vectorized: Σ m(m-1)/2 pairs from one repeat/cumsum pass.
+
+    ``max_seg`` truncates each segment to its first ``max_seg`` rows (the
+    hot-bucket cap — logs when it bites; candidate recall is reduced).
+    Returns ``(kept, i_row, j_row)``: ``kept`` is the boolean mask over
+    the INPUT rows that survived the cap (``None`` when nothing was
+    truncated) — callers must index their parallel payload arrays with it
+    before using the pair indices, which are positions in the KEPT rows.
+    ``i_row`` is the earlier (smaller-position) side of each pair."""
+    starts = np.ones(len(keys), dtype=bool)
+    starts[1:] = keys[1:] != keys[:-1]
+    seg_start = np.maximum.accumulate(
+        np.where(starts, np.arange(len(keys)), 0))
+    within = np.arange(len(keys)) - seg_start
+    kept = None
+    if max_seg is not None:
+        over = within >= max_seg
+        if over.any():
+            if warn_label:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "%s: truncated %d rows beyond max_seg=%d (hot "
+                    "bucket) — candidate recall reduced",
+                    warn_label, int(over.sum()), max_seg)
+            kept = ~over
+            keys = keys[kept]
+            starts = np.ones(len(keys), dtype=bool)
+            starts[1:] = keys[1:] != keys[:-1]
+            seg_start = np.maximum.accumulate(
+                np.where(starts, np.arange(len(keys)), 0))
+            within = np.arange(len(keys)) - seg_start
+    tot = int(within.sum())
+    if tot == 0:
+        e = np.empty(0, dtype=np.int64)
+        return kept, e, e
+    j_row = np.repeat(np.arange(len(keys)), within)
+    block_start = np.cumsum(within) - within
+    i_in_block = np.arange(tot) - np.repeat(block_start, within)
+    i_row = np.repeat(seg_start, within) + i_in_block
+    return kept, i_row, j_row
+
+
 def concat_typed(pieces, *required):
     """Task-side concat of one partition's pieces for kernels that need a
     plain (single-schema) ``concat_tables``. Zero-row pieces are excluded

@@ -39,3 +39,20 @@ def value_bytes(values) -> list:
     a = np.asarray(values)
     vals = a.tolist() if a.dtype.kind in "iuf" else values
     return [str(v).encode() for v in vals]
+
+
+# ~50 MB of dict overhead per actor at typical token lengths — bounded so
+# a stage actor surviving a 100 TB pass can't grow its memo without limit
+TOKEN_CACHE_CAP = 1 << 19
+
+
+def cache_put(cache: dict, key, value, cap: int = TOKEN_CACHE_CAP):
+    """Memo-insert with an epoch-clear bound. Actor-pool actors live for
+    the whole stage and a web corpus's distinct-token stream is unbounded
+    (urls, hex ids, numbers), so an uncapped token→hash dict grows until
+    the worker OOMs; clearing wholesale keeps the heavy-tailed hot head
+    (it re-warms within a batch) with zero bookkeeping."""
+    if len(cache) >= cap:
+        cache.clear()
+    cache[key] = value
+    return value

@@ -57,7 +57,9 @@ class _TopKStage:
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(self.q_ids):
-            cand = part[qi]
+            # drop -inf fillers (the excluded self row when the batch has
+            # < k candidates) — same guard as _SRPTopKStage
+            cand = part[qi][np.isfinite(sims[qi, part[qi]])]
             out_q.extend([qid] * len(cand))
             out_v.extend(ids[cand])
             out_s.extend(sims[qi, cand])

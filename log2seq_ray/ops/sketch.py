@@ -158,11 +158,11 @@ class CMSPartialStage:
     def _cols(self, tok: str) -> np.ndarray:
         cols = self._cache.get(tok)
         if cols is None:
-            cols = np.array(
+            from .hashutil import cache_put
+            cols = cache_put(self._cache, tok, np.array(
                 [int(hashlib.md5(f"{r}:{tok}".encode())
                      .hexdigest()[:15], 16) % self.width
-                 for r in range(self.depth)], dtype=np.int64)
-            self._cache[tok] = cols
+                 for r in range(self.depth)], dtype=np.int64))
         return cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:

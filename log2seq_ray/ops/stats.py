@@ -56,6 +56,11 @@ def _quantile_partition(group_col, value_col, q, alias, pieces):
     t = concat_typed(pieces, group_col, value_col)
     if t is None:
         return pa.table({})  # zero-block input: no schema available at all
+    # exclude null/NaN values (DuckDB quantile_disc ignores them; a NaN
+    # here would also force the int64→float64 to_numpy path and emit
+    # mixed block dtypes across partitions); all-null groups are omitted,
+    # matching group_histogram_quantile's _finite_mask semantics
+    t = t.filter(_finite_mask(t.column(value_col)))
     gcol = t.column(group_col)
     gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) \
         else gcol

@@ -57,7 +57,16 @@ def _session_segments(t: pa.Table, key: str, ts_col: str, gap_sec: int):
 
 def _sessionize_partition(key: str, ts_col: str, gap_sec: int, mode: str,
                           pieces):
-    pieces = resolve_pieces(pieces)
+    from .exchange import resolve_all_pieces
+    all_pieces = resolve_all_pieces(pieces)
+    pieces = [p for p in all_pieces if p.num_rows]
+    # an empty partition must type its key column like the OTHERS do, or
+    # string-keyed sessionize yields mixed int64/string block schemas;
+    # typed empty pieces carry the input schema for exactly this
+    key_type = next((p.column(key).type for p in all_pieces
+                     if key in p.column_names
+                     and not pa.types.is_null(p.column(key).type)),
+                    pa.int64())
     if pieces:
         # Null timestamps would become NaN → INT64_MIN garbage in the
         # int64 cast and silently corrupt session boundaries; drop them
@@ -72,13 +81,13 @@ def _sessionize_partition(key: str, ts_col: str, gap_sec: int, mode: str,
     if not pieces:
         if mode == "sessions":
             return pa.table({
-                key: pa.array([], type=pa.int64()),
+                key: pa.array([], type=key_type),
                 "session_no": pa.array([], type=pa.int64()),
                 "n_events": pa.array([], type=pa.int64()),
                 "t_start": pa.array([], type=pa.timestamp("us")),
                 "t_end": pa.array([], type=pa.timestamp("us"))})
         return pa.table({
-            key: pa.array([], type=pa.int64()),
+            key: pa.array([], type=key_type),
             "n_sessions": pa.array([], type=pa.int64()),
             "n_events": pa.array([], type=pa.int64())})
     dictionary, sess_key, session_no, starts, n_events, s, sess_new_key = \

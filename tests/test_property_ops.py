@@ -263,7 +263,7 @@ def test_ingest_pair_partition_matches_brute_force(seed, n_new, n_old):
     og, oi = dedup(old_g, old_id)
     new_tbl = pa.table({"g": pa.array(ng), "doc_id": pa.array(ni)})
     old_tbl = pa.table({"g": pa.array(og), "doc_id": pa.array(oi)})
-    out = _ingest_pair_partition("doc_id", [new_tbl], [old_tbl])
+    out = _ingest_pair_partition("doc_id", None, [new_tbl], [old_tbl])
     got = {(int(a), int(b)): int(n) for a, b, n in zip(
         out.column("id_a").to_pylist(), out.column("id_b").to_pylist(),
         out.column("n_part").to_pylist())}

@@ -2184,3 +2184,90 @@ def test_flagship_empty_corpus_and_empty_shard(ray_session, tmp_path):
     out = flagship.run("/root/testdata/sf0.001",
                        corpus_dir=str(corpus)).to_pandas()
     assert len(out) > 0 and int(out["n"].sum()) > 0
+
+
+def test_group_quantile_excludes_nulls(ray_session):
+    """Null values are excluded from the quantile (DuckDB quantile_disc
+    semantics) and don't flip a partition's output dtype to float64."""
+    import ray.data as rd
+    from log2seq_ray.ops.stats import group_quantile
+    t = pa.table({"k": ["a"] * 3 + ["b"] * 2,
+                  "v": pa.array([1, 2, None, 7, None], type=pa.int64())})
+    out = group_quantile(rd.from_arrow(t).repartition(2), "k", "v",
+                         q=0.9, alias="q", num_parts=2).to_pandas() \
+        .sort_values("k").set_index("k")
+    # ceil(0.9*2)-1 = 1 → 2 for group a; group b has one non-null value
+    assert list(out["q"]) == [2, 7]
+    assert out["q"].dtype.kind == "i"  # stayed int64, no NaN path
+
+
+def test_asof_join_null_timestamps(ray_session):
+    """Null timestamps on either side are dropped (ASOF semantics: a
+    null key matches nothing) instead of crashing pd.merge_asof."""
+    import ray.data as rd
+    from log2seq_ray.ops.asof import asof_join
+    lt = pa.table({"k": pa.array([1, 1, 1], type=pa.int64()),
+                   "ts": pa.array([10, None, 20], type=pa.int64()),
+                   "lv": pa.array([0.1, 0.2, 0.3])})
+    rt = pa.table({"k": pa.array([1, 1], type=pa.int64()),
+                   "ts": pa.array([15, None], type=pa.int64()),
+                   "rv": pa.array([7.5, 9.9])})
+    out = asof_join(rd.from_arrow(lt), rd.from_arrow(rt), key="k",
+                    ts_col="ts", right_cols=["rv"]).to_pandas() \
+        .sort_values("ts")
+    assert list(out["ts"]) == [10, 20]  # null-ts left row dropped
+    assert list(out["rv_prev"].fillna(-1)) == [-1, 7.5]  # null-ts right too
+
+
+def test_sessionize_string_keys_with_empty_partitions(ray_session):
+    """String session keys with more partitions than occupied hash slots:
+    empty partitions must type the key like the others (was hardcoded
+    int64 → mixed block schemas)."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import sessionize
+    t = pa.table({"user": pa.array(["u1"] * 3, type=pa.string()),
+                  "ts": pa.array([0, 1, 100_000], type=pa.int64())
+                  .cast(pa.timestamp("us"))})
+    out = sessionize(rd.from_arrow(t), key="user", ts_col="ts",
+                     gap_sec=10, num_parts=8)
+    df = out.to_pandas()
+    assert list(df["user"].unique()) == ["u1"]
+    assert out.schema().base_schema.field("user").type == pa.string()
+
+
+def test_knn_small_corpus_never_returns_self(ray_session):
+    """k > corpus size with exclude_self: the -inf self row must not
+    leak into the results (argpartition keeps every column when the
+    batch has < k candidates)."""
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import knn_brute_force
+    ids = np.array([0, 1, 2], dtype=np.int64)
+    X = np.eye(3) + 0.01
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              type=pa.list_(pa.float64()))}))
+    out = knn_brute_force(ds, (ids, X), k=10, exclude_self=True)
+    assert not (out["query_id"] == out["vec_id"]).any()
+    assert (out.groupby("query_id").size() == 2).all()  # 2 others each
+
+
+def test_ingest_neardup_max_df_bounds_boilerplate(ray_session, tmp_path):
+    """max_df skips ultra-common shingles: docs sharing ONLY boilerplate
+    stay distinct, while a genuine near-dup still drops through its
+    non-boilerplate shingles."""
+    import ray.data as rd
+    from log2seq_ray.ops.curation import ingest_neardup_run
+    boiler = "nav home about contact legal"
+    base = f"{boiler} alpha beta gamma delta eps"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": [base,
+                 base + " tail",                           # near-dup of 1
+                 f"{boiler} one two three four five"]})    # boiler only
+    # df=3 boiler shingles are skipped; capped J(1,2) = 5/10 hits the
+    # default 1/2 threshold, J(1,3)=J(2,3)=0 (boiler-only overlap)
+    out = ingest_neardup_run(rd.from_arrow(docs),
+                             str(tmp_path / "nd"), window=4,
+                             num_parts=4, max_df=2).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
