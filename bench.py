@@ -298,6 +298,12 @@ def run_benchmarks() -> dict:
               lambda: Q.q_tokenize_ids(SF_DIR).count())
         timed("packed_tokens",
               lambda: Q.q_packed_tokens(SF_DIR).count())
+        timed("full_join_hourly",
+              lambda: Q.q_full_join_hourly(SF_DIR).to_pandas())
+        timed("simhash_clusters",
+              lambda: Q.q_simhash_clusters(SF_DIR).to_pandas())
+        timed("cluster_reps",
+              lambda: Q.q_cluster_reps(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -1093,3 +1093,60 @@ def simhash_dups(ds, max_hamming: int = 8, id_col: str = "doc_id",
         sims = sims.map_batches(rebucket, batch_format="pyarrow")
     return hash_exchange(sims, "simhash_bucket", _simhash_bucket_pairs,
                          num_parts, fn_args=(max_hamming,))
+
+
+def simhash_clusters(ds, max_hamming: int = 8, id_col: str = "doc_id",
+                     col: str = "text", num_parts: int = 16,
+                     rotations: int = 1):
+    """Near-dup clusters from SimHash Hamming pairs: the pair set of
+    :func:`simhash_dups` fed through distributed min-label propagation
+    (:func:`label_propagation_clusters`). Returns a Dataset of
+    (doc_id, cluster_id = min doc_id of the connected component) for
+    every document that has at least one Hamming-ball neighbour.
+
+    With ``rotations > 1`` the same pair can be emitted by several
+    rotations; propagation is idempotent over duplicate edges, so no
+    pair dedup pass is needed — the pairs stay in the object store
+    end-to-end."""
+    pairs = simhash_dups(ds, max_hamming=max_hamming, id_col=id_col,
+                         col=col, num_parts=num_parts,
+                         rotations=rotations)
+    return label_propagation_clusters(pairs)
+
+
+def cluster_representatives(ds, threshold: float = 0.8,
+                            id_col: str = "doc_id", col: str = "text",
+                            **kw):
+    """Canonical document per near-dup cluster: MinHash clusters
+    (:func:`minhash_clusters`) joined back to the corpus, keeping the
+    HIGHEST-QUALITY member of each cluster (most whitespace tokens; ties
+    break to the smallest doc_id) instead of the arbitrary min-id member
+    a plain keep-first dedup retains.
+
+    Shape at scale: the cluster table is O(near-dup docs), the token
+    counts are a narrow per-batch projection of the corpus, the join is
+    the partitioned :func:`~log2seq_ray.ops.join.hash_join`, and the
+    per-cluster argmax is the pruned-exchange
+    :func:`~log2seq_ray.ops.asof.top_k_per_group` — no stage holds a
+    whole cluster's texts, only (id, count) rows. Returns a Dataset of
+    (cluster_id, doc_id, n_tokens) — one row per cluster."""
+    from .asof import top_k_per_group
+    from .join import hash_join
+
+    clusters = minhash_clusters(ds, threshold=threshold, **kw)
+
+    def _tok_counts(b: pa.Table) -> pa.Table:
+        from .text import _token_lists
+        toks = _token_lists(b.column(col))
+        return pa.table({id_col: b.column(id_col),
+                         "n_tokens": pc.cast(pc.list_value_length(toks),
+                                             pa.int64())})
+
+    counts = ds.map_batches(_tok_counts, batch_format="pyarrow")
+    joined = hash_join(clusters, counts, id_col, id_col,
+                       left_cols=[id_col, "cluster_id"],
+                       right_cols=[id_col, "n_tokens"])
+    best = top_k_per_group(joined, "cluster_id", "n_tokens", k=1,
+                           descending=True, tiebreak=id_col)
+    return best.drop_columns(["rank"]) \
+        .select_columns(["cluster_id", id_col, "n_tokens"])

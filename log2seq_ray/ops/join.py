@@ -130,6 +130,7 @@ def _concat_filtered(schema: pa.Schema, pieces) -> pa.Table:
 
 
 _JOIN_TYPES = {"inner": "inner", "left": "left outer",
+               "full": "full outer",
                "semi": "left semi", "anti": "left anti"}
 
 
@@ -147,13 +148,26 @@ def _join_bucket(left_key: str, right_key: str, empty_schema: pa.Schema,
     rt = pa.concat_tables([t for t in r_pieces if t.num_rows]) \
         if any(t.num_rows for t in r_pieces) else None
     if lt is None:
+        if how == "full" and rt is not None:
+            # right-only rows: key lands in the (coalesced) left key
+            # column, left non-key columns are null
+            out = rt
+            if right_key != left_key:
+                out = out.rename_columns(
+                    [left_key if n == right_key else n
+                     for n in out.column_names])
+            for f in empty_schema:
+                if f.name not in out.column_names:
+                    out = out.append_column(
+                        f, pa.nulls(out.num_rows, f.type))
+            return out.select(empty_schema.names).combine_chunks()
         return empty_schema.empty_table()
     if rt is None:
         if how in ("inner", "semi"):
             return empty_schema.empty_table()
         if how == "anti":  # nothing to exclude: every left row survives
             return lt.select(empty_schema.names).combine_chunks()
-        # left outer: left rows with null right columns
+        # left/full outer: left rows with null right columns
         out = lt
         for f in empty_schema:
             if f.name not in out.column_names:
@@ -179,11 +193,13 @@ def hash_join(left, right, left_key: str, right_key: str,
     (module docstring). Returns a Dataset of the joined rows.
 
     ``how``: ``inner`` (default), ``left`` (left outer — unmatched left
-    rows keep null right columns), ``semi`` (left rows with >=1 match,
-    left columns only), ``anti`` (left rows with NO match, left columns
-    only). Hash co-partitioning makes every mode exact per bucket: a left
-    row's matches all live in its own bucket, so match/no-match is decided
-    locally. For ``semi``/``anti`` only the KEY column of the right side
+    rows keep null right columns), ``full`` (full outer — unmatched rows
+    on EITHER side survive; the join keys are coalesced into the left key
+    column, so right-only rows carry their key there), ``semi`` (left
+    rows with >=1 match, left columns only), ``anti`` (left rows with NO
+    match, left columns only). Hash co-partitioning makes every mode
+    exact per bucket: a left row's matches all live in its own bucket, so
+    match/no-match is decided locally. For ``semi``/``anti`` only the KEY column of the right side
     enters the shuffle — the membership-test shape decontamination and
     "customers without orders" curation passes want.
 
@@ -236,11 +252,23 @@ def hash_join(left, right, left_key: str, right_key: str,
     # can't flow through the typed exchange; resolve the join by its
     # semantics instead of crashing on the missing schema.
     if left.schema() is None:
-        return left  # empty left → empty result for every join type
+        if how == "full":
+            # every left column's type is unrecoverable; the result is
+            # the right side with its key under the left key's name
+            # (left non-key columns omitted — degenerate-input contract)
+            out = right if right_cols is None \
+                else right.select_columns(list(right_cols))
+            if right_key != left_key and out.schema() is not None:
+                out = out.map_batches(
+                    lambda b, rk=right_key, lk=left_key: b.rename_columns(
+                        [lk if n == rk else n for n in b.column_names]),
+                    batch_format="pyarrow")
+            return out
+        return left  # empty left → empty result for every other type
     if right.schema() is None:
         l_out = left if left_cols is None \
             else left.select_columns(list(left_cols))
-        if how in ("anti", "left"):
+        if how in ("anti", "left", "full"):
             return l_out  # nothing on the right matches/filters
         return l_out.limit(0)  # inner/semi: no matches possible
 
@@ -277,9 +305,11 @@ def hash_join(left, right, left_key: str, right_key: str,
     if how == "inner":
         out_fields += [pa.field(n, rt[n]) for n in r_names
                        if n not in l_names]
-    elif how == "left":
-        # unmatched rows have no right key value — it stays out of the
-        # output (callers read the left key; matched rows are equal anyway)
+    elif how in ("left", "full"):
+        # left: unmatched rows have no right key value — it stays out of
+        # the output (callers read the left key; matched rows are equal).
+        # full: Acero coalesces the keys into the LEFT key column, so
+        # right-only rows carry their key there too.
         out_fields += [pa.field(n, rt[n]) for n in r_names
                        if n not in l_names and n != right_key]
     else:  # semi / anti: left columns only; right side is a key filter

@@ -3070,3 +3070,159 @@ ORACLE_SQL["trailing_values"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_full_join_hourly(sf_dir: str):
+    """Full outer join: hourly 'error' counts vs hourly 'purchase'
+    counts — hours with only one side survive with a 0 for the other
+    (44 error-only + 39 purchase-only hours at sf0.01). Exercises
+    hash_join(how='full'): unmatched rows on EITHER side, keys
+    coalesced into the left key column."""
+    from ray.data.aggregate import Sum
+    from .ops.join import hash_join
+
+    def hourly(etype: str, out: str):
+        def partial(b: pa.Table, et=etype, o=out) -> pa.Table:
+            m = b.filter(pc.equal(b.column("event_type"), et))
+            hour = pc.floor_temporal(m.column("ts"), unit="hour")
+            g = pa.table({"hour": hour}).group_by(["hour"]) \
+                .aggregate([([], "count_all")])
+            return pa.table({"hour": g.column("hour"),
+                             "p": g.column("count_all")})
+
+        return _events(sf_dir, ["event_type", "ts"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby("hour").aggregate(Sum("p", alias_name=out))
+
+    err = hourly("error", "n_error")
+    pur = hourly("purchase", "n_purchase")
+    j = hash_join(err, pur, "hour", "hour",
+                  left_cols=["hour", "n_error"],
+                  right_cols=["hour", "n_purchase"], how="full")
+    return j.map_batches(
+        lambda b: pa.table({
+            "hour": b.column("hour"),
+            "n_error": pc.fill_null(b.column("n_error"), 0),
+            "n_purchase": pc.fill_null(b.column("n_purchase"), 0)}),
+        batch_format="pyarrow")
+
+
+QUERIES["full_join_hourly"] = q_full_join_hourly
+
+ORACLE_SQL["full_join_hourly"] = """
+    WITH e AS (SELECT date_trunc('hour', ts) AS hour,
+                      CAST(COUNT(*) AS BIGINT) AS n_error
+               FROM events WHERE event_type = 'error' GROUP BY 1),
+    p AS (SELECT date_trunc('hour', ts) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n_purchase
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT COALESCE(e.hour, p.hour) AS hour,
+           COALESCE(e.n_error, 0) AS n_error,
+           COALESCE(p.n_purchase, 0) AS n_purchase
+    FROM e FULL OUTER JOIN p ON e.hour = p.hour
+"""
+
+
+def q_simhash_clusters(sf_dir: str):
+    """Connected components over the SimHash Hamming-ball pair graph
+    (within-bucket pairs, Hamming ≤ 12) via distributed min-label
+    propagation — the SimHash counterpart of minhash_clusters."""
+    from .ops.dedup import simhash_clusters
+    return simhash_clusters(_docs(sf_dir, ["doc_id", "text"]),
+                            max_hamming=12)
+
+
+QUERIES["simhash_clusters"] = q_simhash_clusters
+
+# the simhash_dups pair derivation + recursive min-reachability components
+ORACLE_SQL["simhash_clusters"] = f"""
+    WITH RECURSIVE tc AS (
+        SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents)
+        GROUP BY doc_id, tk),
+    th AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h,
+                  w
+           FROM tc),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((h >> b) & 1) = 1 THEN w ELSE -w END) AS s
+        FROM th, (SELECT unnest(range(0, 60)) AS b)
+        GROUP BY doc_id, b),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id),
+    S AS (SELECT d.doc_id,
+                 COALESCE(a.simhash, 0) AS simhash,
+                 COALESCE(a.simhash, 0) >> 44 AS bkt
+          FROM documents d LEFT JOIN agg a USING (doc_id)),
+    P AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+          FROM S a JOIN S b
+            ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+    E AS (SELECT ia AS src, ib AS dst FROM P
+          UNION ALL SELECT ib, ia FROM P),
+    W(node, reach) AS (
+        SELECT src, src FROM E
+        UNION
+        SELECT w.node, e.dst FROM W w JOIN E e ON w.reach = e.src)
+    SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+    FROM W GROUP BY node
+"""
+
+
+def q_cluster_reps(sf_dir: str):
+    """Canonical doc per MinHash near-dup cluster: the member with the
+    MOST tokens survives (ties → smallest doc_id) — dedup that keeps the
+    best copy, not the arbitrary min-id one."""
+    from .ops.dedup import cluster_representatives
+    return cluster_representatives(_docs(sf_dir, ["doc_id", "text"]),
+                                   threshold=0.5, n_hashes=128,
+                                   n_bands=128)
+
+
+QUERIES["cluster_reps"] = q_cluster_reps
+
+# minhash_clusters' component derivation + per-cluster argmax by token
+# count (ties to the smallest doc_id)
+ORACLE_SQL["cluster_reps"] = """
+    WITH RECURSIVE T AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  x -> x <> '') AS t
+               FROM documents),
+    SH AS (SELECT doc_id,
+                  list_distinct(CASE
+                      WHEN len(t) = 0 THEN ['']
+                      WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t) - 3),
+                          i -> array_to_string(t[i:i+4], ' '))
+                  END) AS s
+           FROM T),
+    EX AS (SELECT doc_id, unnest(s) AS g FROM SH),
+    CAND AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             FROM EX a JOIN EX b ON a.g = b.g AND a.doc_id < b.doc_id),
+    P AS (SELECT ia, ib FROM CAND
+          JOIN SH sa ON sa.doc_id = ia
+          JOIN SH sb ON sb.doc_id = ib
+          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / (len(sa.s) + len(sb.s)
+                   - len(list_intersect(sa.s, sb.s))) >= 0.5),
+    E AS (SELECT ia AS src, ib AS dst FROM P
+          UNION ALL SELECT ib, ia FROM P),
+    W(node, reach) AS (
+        SELECT src, src FROM E
+        UNION
+        SELECT w.node, e.dst FROM W w JOIN E e ON w.reach = e.src),
+    C AS (SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_id
+          FROM W GROUP BY node)
+    SELECT cluster_id, doc_id, n_tokens
+    FROM (SELECT c.cluster_id, c.doc_id,
+                 CAST(len(t.t) AS BIGINT) AS n_tokens,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY len(t.t) DESC, c.doc_id)
+                     AS rn
+          FROM C c JOIN T t USING (doc_id))
+    WHERE rn = 1
+"""

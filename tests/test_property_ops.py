@@ -118,7 +118,7 @@ from log2seq_ray.ops.join import _join_bucket, _split_by_bucket
 
 
 @given(st.integers(0, 2**32 - 1), st.integers(1, 7),
-       st.sampled_from(["inner", "left", "semi", "anti"]))
+       st.sampled_from(["inner", "left", "full", "semi", "anti"]))
 @settings(max_examples=40, deadline=None)
 def test_hash_join_bucket_modes_equal_pandas(seed, num_buckets, how):
     rng = np.random.default_rng(seed)
@@ -129,7 +129,7 @@ def test_hash_join_bucket_modes_equal_pandas(seed, num_buckets, how):
     if how == "inner":
         fields = [pa.field("lk", pa.int64()), pa.field("lv", pa.int64()),
                   pa.field("rk", pa.int64()), pa.field("rv", pa.int64())]
-    elif how == "left":
+    elif how in ("left", "full"):
         fields = [pa.field("lk", pa.int64()), pa.field("lv", pa.int64()),
                   pa.field("rv", pa.int64())]
     else:
@@ -137,7 +137,7 @@ def test_hash_join_bucket_modes_equal_pandas(seed, num_buckets, how):
     schema = pa.schema(fields)
     lb = _split_by_bucket(l, "lk", num_buckets, ["lk", "lv"])
     rb = _split_by_bucket(r, "rk", num_buckets,
-                          ["rk", "rv"] if how in ("inner", "left")
+                          ["rk", "rv"] if how in ("inner", "left", "full")
                           else ["rk"])
     parts = [_join_bucket("lk", "rk", schema, [lp], [rp], how)
              for lp, rp in zip(lb, rb)]
@@ -152,6 +152,14 @@ def test_hash_join_bucket_modes_equal_pandas(seed, num_buckets, how):
         exp = ld.merge(rd, left_on="lk", right_on="rk", how="left")
         key = lambda df: sorted(
             (int(a), int(b), -1 if pd.isna(c) else int(c))
+            for a, b, c in df[["lk", "lv", "rv"]].to_numpy())
+        assert key(out) == key(exp)
+    elif how == "full":
+        exp = ld.merge(rd, left_on="lk", right_on="rk", how="outer")
+        exp["lk"] = exp["lk"].fillna(exp["rk"])  # engine coalesces keys
+        key = lambda df: sorted(
+            (int(a), -1 if pd.isna(b) else int(b),
+             -1 if pd.isna(c) else int(c))
             for a, b, c in df[["lk", "lv", "rv"]].to_numpy())
         assert key(out) == key(exp)
     else:

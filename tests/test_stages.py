@@ -2271,3 +2271,86 @@ def test_ingest_neardup_max_df_bounds_boilerplate(ray_session, tmp_path):
                              str(tmp_path / "nd"), window=4,
                              num_parts=4, max_df=2).to_pandas()
     assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_hash_join_full_outer(ray_session):
+    """full outer: unmatched rows on BOTH sides survive; keys coalesce
+    into the left key column (right-only rows carry their key there)."""
+    import ray.data as rd
+    from log2seq_ray.ops.join import hash_join
+    l = pd.DataFrame({"lk": [1, 2, 2, 3], "lv": [10, 20, 21, 30]})
+    r = pd.DataFrame({"rk": [2, 4, 4], "rv": [200, 400, 401]})
+    out = hash_join(rd.from_pandas(l), rd.from_pandas(r), "lk", "rk",
+                    num_buckets=3, how="full").to_pandas()
+    exp = l.merge(r, left_on="lk", right_on="rk", how="outer")
+    exp["lk"] = exp["lk"].fillna(exp["rk"])
+    key = lambda df: sorted(
+        (int(a), -1 if pd.isna(b) else int(b),
+         -1 if pd.isna(c) else int(c))
+        for a, b, c in df[["lk", "lv", "rv"]].to_numpy())
+    assert key(out) == key(exp)
+    # same-name keys and a TYPED empty right side: left rows survive
+    # with null right columns
+    l2 = rd.from_pandas(pd.DataFrame({"k": [1, 2], "lv": [1, 2]}))
+    r2 = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                 "rv": pa.array([], pa.float64())}))
+    out2 = hash_join(l2, r2, "k", "k", how="full",
+                     right_cols=["k", "rv"]).to_pandas()
+    assert sorted(out2["k"]) == [1, 2] and out2["rv"].isna().all()
+    # schema-erased empty right (limit(0)): degenerate contract — the
+    # left side passes through unchanged (right types unrecoverable)
+    r3 = rd.from_pandas(pd.DataFrame({"k": [], "rv": []})).limit(0)
+    out3 = hash_join(l2, r3, "k", "k", how="full",
+                     right_cols=["k", "rv"]).to_pandas()
+    assert sorted(out3["k"]) == [1, 2] and "rv" not in out3.columns
+
+
+def test_simhash_clusters_components(ray_session):
+    """SimHash Hamming-ball components: near-identical docs cluster to
+    the min id; the unrelated doc is absent (no Hamming neighbour)."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import simhash_clusters, simhash_dups
+    base = "the quick brown fox jumps over the lazy dog and then some more"
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, base + " x", base + " y",
+                 "completely different text about nothing at all here"]})
+    pairs = simhash_dups(rd.from_arrow(docs), max_hamming=12).to_pandas()
+    got = simhash_clusters(rd.from_arrow(docs), max_hamming=12) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # reference: union-find over the pair set the op itself derives from
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs[["id_a", "id_b"]].itertuples(index=False):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted({int(x) for p in pairs[["id_a", "id_b"]]
+                     .itertuples(index=False) for x in p})
+    assert list(got["doc_id"]) == members
+    assert list(got["cluster_id"]) == [find(m) for m in members]
+    assert {1, 2, 3} <= set(members) and 4 not in members
+
+
+def test_cluster_representatives_keeps_longest(ray_session):
+    """The cluster representative is the member with the MOST tokens
+    (ties to the smallest doc_id), not the min-id member."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import cluster_representatives
+    base = "the quick brown fox jumps over the lazy dog and then some more"
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, base + " extra tokens here", base + " y",
+                 "completely different text about nothing at all here"]})
+    out = cluster_representatives(rd.from_arrow(docs), threshold=0.5) \
+        .to_pandas()
+    assert len(out) == 1
+    assert int(out["cluster_id"].iloc[0]) == 1   # component min id
+    assert int(out["doc_id"].iloc[0]) == 2       # longest member wins
+    assert int(out["n_tokens"].iloc[0]) == len(base.split()) + 3
