@@ -304,6 +304,12 @@ def run_benchmarks() -> dict:
               lambda: Q.q_simhash_clusters(SF_DIR).to_pandas())
         timed("cluster_reps",
               lambda: Q.q_cluster_reps(SF_DIR).to_pandas())
+        timed("char_stats",
+              lambda: Q.q_char_stats(SF_DIR).to_pandas())
+        timed("daily_new_users",
+              lambda: Q.q_daily_new_users(SF_DIR).to_pandas())
+        timed("user_day_activity",
+              lambda: Q.q_user_day_activity(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -89,7 +89,20 @@ def _key_hash(col) -> np.ndarray:
     return pd.util.hash_array(values)
 
 
-def _split_by_bucket(tbl: pa.Table, key: str, num_buckets: int,
+def _keys_list(key) -> list:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _keys_hash(tbl: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """Combined row hash over one or more key columns (FNV-style mix —
+    order-sensitive, identical on both join sides)."""
+    h = _key_hash(tbl.column(keys[0]))
+    for k in keys[1:]:
+        h = h * np.uint64(0x100000001B3) ^ _key_hash(tbl.column(k))
+    return h
+
+
+def _split_by_bucket(tbl: pa.Table, key, num_buckets: int,
                      cols: Sequence[str]):
     """One input block → num_buckets sub-tables (narrow, own side only)."""
     if tbl.num_rows == 0:
@@ -98,7 +111,8 @@ def _split_by_bucket(tbl: pa.Table, key: str, num_buckets: int,
         sub = tbl.select([c for c in cols if c in tbl.column_names])
         return [sub] * num_buckets if num_buckets > 1 else [sub]
     tbl = tbl.select(list(cols))
-    b = (_key_hash(tbl.column(key)) % np.uint64(num_buckets)).astype(np.int64)
+    b = (_keys_hash(tbl, _keys_list(key))
+         % np.uint64(num_buckets)).astype(np.int64)
     order = np.argsort(b, kind="stable")
     sorted_tbl = tbl.take(pa.array(order))
     counts = np.bincount(b, minlength=num_buckets)
@@ -134,9 +148,10 @@ _JOIN_TYPES = {"inner": "inner", "left": "left outer",
                "semi": "left semi", "anti": "left anti"}
 
 
-def _join_bucket(left_key: str, right_key: str, empty_schema: pa.Schema,
+def _join_bucket(left_key, right_key, empty_schema: pa.Schema,
                  l_pieces, r_pieces, how: str = "inner"):
     import ray
+    lks, rks = _keys_list(left_key), _keys_list(right_key)
     # pieces arrive as lists of ObjectRefs (nested refs are not auto-
     # resolved); task-side ray.get is a zero-copy plasma read
     if l_pieces and isinstance(l_pieces[0], ray.ObjectRef):
@@ -149,13 +164,11 @@ def _join_bucket(left_key: str, right_key: str, empty_schema: pa.Schema,
         if any(t.num_rows for t in r_pieces) else None
     if lt is None:
         if how == "full" and rt is not None:
-            # right-only rows: key lands in the (coalesced) left key
-            # column, left non-key columns are null
-            out = rt
-            if right_key != left_key:
-                out = out.rename_columns(
-                    [left_key if n == right_key else n
-                     for n in out.column_names])
+            # right-only rows: keys land in the (coalesced) left key
+            # columns, left non-key columns are null
+            ren = dict(zip(rks, lks))
+            out = rt.rename_columns(
+                [ren.get(n, n) for n in rt.column_names])
             for f in empty_schema:
                 if f.name not in out.column_names:
                     out = out.append_column(
@@ -173,16 +186,18 @@ def _join_bucket(left_key: str, right_key: str, empty_schema: pa.Schema,
             if f.name not in out.column_names:
                 out = out.append_column(f, pa.nulls(out.num_rows, f.type))
         return out.select(empty_schema.names).combine_chunks()
-    out = lt.join(rt, keys=[left_key], right_keys=[right_key],
+    out = lt.join(rt, keys=lks, right_keys=rks,
                   join_type=_JOIN_TYPES[how])
-    if how == "inner" and right_key != left_key \
-            and right_key not in out.column_names:
-        # Acero drops the right key column; reinstate it for schema parity
-        out = out.append_column(right_key, out.column(left_key))
+    if how == "inner":
+        for lk, rk in zip(lks, rks):
+            if rk != lk and rk not in out.column_names:
+                # Acero drops the right key column; reinstate it for
+                # schema parity
+                out = out.append_column(rk, out.column(lk))
     return out.select(empty_schema.names).combine_chunks()
 
 
-def hash_join(left, right, left_key: str, right_key: str,
+def hash_join(left, right, left_key, right_key,
               num_buckets: Optional[int] = None,
               left_cols: Optional[Sequence[str]] = None,
               right_cols: Optional[Sequence[str]] = None,
@@ -191,6 +206,10 @@ def hash_join(left, right, left_key: str, right_key: str,
               hot_threshold: Optional[int] = None):
     """Join two large Datasets via an explicit two-stage bucket exchange
     (module docstring). Returns a Dataset of the joined rows.
+
+    ``left_key`` / ``right_key``: a column name or a SEQUENCE of names
+    (composite key — both sides bucket by one combined row hash, and the
+    per-bucket Acero join equates the columns pairwise in order).
 
     ``how``: ``inner`` (default), ``left`` (left outer — unmatched left
     rows keep null right columns), ``full`` (full outer — unmatched rows
@@ -220,8 +239,16 @@ def hash_join(left, right, left_key: str, right_key: str,
 
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
+    lks, rks = _keys_list(left_key), _keys_list(right_key)
+    if len(lks) != len(rks) or not lks:
+        raise ValueError("left_key and right_key must name the same "
+                         "number of (>=1) columns")
     if (hot_keys or hot_threshold is not None) and how != "inner":
         raise ValueError("hot_keys / hot_threshold need how='inner'")
+    if (hot_keys or hot_threshold is not None) and len(lks) > 1:
+        raise ValueError("hot_keys / hot_threshold need a single-column "
+                         "key")
+    left_key, right_key = lks[0], rks[0]  # hot path reads the scalars
 
     if hot_threshold is not None and hot_keys is None:
         from ray.data.aggregate import Sum
@@ -258,10 +285,11 @@ def hash_join(left, right, left_key: str, right_key: str,
             # (left non-key columns omitted — degenerate-input contract)
             out = right if right_cols is None \
                 else right.select_columns(list(right_cols))
-            if right_key != left_key and out.schema() is not None:
+            if rks != lks and out.schema() is not None:
+                ren = dict(zip(rks, lks))
                 out = out.map_batches(
-                    lambda b, rk=right_key, lk=left_key: b.rename_columns(
-                        [lk if n == rk else n for n in b.column_names]),
+                    lambda b, ren=ren: b.rename_columns(
+                        [ren.get(n, n) for n in b.column_names]),
                     batch_format="pyarrow")
             return out
         return left  # empty left → empty result for every other type
@@ -281,7 +309,7 @@ def hash_join(left, right, left_key: str, right_key: str,
 
     l_names = _names(left, left_cols)
     r_names = _names(right, right_cols)
-    clash = (set(l_names) & set(r_names)) - {left_key, right_key}
+    clash = (set(l_names) & set(r_names)) - set(lks) - set(rks)
     if clash:
         raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
 
@@ -311,9 +339,9 @@ def hash_join(left, right, left_key: str, right_key: str,
         # full: Acero coalesces the keys into the LEFT key column, so
         # right-only rows carry their key there too.
         out_fields += [pa.field(n, rt[n]) for n in r_names
-                       if n not in l_names and n != right_key]
+                       if n not in l_names and n not in rks]
     else:  # semi / anti: left columns only; right side is a key filter
-        r_names = [right_key]
+        r_names = list(rks)
     empty_schema = pa.schema(out_fields)
 
     hot_result = None
@@ -370,11 +398,10 @@ def hash_join(left, right, left_key: str, right_key: str,
                 per_bucket[i].append(p)
         return per_bucket
 
-    l_buckets = exchange(left, left_key, l_names)
-    r_buckets = exchange(right, right_key, r_names)
+    l_buckets = exchange(left, lks, l_names)
+    r_buckets = exchange(right, rks, r_names)
     joiner = ray.remote(_join_bucket)
-    out_refs = [joiner.remote(left_key, right_key, empty_schema, lp, rp,
-                              how)
+    out_refs = [joiner.remote(lks, rks, empty_schema, lp, rp, how)
                 for lp, rp in zip(l_buckets, r_buckets)]
     # refs stay in plasma — the joined blocks never pass through the driver
     joined = rd.from_arrow_refs(out_refs)

@@ -431,6 +431,58 @@ def bpe_token_counts(batch: pa.Table, col: str = "text",
     })
 
 
+def char_stats(batch: pa.Table, id_col: str = "doc_id",
+               col: str = "text") -> pa.Table:
+    """Per-document character-level spam signals (integer-exact, so the
+    DuckDB oracle matches bit-for-bit): codepoint count, distinct
+    codepoints, and the longest run of one repeated codepoint (e.g.
+    'aaaaaaa' — a classic low-quality marker keyword-stuffed or
+    generator-glitched pages trip).
+
+    Kernel shape: ONE codepoint stream per batch (``"".join`` +
+    ``utf-32-le`` view — no per-row Python), then segmented numpy:
+    run-length encoding with resets at row boundaries and a
+    ``maximum.reduceat`` per row for the longest run; distinct counts by
+    (row, code) lexsort boundary counting, the same pattern
+    :func:`quality_scores` uses. Memory is O(batch chars), never
+    O(rows × longest doc) — no padded matrix."""
+    text = batch.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(batch)
+    n_chars = np.asarray(pc.utf8_length(pc.fill_null(text, "")),
+                         dtype=np.int64)
+    distinct = np.zeros(n, dtype=np.int64)
+    max_run = np.zeros(n, dtype=np.int64)
+    total = int(n_chars.sum())
+    if total:
+        joined = "".join(s or "" for s in text.to_pylist())
+        flat = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), n_chars)
+        # longest same-codepoint run: RLE with resets at row boundaries
+        brk = np.ones(total, dtype=bool)
+        brk[1:] = (flat[1:] != flat[:-1]) | (row_ids[1:] != row_ids[:-1])
+        starts = np.flatnonzero(brk)
+        run_lens = np.diff(np.append(starts, total))
+        run_rows = row_ids[starts]          # ascending (runs in row order)
+        first = np.ones(len(run_rows), dtype=bool)
+        first[1:] = run_rows[1:] != run_rows[:-1]
+        idx = np.flatnonzero(first)
+        max_run[run_rows[idx]] = np.maximum.reduceat(run_lens, idx)
+        # distinct codepoints per row: sort (row, code), count boundaries
+        order = np.lexsort((flat, row_ids))
+        rc, cc = row_ids[order], flat[order]
+        new = np.ones(total, dtype=bool)
+        new[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
+        distinct = np.bincount(rc[new], minlength=n).astype(np.int64)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_chars": pa.array(n_chars, type=pa.int64()),
+        "n_distinct_chars": pa.array(distinct, type=pa.int64()),
+        "max_char_run": pa.array(max_run, type=pa.int64()),
+    })
+
+
 def repetition_scores(batch: pa.Table, col: str = "text") -> pa.Table:
     """Gopher-style repetition quality signal per document: bigram count
     and the multiplicity of the most-repeated bigram (high values flag

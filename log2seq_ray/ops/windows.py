@@ -354,3 +354,70 @@ def event_bigrams(ds, key: str = "user_id", ts_col: str = "ts",
                              fn_args=(key, ts_col, ev_col, id_col))
     return partials.groupby(["ev_from", "ev_to"]) \
         .aggregate(Sum("n_part", alias_name="n"))
+
+
+def _cum_block(offset: int, count_col: str, tbl: pa.Table) -> pa.Table:
+    n = tbl.column(count_col).to_numpy().astype(np.int64)
+    return tbl.append_column(
+        "cum_" + count_col,
+        pa.array(offset + np.cumsum(n), type=pa.int64()))
+
+
+def first_seen_cumulative(ds, key_col: str = "user_id",
+                          ts_col: str = "ts", unit: str = "day"):
+    """Growth curve: per period, how many keys appear for the FIRST time,
+    plus the running total of distinct keys seen so far — the
+    "cumulative unique users/domains" metric a crawl or event corpus is
+    sized by.
+
+    Scale shape: per-batch min-ts partials → one ``groupby(key).min``
+    (the only exchange, narrow (key, ts) rows) → per-batch period counts
+    → a tiny per-period table, range-sorted, with the cumulative sum
+    computed by the O(n_blocks) :func:`~log2seq_ray.ops.scan.scan_offsets`
+    block scan — rows never pass through the driver, and the cumulative
+    is exact without a single-task global sort of raw events."""
+    from ray.data.aggregate import Min, Sum
+    from .scan import _sorted_refs, scan_offsets
+    import ray
+    import ray.data as rd
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        t = b.select([key_col, ts_col]).filter(
+            pc.is_valid(b.column(ts_col)))
+        g = t.group_by([key_col]).aggregate([(ts_col, "min")])
+        return pa.table({key_col: g.column(key_col),
+                         "fts": g.column(f"{ts_col}_min")})
+
+    first = ds.map_batches(min_partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Min("fts", alias_name="fts"))
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        period = pc.floor_temporal(b.column("fts"), unit=unit)
+        g = pa.table({"period": period}).group_by(["period"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"period": g.column("period"),
+                         "p": pc.cast(g.column("count_all"), pa.int64())})
+
+    daily = first.map_batches(day_partial, batch_format="pyarrow") \
+        .groupby("period").aggregate(Sum("p", alias_name="n_new")) \
+        .sort("period")
+    refs = _sorted_refs(daily)
+    # the sort can emit zero-row blocks carrying a STALE upstream schema
+    # (no n_new column) — drop empties before the offset scan
+    from .scan import _count_block
+    cnt = ray.remote(_count_block)
+    nrows = ray.get([cnt.remote(r) for r in refs])
+    refs = [r for r, c in zip(refs, nrows) if c]
+    if not refs:
+        sch = daily.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return rd.from_arrow(pa.schema(
+                list(base) + [pa.field("cum_n_new", pa.int64())]
+            ).empty_table())
+        return daily  # no rows and no recoverable types
+    offsets = scan_offsets(refs, "n_new")
+    cum = ray.remote(_cum_block)
+    out = [cum.remote(int(off), "n_new", r)
+           for off, r in zip(offsets, refs)]
+    return rd.from_arrow_refs(out)

@@ -3226,3 +3226,121 @@ ORACLE_SQL["cluster_reps"] = """
           FROM C c JOIN T t USING (doc_id))
     WHERE rn = 1
 """
+
+
+def q_char_stats(sf_dir: str):
+    """Character-level spam signals per doc: codepoint count, distinct
+    codepoints, longest same-codepoint run (keyword-stuffing / generator
+    glitch marker) — integer-exact, one flat-codepoint kernel per batch."""
+    from .ops.text import char_stats
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        char_stats, batch_format="pyarrow")
+
+
+QUERIES["char_stats"] = q_char_stats
+
+# gaps-and-islands over positionally unnested codepoints (range() and
+# string_split_regex(text,'') align 1:1 — verified len-equal on the table)
+ORACLE_SQL["char_stats"] = """
+    WITH ch AS (
+        SELECT doc_id,
+               unnest(range(1, length(text) + 1)) AS i,
+               unnest(string_split_regex(text, '')) AS c
+        FROM documents WHERE length(text) > 0),
+    runs AS (
+        SELECT doc_id, c,
+               i - row_number() OVER (PARTITION BY doc_id, c ORDER BY i)
+                   AS grp
+        FROM ch),
+    rl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+           FROM runs GROUP BY doc_id, c, grp),
+    mx AS (SELECT doc_id, MAX(run_len) AS max_char_run
+           FROM rl GROUP BY doc_id)
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN length(d.text) = 0 THEN 0
+                ELSE len(list_distinct(string_split_regex(d.text, '')))
+                END AS BIGINT) AS n_distinct_chars,
+           COALESCE(mx.max_char_run, 0) AS max_char_run
+    FROM documents d LEFT JOIN mx USING (doc_id)
+"""
+
+
+def q_daily_new_users(sf_dir: str):
+    """Cumulative-unique growth curve: first-seen day per user → daily
+    new-user counts → exact running total via the O(n_blocks) block
+    scan (no global event sort, no driver-side rows)."""
+    from .ops.windows import first_seen_cumulative
+    out = first_seen_cumulative(_events(sf_dir, ["user_id", "ts"]),
+                                key_col="user_id", ts_col="ts",
+                                unit="day")
+    return out.map_batches(
+        lambda b: b.rename_columns(["day", "n_new", "cum_users"]),
+        batch_format="pyarrow")
+
+
+QUERIES["daily_new_users"] = q_daily_new_users
+
+ORACLE_SQL["daily_new_users"] = """
+    WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events
+               GROUP BY user_id),
+    d AS (SELECT date_trunc('day', fts) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM f GROUP BY 1)
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM d
+"""
+
+
+def q_user_day_activity(sf_dir: str):
+    """Composite-key (user_id, day) FULL OUTER join of per-user-day
+    purchase counts vs error counts — the cross-signal activity matrix;
+    days where a user has only one signal survive with a 0."""
+    from ray.data.aggregate import Sum
+    from .ops.join import hash_join
+
+    def daily(etype: str, out: str):
+        def partial(b: pa.Table, et=etype) -> pa.Table:
+            m = b.filter(pc.equal(b.column("event_type"), et))
+            day = pc.floor_temporal(m.column("ts"), unit="day")
+            g = pa.table({"user_id": m.column("user_id"), "day": day}) \
+                .group_by(["user_id", "day"]) \
+                .aggregate([([], "count_all")])
+            return pa.table({"user_id": g.column("user_id"),
+                             "day": g.column("day"),
+                             "p": g.column("count_all")})
+
+        return _events(sf_dir, ["user_id", "event_type", "ts"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby(["user_id", "day"]).aggregate(Sum("p", alias_name=out))
+
+    pur = daily("purchase", "n_purchase")
+    err = daily("error", "n_error")
+    j = hash_join(pur, err, ["user_id", "day"], ["user_id", "day"],
+                  left_cols=["user_id", "day", "n_purchase"],
+                  right_cols=["user_id", "day", "n_error"], how="full")
+    return j.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "day": b.column("day"),
+            "n_purchase": pc.fill_null(b.column("n_purchase"), 0),
+            "n_error": pc.fill_null(b.column("n_error"), 0)}),
+        batch_format="pyarrow")
+
+
+QUERIES["user_day_activity"] = q_user_day_activity
+
+ORACLE_SQL["user_day_activity"] = """
+    WITH p AS (SELECT user_id, date_trunc('day', ts) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n_purchase
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    e AS (SELECT user_id, date_trunc('day', ts) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_error
+          FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+           COALESCE(p.day, e.day) AS day,
+           COALESCE(p.n_purchase, 0) AS n_purchase,
+           COALESCE(e.n_error, 0) AS n_error
+    FROM p FULL OUTER JOIN e
+      ON p.user_id = e.user_id AND p.day = e.day
+"""

@@ -343,3 +343,59 @@ def test_sem_ingest_partition_matches_brute_force(seed, n_new, n_old,
         if hit:
             exp.add(int(idn[i]))
     assert got == exp
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 5),
+       st.sampled_from(["inner", "left", "full", "semi", "anti"]))
+@settings(max_examples=40, deadline=None)
+def test_hash_join_composite_key_equals_pandas(seed, num_buckets, how):
+    """Two-column composite keys: bucket exchange + per-bucket join equals
+    pandas merge on both columns, for every join mode."""
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(0, 30)), int(rng.integers(0, 20))
+    l = pa.table({"k1": rng.integers(0, 5, nl),
+                  "k2": rng.integers(0, 4, nl).astype(str),
+                  "lv": np.arange(nl)})
+    r = pa.table({"r1": rng.integers(0, 4, nr),
+                  "r2": rng.integers(0, 4, nr).astype(str),
+                  "rv": rng.integers(0, 99, nr)})
+    lks, rks = ["k1", "k2"], ["r1", "r2"]
+    base = [pa.field("k1", pa.int64()), pa.field("k2", pa.string()),
+            pa.field("lv", pa.int64())]
+    if how == "inner":
+        fields = base + [pa.field("r1", pa.int64()),
+                         pa.field("r2", pa.string()),
+                         pa.field("rv", pa.int64())]
+        r_cols = ["r1", "r2", "rv"]
+    elif how in ("left", "full"):
+        fields = base + [pa.field("rv", pa.int64())]
+        r_cols = ["r1", "r2", "rv"]
+    else:
+        fields = base
+        r_cols = ["r1", "r2"]
+    schema = pa.schema(fields)
+    lb = _split_by_bucket(l, lks, num_buckets, ["k1", "k2", "lv"])
+    rb = _split_by_bucket(r, rks, num_buckets, r_cols)
+    parts = [_join_bucket(lks, rks, schema, [lp], [rp], how)
+             for lp, rp in zip(lb, rb)]
+    out = pa.concat_tables(parts).to_pandas()
+
+    ld, rd = l.to_pandas(), r.to_pandas()
+    if how in ("inner", "left", "full"):
+        pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
+        exp = ld.merge(rd, left_on=lks, right_on=rks, how=pd_how)
+        if how == "full":  # engine coalesces keys pairwise
+            exp["k1"] = exp["k1"].fillna(exp["r1"])
+            exp["k2"] = exp["k2"].fillna(exp["r2"])
+        cols = ["k1", "k2", "lv"] + (["rv"] if how != "inner"
+                                     else ["r1", "rv"])
+        key = lambda df: sorted(
+            tuple(-1 if pd.isna(v) else (v if isinstance(v, str)
+                                         else int(v)) for v in row)
+            for row in df[cols].to_numpy())
+        assert key(out) == key(exp)
+    else:
+        matched = set(map(tuple, rd[rks].to_numpy()))
+        isin = [tuple(t) in matched for t in ld[lks].to_numpy()]
+        keep = pd.Series(isin) if how == "semi" else ~pd.Series(isin)
+        assert sorted(out["lv"]) == sorted(ld.loc[list(keep), "lv"])

@@ -2354,3 +2354,43 @@ def test_cluster_representatives_keeps_longest(ray_session):
     assert int(out["cluster_id"].iloc[0]) == 1   # component min id
     assert int(out["doc_id"].iloc[0]) == 2       # longest member wins
     assert int(out["n_tokens"].iloc[0]) == len(base.split()) + 3
+
+
+def test_char_stats_edges():
+    """char_stats on hostile rows: runs, CJK, empty, null, single char,
+    run at end of row must not leak into the next row."""
+    from log2seq_ray.ops.text import char_stats
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": ["aaaaabbb", "日本語語語", "", None, "x",
+                 "zzz"],  # row 1 ends in 'bbb'; row 6 starts with 'zzz'
+    })
+    out = char_stats(t).to_pandas()
+    assert list(out["n_chars"]) == [8, 5, 0, 0, 1, 3]
+    assert list(out["n_distinct_chars"]) == [2, 3, 0, 0, 1, 1]
+    assert list(out["max_char_run"]) == [5, 3, 0, 0, 1, 3]
+    # adjacent rows sharing a boundary codepoint must not merge runs
+    t2 = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                   "text": ["aa", "aaa"]})
+    out2 = char_stats(t2).to_pandas()
+    assert list(out2["max_char_run"]) == [2, 3]
+
+
+def test_first_seen_cumulative_reference(ray_session):
+    """Growth curve equals the pandas reference (first-seen day counts +
+    running total); null timestamps excluded."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import first_seen_cumulative
+    rng = np.random.default_rng(7)
+    n = 400
+    ts = pd.Timestamp("2025-01-01") \
+        + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s")
+    df = pd.DataFrame({"user_id": rng.integers(0, 60, n), "ts": ts})
+    df.loc[::37, "ts"] = pd.NaT
+    out = first_seen_cumulative(rd.from_pandas(df).repartition(5)) \
+        .to_pandas().sort_values("period").reset_index(drop=True)
+    f = df.dropna(subset=["ts"]).groupby("user_id")["ts"].min()
+    exp = f.dt.floor("D").value_counts().sort_index()
+    assert list(out["period"]) == list(exp.index)
+    assert list(out["n_new"]) == list(exp.values)
+    assert list(out["cum_n_new"]) == list(exp.cumsum().values)
