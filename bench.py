@@ -224,6 +224,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_cross_run_dedup(SF_DIR).to_pandas())
         timed("cross_run_neardup",
               lambda: Q.q_cross_run_neardup(SF_DIR).to_pandas())
+        timed("cross_run_simhash",
+              lambda: Q.q_cross_run_simhash(SF_DIR).to_pandas())
         timed("cross_run_semdedup",
               lambda: Q.q_cross_run_semdedup(SF_DIR).to_pandas())
         timed("value_stats", lambda: Q.q_value_stats(SF_DIR).to_pandas())

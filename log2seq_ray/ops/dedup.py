@@ -1150,3 +1150,156 @@ def cluster_representatives(ds, threshold: float = 0.8,
                            descending=True, tiebreak=id_col)
     return best.drop_columns(["rank"]) \
         .select_columns(["cluster_id", id_col, "n_tokens"])
+
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)],
+                      dtype=np.uint8)
+
+
+def _hamming_any(q: np.ndarray, w: np.ndarray, max_hamming: int,
+                 chunk: int = 4096) -> np.ndarray:
+    """For each query hash, does ANY witness hash lie within
+    ``max_hamming``? Chunked XOR + byte-LUT popcount; query rows that
+    find a witness are pruned from later witness chunks."""
+    hit = np.zeros(len(q), dtype=bool)
+    alive = np.arange(len(q))
+    for j0 in range(0, len(w), chunk):
+        if not len(alive):
+            break
+        x = q[alive, None] ^ w[None, j0:j0 + chunk]
+        d = _POPCOUNT8[x.view(np.uint8).reshape(len(alive), -1, 8)] \
+            .sum(axis=2, dtype=np.int64)
+        found = (d <= max_hamming).any(axis=1)
+        hit[alive[found]] = True
+        alive = alive[~found]
+    return hit
+
+
+def _simhash_victims_partition(max_hamming: int, id_col: str,
+                               pieces_new, pieces_old, chunk: int = 1024):
+    """One bucket-hash partition of the SimHash ingest: a new doc is a
+    victim iff some OLD (committed) row of its bucket, or some LOWER-ID
+    new row of its bucket (victim or not — non-cascading, the same rule
+    the shingle ingest uses), lies within ``max_hamming``. All Hamming
+    tests are chunked XOR+LUT kernels with victim-row pruning."""
+    from .exchange import concat_typed, resolve_pieces
+    empty = pa.table({id_col: pa.array([], type=pa.int64())})
+    new = concat_typed(resolve_pieces(pieces_new), id_col, "simhash",
+                       "simhash_bucket")
+    if new is None or new.num_rows == 0:
+        return empty
+    old = concat_typed(resolve_pieces(pieces_old), id_col, "simhash",
+                       "simhash_bucket")
+    b_n = new.column("simhash_bucket").to_numpy()
+    h_n = new.column("simhash").to_numpy().astype(np.uint64)
+    id_n = new.column(id_col).to_numpy()
+    order = np.lexsort((id_n, b_n))
+    b_n, h_n, id_n = b_n[order], h_n[order], id_n[order]
+    if old is not None and old.num_rows:
+        b_o = old.column("simhash_bucket").to_numpy()
+        h_o = old.column("simhash").to_numpy().astype(np.uint64)
+        o_order = np.argsort(b_o, kind="stable")
+        b_o, h_o = b_o[o_order], h_o[o_order]
+    else:
+        b_o = np.array([], dtype=b_n.dtype)
+        h_o = np.array([], dtype=np.uint64)
+    victim = np.zeros(len(b_n), dtype=bool)
+    seg_starts = np.flatnonzero(
+        np.concatenate([[True], b_n[1:] != b_n[:-1]]))
+    seg_ends = np.append(seg_starts[1:], len(b_n))
+    CH = chunk
+    for s, e in zip(seg_starts, seg_ends):
+        o_lo, o_hi = np.searchsorted(b_o, [b_n[s], b_n[s]], "left")[0], \
+            np.searchsorted(b_o, b_n[s], "right")
+        w_old = h_o[o_lo:o_hi]
+        for i0 in range(s, e, CH):
+            i1 = min(i0 + CH, e)
+            q_idx = np.arange(i0, i1)
+            if len(w_old):
+                hit = _hamming_any(h_n[q_idx], w_old, max_hamming)
+                victim[q_idx[hit]] = True
+                q_idx = q_idx[~hit]
+            if len(q_idx) and i0 > s:
+                # vs every lower-index new row of earlier chunks
+                hit = _hamming_any(h_n[q_idx], h_n[s:i0], max_hamming)
+                victim[q_idx[hit]] = True
+                q_idx = q_idx[~hit]
+            if len(q_idx):
+                # within-chunk triangle: witness index < query index
+                x = h_n[q_idx, None] ^ h_n[None, i0:i1]
+                d = _POPCOUNT8[x.view(np.uint8)
+                               .reshape(len(q_idx), -1, 8)] \
+                    .sum(axis=2, dtype=np.int64)
+                valid = np.arange(i0, i1)[None, :] < q_idx[:, None]
+                hit = ((d <= max_hamming) & valid).any(axis=1)
+                victim[q_idx[hit]] = True
+    return pa.table({id_col: pa.array(id_n[victim], type=pa.int64())})
+
+
+def ingest_simhash_run(ds, state_dir: str, max_hamming: int = 8,
+                       id_col: str = "doc_id", col: str = "text",
+                       num_parts=None):
+    """Incremental cross-RUN SimHash ingest — the fourth member of the
+    ingest family (exact hash, shingle Jaccard, embedding cosine, and
+    now SimHash Hamming): a new doc is DROPPED iff its 60-bit SimHash
+    lies within ``max_hamming`` of ANY committed survivor sharing its
+    16-bit bucket, or of ANY lower-id doc of this run in the bucket
+    (non-cascading, like :func:`~log2seq_ray.ops.curation.ingest_neardup_run`).
+    Survivors commit their (id, simhash, bucket) rows — 24 bytes/doc,
+    never text — to the persistent index under ``state_dir`` via
+    write-to-temp + ``rename``. Doc ids must be unique across runs.
+    Returns the surviving (id, simhash, simhash_bucket) Dataset.
+
+    100 TB shape: ONE bucket-hash exchange co-partitions tonight's run
+    with the index rows; each partition scans its buckets with chunked
+    XOR+popcount slabs (victims pruned from later slabs), so per-task
+    memory is O(chunk × bucket-chunk), never O(bucket²); the old-old
+    bulk of a mature index is never compared."""
+    import os
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from .exchange import fan_out_pieces, split_by_key
+    from .join import hash_join
+
+    num_parts = _auto_parts(num_parts)
+    os.makedirs(state_dir, exist_ok=True)
+    runs = sorted(d for d in os.listdir(state_dir) if d.startswith("run_"))
+
+    sims_new = simhash_table(ds, id_col=id_col, col=col).materialize()
+    # consumed twice: the victim scan and the survivor commit
+
+    new_parts = fan_out_pieces(split_by_key, sims_new.to_arrow_refs(),
+                               num_parts, args=("simhash_bucket",
+                                                num_parts))
+    sim_files = [f"{state_dir}/{r}/sims/{f}" for r in runs
+                 if os.path.isdir(f"{state_dir}/{r}/sims")
+                 for f in sorted(os.listdir(f"{state_dir}/{r}/sims"))
+                 if f.endswith(".parquet")]
+    if sim_files:
+        old_rows = rd.read_parquet(sim_files)
+        old_parts = fan_out_pieces(split_by_key, old_rows.to_arrow_refs(),
+                                   num_parts, args=("simhash_bucket",
+                                                    num_parts))
+    else:
+        old_parts = [[] for _ in range(num_parts)]
+
+    work = ray.remote(_simhash_victims_partition)
+    victim_refs = [work.remote(max_hamming, id_col, np_, op_)
+                   for np_, op_ in zip(new_parts, old_parts)]
+    victims = rd.from_arrow_refs(victim_refs)
+    survivors = hash_join(sims_new, victims, id_col, id_col,
+                          how="anti").materialize()
+
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    os.makedirs(f"{tmp}/sims", exist_ok=True)  # empty-run commit works
+    survivors.write_parquet(f"{tmp}/sims")
+    os.rename(tmp, f"{state_dir}/run_{len(runs):05d}")
+    if survivors.count() == 0:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "simhash": pa.array([], type=pa.int64()),
+            "simhash_bucket": pa.array([], type=pa.int64())}))
+    return survivors

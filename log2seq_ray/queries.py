@@ -3344,3 +3344,98 @@ ORACLE_SQL["user_day_activity"] = """
     FROM p FULL OUTER JOIN e
       ON p.user_id = e.user_id AND p.day = e.day
 """
+
+
+def q_cross_run_simhash(sf_dir: str):
+    """Two-run incremental SimHash ingest (fourth ingest-family member):
+    run A (even docs) commits its (id, simhash, bucket) index; run B =
+    odd docs + re-keyed one-token variants of the even docs — a variant
+    drops whenever its SimHash stays within Hamming 12 of the committed
+    original in the same bucket, and run-B-internal Hamming neighbours
+    drop against lower ids. Returns run B's survivors."""
+    import os
+    import shutil
+
+    from .ops.dedup import ingest_simhash_run
+
+    state = f"/tmp/l2sr_sh_ingest_{os.getpid()}"
+    shutil.rmtree(state, ignore_errors=True)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    half = parity_half
+
+    run_a = docs.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    ingest_simhash_run(run_a, state, max_hamming=12)
+
+    def variant(b: pa.Table) -> pa.Table:
+        t = half(b, 0)
+        return pa.table({
+            "doc_id": pc.add(pc.cast(t.column("doc_id"), pa.int64()),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                t.column("text"), pa.scalar(" zz9"), ""),
+        })
+
+    run_b = docs.map_batches(lambda b: half(b, 1),
+                             batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"]) \
+        .union(docs.map_batches(variant, batch_format="pyarrow"))
+    out = ingest_simhash_run(run_b, state, max_hamming=12)
+    shutil.rmtree(state, ignore_errors=True)
+    return out.select_columns(["doc_id", "simhash"])
+
+
+QUERIES["cross_run_simhash"] = q_cross_run_simhash
+
+# the simhash derivation over run A ∪ run B (odds + ' zz9' variants),
+# then the two-level non-cascading victim rule: run A keeps lower-id-
+# clear rows; run B drops on a committed-survivor witness or a lower-id
+# run-B witness (victim or not) in the same 16-bit bucket
+ORACLE_SQL["cross_run_simhash"] = """
+    WITH U AS (
+        SELECT doc_id, text, 0 AS run FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, text, 1 FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' zz9', 1 FROM documents
+        WHERE doc_id % 2 = 0),
+    tc AS (
+        SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS tk
+              FROM U)
+        GROUP BY doc_id, tk),
+    th AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h,
+                  w
+           FROM tc),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((h >> b) & 1) = 1 THEN w ELSE -w END) AS s
+        FROM th, (SELECT unnest(range(0, 60)) AS b)
+        GROUP BY doc_id, b),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id),
+    S AS (SELECT u.doc_id, u.run,
+                 COALESCE(a.simhash, 0) AS simhash,
+                 COALESCE(a.simhash, 0) >> 44 AS bkt
+          FROM U u LEFT JOIN agg a USING (doc_id)),
+    ASURV AS (
+        SELECT a.* FROM S a WHERE a.run = 0 AND NOT EXISTS (
+            SELECT 1 FROM S w
+            WHERE w.run = 0 AND w.doc_id < a.doc_id AND w.bkt = a.bkt
+              AND bit_count(xor(w.simhash, a.simhash)) <= 12))
+    SELECT b.doc_id, b.simhash
+    FROM S b WHERE b.run = 1
+      AND NOT EXISTS (
+          SELECT 1 FROM ASURV w
+          WHERE w.bkt = b.bkt
+            AND bit_count(xor(w.simhash, b.simhash)) <= 12)
+      AND NOT EXISTS (
+          SELECT 1 FROM S w
+          WHERE w.run = 1 AND w.doc_id < b.doc_id AND w.bkt = b.bkt
+            AND bit_count(xor(w.simhash, b.simhash)) <= 12)
+"""

@@ -399,3 +399,40 @@ def test_hash_join_composite_key_equals_pandas(seed, num_buckets, how):
         isin = [tuple(t) in matched for t in ld[lks].to_numpy()]
         keep = pd.Series(isin) if how == "semi" else ~pd.Series(isin)
         assert sorted(out["lv"]) == sorted(ld.loc[list(keep), "lv"])
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_simhash_ingest_victims_equal_brute_force(seed):
+    """The SimHash ingest victim kernel (chunked XOR+LUT with row
+    pruning) equals the brute-force rule — any committed witness, or any
+    lower-id new witness (victim or not), same bucket, Hamming ≤ h —
+    across random bucket skew, hash collisions and CHUNK BOUNDARIES."""
+    from log2seq_ray.ops.dedup import _simhash_victims_partition
+    rng = np.random.default_rng(seed)
+    n_new = int(rng.integers(0, 50))
+    n_old = int(rng.integers(0, 30))
+    mh = int(rng.integers(0, 8))
+    ch = int(rng.integers(1, 7))  # tiny chunks exercise every boundary
+    bk_n = rng.integers(0, 3, n_new)
+    bk_o = rng.integers(0, 3, n_old)
+    h_n = rng.integers(0, 2**10, n_new, dtype=np.uint64)
+    h_o = rng.integers(0, 2**10, n_old, dtype=np.uint64)
+    ids = rng.permutation(1000)[:n_new].astype(np.int64)
+    new = pa.table({"doc_id": ids, "simhash": h_n.astype(np.int64),
+                    "simhash_bucket": bk_n})
+    old = pa.table({"doc_id": np.arange(10000, 10000 + n_old),
+                    "simhash": h_o.astype(np.int64),
+                    "simhash_bucket": bk_o})
+    got = set(_simhash_victims_partition(
+        mh, "doc_id", [new], [old], chunk=ch).column("doc_id").to_pylist())
+    pop = lambda x: bin(int(x)).count("1")
+    exp = set()
+    for i in range(n_new):
+        wit = any(bk_o[j] == bk_n[i] and pop(h_o[j] ^ h_n[i]) <= mh
+                  for j in range(n_old)) \
+            or any(bk_n[j] == bk_n[i] and ids[j] < ids[i]
+                   and pop(h_n[j] ^ h_n[i]) <= mh for j in range(n_new))
+        if wit:
+            exp.add(int(ids[i]))
+    assert got == exp

@@ -2394,3 +2394,39 @@ def test_first_seen_cumulative_reference(ray_session):
     assert list(out["period"]) == list(exp.index)
     assert list(out["n_new"]) == list(exp.values)
     assert list(out["cum_n_new"]) == list(exp.cumsum().values)
+
+
+def test_ingest_simhash_two_runs(ray_session, tmp_path):
+    """Run A commits; run B drops cross-run Hamming neighbours of the
+    committed survivors AND within-run lower-id neighbours; an unrelated
+    doc survives. An all-duplicate run C commits cleanly (empty run)."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import ingest_simhash_run
+    base = "the quick brown fox jumps over the lazy dog and then some more"
+    other = "completely different words entirely unrelated corpus here now"
+    state = str(tmp_path / "sh")
+    run_a = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": [base, other]}))
+    sa = ingest_simhash_run(run_a, state, max_hamming=12).to_pandas()
+    assert sorted(sa["doc_id"]) == [1, 2]
+    run_b = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], type=pa.int64()),
+        # 10: near-dup of committed doc 1 → drops cross-run
+        # 11: fresh text → survives
+        # 12: near-dup of 11 (lower id, same run) → drops within-run
+        "text": [base + " x",
+                 "a third corpus of genuinely novel web words",
+                 "a third corpus of genuinely novel web words y"]}))
+    sb = ingest_simhash_run(run_b, state, max_hamming=12).to_pandas()
+    assert sorted(sb["doc_id"]) == [11]
+    # all-duplicate run: empty survivor set, typed schema, clean commit
+    sc = ingest_simhash_run(run_b, state, max_hamming=12)
+    assert sc.count() == 0
+    assert set(sc.schema().names) == {"doc_id", "simhash",
+                                      "simhash_bucket"}
+    # the index kept exactly runs 0-2
+    import os
+    assert sorted(d for d in os.listdir(state)
+                  if d.startswith("run_")) == [
+        "run_00000", "run_00001", "run_00002"]
