@@ -304,6 +304,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_full_join_hourly(SF_DIR).to_pandas())
         timed("simhash_clusters",
               lambda: Q.q_simhash_clusters(SF_DIR).to_pandas())
+        timed("pagerank_sim",
+              lambda: Q.q_pagerank_sim(SF_DIR).to_pandas())
         timed("cluster_reps",
               lambda: Q.q_cluster_reps(SF_DIR).to_pandas())
         timed("char_stats",

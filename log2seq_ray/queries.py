@@ -3439,3 +3439,81 @@ ORACLE_SQL["cross_run_simhash"] = """
           WHERE w.run = 1 AND w.doc_id < b.doc_id AND w.bkt = b.bkt
             AND bit_count(xor(w.simhash, b.simhash)) <= 12)
 """
+
+
+def q_pagerank_sim(sf_dir: str):
+    """PageRank centrality over the SimHash near-dup graph (within-
+    bucket pairs at Hamming ≤ 12, symmetrized): 5 BSP supersteps of
+    int64 fixed-point power iteration — high-rank docs are the hubs of
+    large near-dup families (a centrality-based canonical-copy signal,
+    complementing cluster_reps' size-based one). All documents form the
+    vertex set, so isolated docs hold exactly the base rank."""
+    import pyarrow.compute as _pc
+
+    from .ops.dedup import simhash_dups
+    from .ops.graph import pagerank, symmetrize_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    edges = symmetrize_pairs(simhash_dups(docs, max_hamming=12))
+    nodes = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda b: pa.table(
+            {"id": _pc.cast(b.column("doc_id"), pa.int64())}),
+        batch_format="pyarrow")
+    return pagerank(edges, num_iters=5, nodes=nodes)
+
+
+QUERIES["pagerank_sim"] = q_pagerank_sim
+
+# the simhash_dups pair derivation, symmetrized, then 5 unrolled
+# supersteps of the SAME int64 fixed-point recurrence the engine runs:
+#   r0 = scale//N;  r' = base + (85 * Σ_dst(r//outdeg)) // 100
+# (floor division everywhere → bit-exact across engines)
+_PR_PREFIX = f"""
+    WITH tc AS (
+        SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents)
+        GROUP BY doc_id, tk),
+    th AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h,
+                  w
+           FROM tc),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((h >> b) & 1) = 1 THEN w ELSE -w END) AS s
+        FROM th, (SELECT unnest(range(0, 60)) AS b)
+        GROUP BY doc_id, b),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id),
+    S AS (SELECT d.doc_id,
+                 COALESCE(a.simhash, 0) AS simhash,
+                 COALESCE(a.simhash, 0) >> 44 AS bkt
+          FROM documents d LEFT JOIN agg a USING (doc_id)),
+    P AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+          FROM S a JOIN S b
+            ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+    E AS (SELECT ia AS src, ib AS dst FROM P
+          UNION ALL SELECT ib, ia FROM P),
+    D AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM E GROUP BY src),
+    V AS (SELECT doc_id AS id FROM documents),
+    C AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM V),
+    r0 AS (SELECT v.id, 1000000000000 // c.n AS r FROM V v CROSS JOIN C c)"""
+
+_PR_STEP = """,
+    m{k} AS (SELECT e.dst AS id, SUM(r.r // d.deg) AS s
+           FROM E e JOIN r{k} r ON r.id = e.src
+                    JOIN D d ON d.id = e.src
+           GROUP BY e.dst),
+    r{k1} AS (SELECT v.id,
+                   (1000000000000 * 15 // 100) // c.n
+                       + (85 * COALESCE(m.s, 0)) // 100 AS r
+            FROM V v CROSS JOIN C c LEFT JOIN m{k} m ON m.id = v.id)"""
+
+ORACLE_SQL["pagerank_sim"] = _PR_PREFIX + "".join(
+    _PR_STEP.format(k=k, k1=k + 1) for k in range(5)) + """
+    SELECT id AS node_id, CAST(r AS BIGINT) AS "rank" FROM r5
+"""

@@ -2430,3 +2430,82 @@ def test_ingest_simhash_two_runs(ray_session, tmp_path):
     assert sorted(d for d in os.listdir(state)
                   if d.startswith("run_")) == [
         "run_00000", "run_00001", "run_00002"]
+
+
+def _pagerank_reference(edges, node_ids, iters=5, scale=10**12,
+                        num=85, den=100):
+    """Dense numpy oracle of the EXACT integer recurrence."""
+    ids = sorted(node_ids)
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = np.full(n, scale // n, dtype=np.int64)
+    base = (scale * (den - num) // den) // n
+    for _ in range(iters):
+        msg = np.zeros(n, dtype=np.int64)
+        for s, d in edges:
+            msg[pos[d]] += int(r[pos[s]]) // outdeg[s]
+        r = base + (num * msg) // den
+    return {v: int(r[pos[v]]) for v in ids}
+
+
+def test_pagerank_matches_integer_reference(ray_session):
+    """BSP fixed-point PageRank == the dense integer recurrence on
+    random directed graphs — across partition counts, dangling nodes,
+    multi-edges, isolated explicit vertices, and an empty edge set."""
+    import ray.data as rd
+    from log2seq_ray.ops.graph import pagerank
+    for seed, parts in [(0, 1), (1, 3), (2, 7), (3, 3)]:
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(2, 40))
+        m = int(rng.integers(0, 120))
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+                 for _ in range(m)]
+        # explicit vertex set includes ids untouched by any edge
+        node_ids = list(range(n + 3))
+        eds = rd.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edges], type=pa.int64()),
+            "dst": pa.array([e[1] for e in edges], type=pa.int64())}))
+        nds = rd.from_arrow(pa.table({
+            "id": pa.array(node_ids, type=pa.int64())}))
+        got = pagerank(eds, num_iters=5, nodes=nds,
+                       num_parts=parts).to_pandas()
+        exp = _pagerank_reference(edges, node_ids)
+        assert dict(zip(got["node_id"], got["rank"])) == exp
+        assert got["rank"].sum() <= 10**12  # mass never created
+
+
+def test_pagerank_implicit_vertex_set(ray_session):
+    """Without an explicit node Dataset, V = union(src, dst); a pure
+    sink (dst-only) node still collects rank."""
+    import ray.data as rd
+    from log2seq_ray.ops.graph import pagerank
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2], type=pa.int64()),
+        "dst": pa.array([9, 9], type=pa.int64())}))
+    out = pagerank(eds, num_iters=2, num_parts=2).to_pandas()
+    exp = _pagerank_reference([(1, 9), (2, 9)], [1, 2, 9], iters=2)
+    assert dict(zip(out["node_id"], out["rank"])) == exp
+    assert out.set_index("node_id")["rank"][9] > \
+        out.set_index("node_id")["rank"][1]
+
+
+def test_pagerank_empty_edges(ray_session):
+    """Zero edges: explicit vertices all get base+0; no vertices at all
+    returns a typed empty Dataset."""
+    import ray.data as rd
+    from log2seq_ray.ops.graph import pagerank
+    empty = rd.from_arrow(pa.table({
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64())}))
+    nds = rd.from_arrow(pa.table({"id": pa.array([5, 6],
+                                                 type=pa.int64())}))
+    out = pagerank(empty, num_iters=3, nodes=nds, num_parts=2) \
+        .to_pandas()
+    exp = _pagerank_reference([], [5, 6], iters=3)
+    assert dict(zip(out["node_id"], out["rank"])) == exp
+    none = pagerank(empty, num_iters=3, num_parts=2)
+    assert none.count() == 0
+    assert set(none.schema().names) == {"node_id", "rank"}
