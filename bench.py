@@ -306,6 +306,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_simhash_clusters(SF_DIR).to_pandas())
         timed("pagerank_sim",
               lambda: Q.q_pagerank_sim(SF_DIR).to_pandas())
+        timed("triangles_sim",
+              lambda: Q.q_triangles_sim(SF_DIR).to_pandas())
         timed("cluster_reps",
               lambda: Q.q_cluster_reps(SF_DIR).to_pandas())
         timed("char_stats",

@@ -3517,3 +3517,57 @@ ORACLE_SQL["pagerank_sim"] = _PR_PREFIX + "".join(
     _PR_STEP.format(k=k, k1=k + 1) for k in range(5)) + """
     SELECT id AS node_id, CAST(r AS BIGINT) AS "rank" FROM r5
 """
+
+
+def q_triangles_sim(sf_dir: str):
+    """Per-doc triangle counts over the SimHash near-dup graph — the
+    clustering-coefficient numerator; dense triangle neighbourhoods
+    flag template farms / mirror rings that pairwise Hamming scores
+    miss. Degree-oriented wedge expansion, O(m^1.5) total work."""
+    from .ops.dedup import simhash_dups
+    from .ops.graph import triangle_counts
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return triangle_counts(simhash_dups(docs, max_hamming=12))
+
+
+QUERIES["triangles_sim"] = q_triangles_sim
+
+# the simhash_dups pair derivation (ia < ib), then the canonical
+# u<v<w three-way self-join; each corner of each triangle counts once
+ORACLE_SQL["triangles_sim"] = f"""
+    WITH tc AS (
+        SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents)
+        GROUP BY doc_id, tk),
+    th AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h,
+                  w
+           FROM tc),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((h >> b) & 1) = 1 THEN w ELSE -w END) AS s
+        FROM th, (SELECT unnest(range(0, 60)) AS b)
+        GROUP BY doc_id, b),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id),
+    S AS (SELECT d.doc_id,
+                 COALESCE(a.simhash, 0) AS simhash,
+                 COALESCE(a.simhash, 0) >> 44 AS bkt
+          FROM documents d LEFT JOIN agg a USING (doc_id)),
+    P AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+          FROM S a JOIN S b
+            ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+    T AS (SELECT a.ia AS u, a.ib AS v, b.ib AS w
+          FROM P a JOIN P b ON b.ia = a.ib
+                   JOIN P c ON c.ia = a.ia AND c.ib = b.ib),
+    N AS (SELECT u AS id FROM T
+          UNION ALL SELECT v FROM T
+          UNION ALL SELECT w FROM T)
+    SELECT id AS node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM N GROUP BY id
+"""

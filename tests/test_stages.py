@@ -2509,3 +2509,55 @@ def test_pagerank_empty_edges(ray_session):
     none = pagerank(empty, num_iters=3, num_parts=2)
     assert none.count() == 0
     assert set(none.schema().names) == {"node_id", "rank"}
+
+
+def test_triangle_counts_matches_brute_force(ray_session):
+    """Degree-oriented distributed triangle counting == the O(n^3)
+    itertools oracle on random graphs — across partition counts, skewed
+    hubs (star + clique overlays), and a triangle-free graph."""
+    import itertools
+
+    import ray.data as rd
+    from log2seq_ray.ops.graph import triangle_counts
+    for seed, parts in [(0, 1), (1, 3), (2, 7), (3, 4)]:
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(3, 25))
+        dense = rng.random() < 0.5
+        p_edge = 0.45 if dense else 0.12
+        pairs = sorted({(i, j) for i in range(n) for j in range(i + 1, n)
+                        if rng.random() < p_edge})
+        # star hub overlay: node 0 connected to everything (skew)
+        if seed == 2:
+            pairs = sorted(set(pairs) | {(0, j) for j in range(1, n)})
+        exp = {}
+        adj = {i: set() for i in range(n)}
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        for u, v, w in itertools.combinations(range(n), 3):
+            if v in adj[u] and w in adj[u] and w in adj[v]:
+                for x in (u, v, w):
+                    exp[x] = exp.get(x, 0) + 1
+        ds = rd.from_arrow(pa.table({
+            "id_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], type=pa.int64())}))
+        got = triangle_counts(ds, num_parts=parts).to_pandas()
+        # Ray 2.49 to_pandas drops columns at 0 rows — guard the access
+        got_d = {} if got.empty else dict(zip(got["node_id"],
+                                              got["n_triangles"]))
+        assert got_d == exp
+
+
+def test_triangle_counts_empty_and_triangle_free(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.graph import triangle_counts
+    path = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 3], type=pa.int64()),
+        "id_b": pa.array([2, 3, 4], type=pa.int64())}))
+    out = triangle_counts(path, num_parts=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node_id", "n_triangles"}
+    empty = rd.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64())}))
+    assert triangle_counts(empty, num_parts=2).count() == 0
