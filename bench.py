@@ -316,6 +316,13 @@ def run_benchmarks() -> dict:
               lambda: Q.q_daily_new_users(SF_DIR).to_pandas())
         timed("user_day_activity",
               lambda: Q.q_user_day_activity(SF_DIR).to_pandas())
+        timed("dense_daily",
+              lambda: Q.q_dense_daily(SF_DIR).to_pandas())
+        timed("event_cooccurrence",
+              lambda: Q.q_event_cooccurrence(SF_DIR).to_pandas())
+        timed("value_bands",
+              lambda: Q.q_value_bands(SF_DIR).to_pandas())
+        timed("gap_stats", lambda: Q.q_gap_stats(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

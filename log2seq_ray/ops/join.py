@@ -494,3 +494,44 @@ def interval_count_join(left, right, key: str, left_ts: str = "ts",
                           _interval_count_partition, num_parts,
                           fn_args=(key, left_ts, right_ts, int(lo_us),
                                    int(hi_us), id_col))
+
+
+def range_lookup_join(ds, bands, value_col: str, out_col: str = "band",
+                      band_col: str = "band", lo_col: str = "lo",
+                      hi_col: str = "hi"):
+    """Broadcast range-lookup (band) join: classify every row's
+    ``value_col`` into the band whose half-open interval [lo, hi)
+    contains it — the severity-band / latency-bucket / IP-range enrich a
+    log pipeline runs on every record. Rows matching no band (or with a
+    null value) get a null ``out_col``.
+
+    ``bands``: a SMALL pandas DataFrame (band label, lo, hi) with
+    non-overlapping intervals; ``hi`` may be NaN/None for +inf. Scale
+    shape: the sorted boundary arrays broadcast ONCE via ``ray.put``
+    (zero-copy numpy views per task, like the lang-lookup enrich —
+    never re-shipped per batch); each batch costs one ``searchsorted``
+    + one ``take``; no shuffle at all."""
+    import ray
+
+    b = bands.sort_values(lo_col).reset_index(drop=True)
+    los = b[lo_col].to_numpy(dtype=np.float64)
+    his = b[hi_col].to_numpy(dtype=np.float64)  # NaN → +inf
+    his = np.where(np.isnan(his), np.inf, his)
+    if (los[1:] < his[:-1]).any():
+        raise ValueError("range_lookup_join: overlapping bands")
+    labels = pa.array(list(b[band_col]) + [None])
+    ref = ray.put((los, his, labels))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        los_, his_, labels_ = ray.get(ref) \
+            if isinstance(ref, ray.ObjectRef) else ref
+        v = pc.cast(batch.column(value_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los_, v, side="right") - 1
+        miss = len(labels_) - 1
+        safe = np.clip(idx, 0, len(los_) - 1)
+        ok = (idx >= 0) & ~np.isnan(v) & (v < his_[safe])
+        return batch.append_column(
+            out_col, labels_.take(pa.array(np.where(ok, safe, miss))))
+
+    return ds.map_batches(lookup, batch_format="pyarrow")

@@ -598,3 +598,90 @@ def global_quantile_disc(ds, value_col: str, q: float = 0.5) -> float:
     pos = int(np.searchsorted(vc["n"].cumsum().to_numpy(), idx,
                               side="right"))
     return vc[value_col].iloc[pos]
+
+
+_UNIT_SEC = {"hour": 3600, "day": 86400, "minute": 60}
+
+
+def _dense_fill_partition(key: str, unit_us: int, pieces) -> pa.Table:
+    """One key partition of the gap fill: sum the (key, period) partials,
+    then emit EVERY unit step between each key's first and last active
+    period, zero-filled — all index arithmetic, no per-key Python."""
+    from .exchange import concat_typed
+    empty = pa.table({key: pa.array([], type=pa.int64()),
+                      "period": pa.array([], type=pa.timestamp("us")),
+                      "n": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, "period", "p")
+    if t is None or t.num_rows == 0:
+        return empty
+    kcol = t.column(key)
+    kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
+        else kcol
+    codes = np.asarray(pc.dictionary_encode(kcol).indices, dtype=np.int64)
+    per = pc.cast(t.column("period"), pa.int64()).to_numpy()
+    p = t.column("p").to_numpy().astype(np.int64)
+    order = np.lexsort((per, codes))
+    codes, per, p = codes[order], per[order], p[order]
+    row_of = np.arange(len(codes))[order]  # original row index per sorted
+    # sum partials per (key, period)
+    first = np.ones(len(codes), dtype=bool)
+    first[1:] = (codes[1:] != codes[:-1]) | (per[1:] != per[:-1])
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(p, starts)
+    codes, per, row_of = codes[first], per[first], row_of[first]
+    # per-key span → dense grid
+    kfirst = np.ones(len(codes), dtype=bool)
+    kfirst[1:] = codes[1:] != codes[:-1]
+    kstarts = np.flatnonzero(kfirst)
+    kends = np.append(kstarts[1:], len(codes))
+    mins = per[kstarts]
+    maxs = per[kends - 1]
+    m = (maxs - mins) // unit_us + 1          # grid rows per key
+    total = int(m.sum())
+    off = np.cumsum(m) - m                    # grid offset per key
+    step = np.arange(total, dtype=np.int64) - np.repeat(off, m)
+    grid_per = np.repeat(mins, m) + step * unit_us
+    n = np.zeros(total, dtype=np.int64)
+    # scatter the observed sums into the grid
+    key_idx = np.repeat(np.arange(len(kstarts)), kends - kstarts)
+    pos = off[key_idx] + (per - mins[key_idx]) // unit_us
+    n[pos] = sums
+    # key values: first original row of each key, repeated over its grid
+    keys_uniq = kcol.take(pa.array(row_of[kstarts]))
+    grid_key_idx = np.repeat(np.arange(len(kstarts), dtype=np.int64), m)
+    return pa.table({key: keys_uniq.take(pa.array(grid_key_idx)),
+                     "period": pa.array(grid_per).cast(pa.timestamp("us")),
+                     "n": pa.array(n, type=pa.int64())})
+
+
+def dense_counts(ds, key: str, ts_col: str = "ts", unit: str = "hour",
+                 num_parts: int = 16):
+    """Gap-filled per-key time series: (key, period, n) with EVERY
+    ``unit`` step between the key's first and last active period present
+    (missing periods → n = 0) — the resampling/densification step a
+    telemetry dashboard or rate model needs before windowed math.
+
+    Scale shape: per-batch (key, period) count partials pre-aggregate
+    BEFORE the exchange (the shuffle carries O(keys × active periods)
+    rows, never raw events); one key-hash exchange co-locates each key's
+    partials; the per-partition fill is pure index arithmetic (lexsort +
+    reduceat + one scatter into the dense grid). Output size is
+    Σ_key span_key/unit — the gap fill itself is the caller's explicit
+    densification choice, distributed across partitions, never built on
+    the driver."""
+    from .exchange import hash_exchange
+    unit_us = _UNIT_SEC[unit] * US
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(ts_col)))
+        period = pc.floor_temporal(
+            pc.cast(b.column(ts_col), pa.timestamp("us")), unit=unit)
+        g = pa.table({key: b.column(key), "period": period}) \
+            .group_by([key, "period"]).aggregate([([], "count_all")])
+        return pa.table({key: g.column(key),
+                         "period": g.column("period"),
+                         "p": pc.cast(g.column("count_all"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(partials, key, _dense_fill_partition, num_parts,
+                         fn_args=(key, unit_us))

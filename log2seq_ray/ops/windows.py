@@ -421,3 +421,137 @@ def first_seen_cumulative(ds, key_col: str = "user_id",
     out = [cum.remote(int(off), "n_new", r)
            for off, r in zip(offsets, refs)]
     return rd.from_arrow_refs(out)
+
+
+def _cooc_partition(key: str, item_col: str, pieces) -> pa.Table:
+    """One key partition of the co-occurrence count: distinct
+    (key, item) rows → within-key i<j pair expansion (shared
+    segment-pair kernel) → per-partition (item_a, item_b) partial
+    counts. Items are sorted ascending within each key, so item_a <
+    item_b lexically by construction."""
+    from .exchange import concat_typed, segment_pair_indices
+    empty = pa.table({"item_a": pa.array([], type=pa.string()),
+                      "item_b": pa.array([], type=pa.string()),
+                      "pn": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, item_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    # cross-batch distinct + (key asc, item asc) ordering in one pass
+    t = t.group_by([key, item_col]).aggregate([]) \
+        .sort_by([(key, "ascending"), (item_col, "ascending")])
+    keys = t.column(key).to_numpy(zero_copy_only=False)
+    items = t.column(item_col).combine_chunks() \
+        if isinstance(t.column(item_col), pa.ChunkedArray) \
+        else t.column(item_col)
+    _, i_row, j_row = segment_pair_indices(keys)
+    if not len(i_row):
+        return empty
+    pairs = pa.table({"item_a": items.take(pa.array(i_row)),
+                      "item_b": items.take(pa.array(j_row))})
+    g = pairs.group_by(["item_a", "item_b"]).aggregate([([], "count_all")])
+    return pa.table({"item_a": g.column("item_a"),
+                     "item_b": g.column("item_b"),
+                     "pn": pc.cast(g.column("count_all"), pa.int64())})
+
+
+def cooccurrence_pairs(ds, key: str = "user_id",
+                       item_col: str = "event_type",
+                       num_parts: int = 16):
+    """Market-basket co-occurrence mining: for every unordered item pair
+    (a < b), in how many keys (users/sessions/docs) do BOTH appear —
+    the support table behind "users who did X also did Y".
+
+    Scale shape: per-batch DISTINCT (key, item) partials shrink the
+    exchange to O(keys × distinct items per key) narrow rows (never raw
+    events); one key-hash exchange co-locates each key's items; pair
+    expansion reuses the vectorized segment-pair kernel, bounded by the
+    per-key distinct-item count (items-per-key is small in basket data —
+    a pathological key with m items costs m(m-1)/2 rows in ITS partition
+    only); the final groupby merges already-counted (item_a, item_b)
+    partials."""
+    from ray.data.aggregate import Sum
+    from .exchange import hash_exchange
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        return b.select([key, item_col]) \
+            .group_by([key, item_col]).aggregate([])
+
+    partials = ds.map_batches(distinct_partial, batch_format="pyarrow")
+    counted = hash_exchange(partials, key, _cooc_partition, num_parts,
+                            fn_args=(key, item_col))
+    return counted.groupby(["item_a", "item_b"]) \
+        .aggregate(Sum("pn", alias_name="n_keys"))
+
+
+def _gap_stats_partition(key: str, ts_col: str, pieces) -> pa.Table:
+    """One key partition of the inter-arrival stats: lexsort by
+    (key, ts), per-key adjacent diffs, segmented integer aggregates —
+    n_events, n_gaps, min/max/sum gap in exact microseconds."""
+    from .exchange import concat_typed
+    empty = pa.table({key: pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "n_gaps": pa.array([], type=pa.int64()),
+                      "min_gap_us": pa.array([], type=pa.int64()),
+                      "max_gap_us": pa.array([], type=pa.int64()),
+                      "sum_gap_us": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, ts_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    t = t.filter(pc.is_valid(t.column(ts_col)))
+    if t.num_rows == 0:
+        return empty
+    ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                 pa.int64()).to_numpy()
+    kcol = t.column(key).combine_chunks() \
+        if isinstance(t.column(key), pa.ChunkedArray) else t.column(key)
+    codes = np.asarray(pc.dictionary_encode(kcol).indices, dtype=np.int64)
+    order = np.lexsort((ts, codes))
+    k, s = codes[order], ts[order]
+    new_key = np.ones(len(k), dtype=bool)
+    new_key[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(new_key)
+    ends = np.append(starts[1:], len(k))
+    n_events = ends - starts
+    diffs = s[1:] - s[:-1]               # within-key where ~new_key[1:]
+    gap_valid = ~new_key[1:]
+    # per-key gap segments: key i owns diffs[starts[i]..ends[i]-1) rows
+    n_gaps = n_events - 1
+    mins = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+    maxs = np.zeros(len(starts), dtype=np.int64)
+    sums = np.zeros(len(starts), dtype=np.int64)
+    if gap_valid.any():
+        gk = np.repeat(np.arange(len(starts)), n_gaps)  # key idx per gap
+        gv = diffs[gap_valid]
+        np.minimum.at(mins, gk, gv)
+        np.maximum.at(maxs, gk, gv)
+        np.add.at(sums, gk, gv)
+    has = n_gaps > 0
+    keys_out = kcol.take(pa.array(np.arange(len(kcol))[order][starts]))
+    return pa.table({
+        key: keys_out,
+        "n_events": pa.array(n_events, type=pa.int64()),
+        "n_gaps": pa.array(n_gaps, type=pa.int64()),
+        "min_gap_us": pa.array(np.where(has, mins, 0), type=pa.int64()),
+        "max_gap_us": pa.array(maxs, type=pa.int64()),
+        "sum_gap_us": pa.array(sums, type=pa.int64())})
+
+
+def inter_arrival_stats(ds, key: str = "user_id", ts_col: str = "ts",
+                        num_parts: int = 16):
+    """Per-key inter-arrival (gap) statistics: event count, gap count,
+    min/max/sum gap in EXACT integer microseconds (mean = sum/n is the
+    caller's one division) — the rate/burstiness profile behind
+    throttling, anomaly baselines and session-gap tuning. Gaps are
+    adjacent diffs of the key's time-sorted events (ties → 0-gaps; the
+    gap multiset of a ts multiset is order-independent). Null
+    timestamps are excluded; keys with one event report zero gaps.
+
+    Scale shape: one narrow (key, ts) hash exchange (the sessionize
+    precedent — gaps span batch boundaries, so partials can't
+    pre-aggregate); per-partition work is one lexsort + three segmented
+    ufunc reductions, no per-key Python."""
+    from .exchange import hash_exchange
+    narrow = ds.map_batches(lambda b: b.select([key, ts_col]),
+                            batch_format="pyarrow")
+    return hash_exchange(narrow, key, _gap_stats_partition, num_parts,
+                         fn_args=(key, ts_col))

@@ -3571,3 +3571,119 @@ ORACLE_SQL["triangles_sim"] = f"""
     SELECT id AS node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM N GROUP BY id
 """
+
+
+def q_dense_daily(sf_dir: str):
+    """Gap-filled per-user daily event series: every day between a
+    user's first and last event appears, zero-filled — the resampling
+    step before rate/window math (ops/stats.py:dense_counts)."""
+    from .ops.stats import dense_counts
+    return dense_counts(_events(sf_dir, ["user_id", "ts"]),
+                        key="user_id", unit="day")
+
+
+QUERIES["dense_daily"] = q_dense_daily
+
+# per-user generate_series over the [first, last] day span, zero-filled
+ORACLE_SQL["dense_daily"] = """
+    WITH c AS (SELECT user_id, date_trunc('day', ts) AS period,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    b AS (SELECT user_id, MIN(period) AS mn, MAX(period) AS mx
+          FROM c GROUP BY 1),
+    g AS (SELECT user_id,
+                 unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS period
+          FROM b)
+    SELECT g.user_id, g.period,
+           COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+    FROM g LEFT JOIN c USING (user_id, period)
+"""
+
+
+def q_event_cooccurrence(sf_dir: str):
+    """Market-basket support: for each unordered event-type pair, how
+    many users performed BOTH (ops/windows.py:cooccurrence_pairs)."""
+    from .ops.windows import cooccurrence_pairs
+    return cooccurrence_pairs(_events(sf_dir, ["user_id", "event_type"]),
+                              key="user_id", item_col="event_type")
+
+
+QUERIES["event_cooccurrence"] = q_event_cooccurrence
+
+ORACLE_SQL["event_cooccurrence"] = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM d a JOIN d b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
+
+
+def q_value_bands(sf_dir: str):
+    """Broadcast range-lookup enrich: classify each event's value into a
+    severity band ([lo, hi) intervals broadcast once; the [80, 100)
+    hole exercises no-match rows), then count per band
+    (ops/join.py:range_lookup_join)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from .ops.join import range_lookup_join
+    bands = pd.DataFrame({
+        "band": ["low", "mid", "high", "extreme"],
+        "lo": [0.0, 20.0, 100.0, 200.0],
+        "hi": [20.0, 80.0, 200.0, None]})
+    enriched = range_lookup_join(_events(sf_dir, ["event_id", "value"]),
+                                 bands, value_col="value")
+
+    def partial(b: pa.Table) -> pa.Table:
+        band = pc.fill_null(b.column("band"), "none")
+        g = pa.table({"band": band}).group_by(["band"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"band": g.column("band"),
+                         "p": pc.cast(g.column("count_all"), pa.int64())})
+
+    return enriched.map_batches(partial, batch_format="pyarrow") \
+        .groupby("band").aggregate(Sum("p", alias_name="n"))
+
+
+QUERIES["value_bands"] = q_value_bands
+
+ORACLE_SQL["value_bands"] = """
+    WITH bands(band, lo, hi) AS (VALUES
+        ('low', 0.0, 20.0), ('mid', 20.0, 80.0),
+        ('high', 100.0, 200.0), ('extreme', 200.0, NULL))
+    SELECT COALESCE(b.band, 'none') AS band,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e LEFT JOIN bands b
+      ON e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
+    GROUP BY 1
+"""
+
+
+def q_gap_stats(sf_dir: str):
+    """Per-user inter-arrival gap stats in exact integer microseconds
+    (ops/windows.py:inter_arrival_stats)."""
+    from .ops.windows import inter_arrival_stats
+    return inter_arrival_stats(_events(sf_dir, ["user_id", "ts"]),
+                               key="user_id")
+
+
+QUERIES["gap_stats"] = q_gap_stats
+
+# LAG over ts ties is order-arbitrary but the gap MULTISET of a sorted
+# multiset is unique, so MIN/MAX/SUM agree with the engine exactly
+ORACLE_SQL["gap_stats"] = """
+    WITH g AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT)
+               - LAG(CAST(epoch_us(ts) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        FROM events WHERE ts IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(MIN(gap), 0) AS BIGINT) AS min_gap_us,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us,
+           CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us
+    FROM g GROUP BY user_id
+"""

@@ -2561,3 +2561,157 @@ def test_triangle_counts_empty_and_triangle_free(ray_session):
         "id_a": pa.array([], type=pa.int64()),
         "id_b": pa.array([], type=pa.int64())}))
     assert triangle_counts(empty, num_parts=2).count() == 0
+
+
+def test_dense_counts_reference(ray_session):
+    """Gap fill equals the pandas per-key resample: every hour between a
+    key's first and last active hour appears, zeros where no events;
+    null timestamps excluded; partials from many blocks merge."""
+    import ray.data as rd
+    from log2seq_ray.ops.stats import dense_counts
+    rng = np.random.default_rng(11)
+    n = 500
+    ts = pd.Timestamp("2025-03-01") \
+        + pd.to_timedelta(rng.integers(0, 5 * 86400, n), unit="s")
+    df = pd.DataFrame({"user_id": rng.integers(0, 12, n), "ts": ts})
+    df.loc[::41, "ts"] = pd.NaT
+    out = dense_counts(rd.from_pandas(df).repartition(6),
+                       key="user_id", unit="hour", num_parts=4) \
+        .to_pandas().sort_values(["user_id", "period"]) \
+        .reset_index(drop=True)
+    d = df.dropna(subset=["ts"]).copy()
+    d["period"] = d["ts"].dt.floor("h")
+    exp_parts = []
+    for uid, g in d.groupby("user_id"):
+        c = g.groupby("period").size()
+        idx = pd.date_range(c.index.min(), c.index.max(), freq="h")
+        c = c.reindex(idx, fill_value=0)
+        exp_parts.append(pd.DataFrame({
+            "user_id": uid, "period": idx, "n": c.values}))
+    exp = pd.concat(exp_parts).sort_values(["user_id", "period"]) \
+        .reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert (out["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (out["period"].to_numpy() == exp["period"].to_numpy()).all()
+    assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
+    # single-partition degenerate ≡ multi-partition
+    out1 = dense_counts(rd.from_pandas(df).repartition(6),
+                        key="user_id", unit="hour", num_parts=1) \
+        .to_pandas().sort_values(["user_id", "period"]) \
+        .reset_index(drop=True)
+    assert (out1["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_dense_counts_empty_and_single(ray_session):
+    """Empty input → typed empty; a single event yields a one-row grid."""
+    import ray.data as rd
+    from log2seq_ray.ops.stats import dense_counts
+    df = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                       "ts": pd.Series([], dtype="datetime64[us]")})
+    out = dense_counts(rd.from_pandas(df), key="user_id")
+    # Ray's to_pandas drops columns on an all-empty dataset; the blocks
+    # themselves stay typed — assert on the Dataset schema
+    assert out.count() == 0
+    assert set(out.schema().names) == {"user_id", "period", "n"}
+    one = pd.DataFrame({"user_id": [7],
+                        "ts": [pd.Timestamp("2025-01-02 03:04:05")]})
+    o = dense_counts(rd.from_pandas(one), key="user_id",
+                     unit="day").to_pandas()
+    assert len(o) == 1 and o["n"].iloc[0] == 1
+    assert o["period"].iloc[0] == pd.Timestamp("2025-01-02")
+
+
+def test_cooccurrence_pairs_reference(ray_session):
+    """Co-occurrence support equals the pandas self-merge reference:
+    distinct items per key, unordered a<b pairs, counted across keys;
+    duplicates of a (key, item) row never double-count."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import cooccurrence_pairs
+    rng = np.random.default_rng(3)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "event_type": rng.choice(list("abcdef"), n)})
+    out = cooccurrence_pairs(rd.from_pandas(df).repartition(5),
+                             key="user_id", item_col="event_type",
+                             num_parts=4) \
+        .to_pandas().sort_values(["item_a", "item_b"]) \
+        .reset_index(drop=True)
+    d = df.drop_duplicates()
+    m = d.merge(d, on="user_id")
+    m = m[m["event_type_x"] < m["event_type_y"]]
+    exp = m.groupby(["event_type_x", "event_type_y"]).size() \
+        .reset_index(name="n_keys") \
+        .sort_values(["event_type_x", "event_type_y"]) \
+        .reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert (out["item_a"].to_numpy() == exp["event_type_x"].to_numpy()).all()
+    assert (out["item_b"].to_numpy() == exp["event_type_y"].to_numpy()).all()
+    assert (out["n_keys"].to_numpy() == exp["n_keys"].to_numpy()).all()
+
+
+def test_cooccurrence_single_item_keys(ray_session):
+    """Keys with one distinct item emit no pairs; an empty input stays
+    typed-empty through the exchange."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import cooccurrence_pairs
+    df = pd.DataFrame({"user_id": [1, 1, 2], "event_type": ["x", "x", "y"]})
+    out = cooccurrence_pairs(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 0
+
+
+def test_range_lookup_join_reference(ray_session):
+    """Band classification equals the pandas IntervalIndex reference:
+    [lo, hi) semantics, open-ended top band, values in coverage holes
+    and nulls → null band; overlapping bands raise."""
+    import pytest
+    import ray.data as rd
+    from log2seq_ray.ops.join import range_lookup_join
+    bands = pd.DataFrame({"band": ["a", "b", "c"],
+                          "lo": [0.0, 10.0, 100.0],
+                          "hi": [10.0, 50.0, None]})
+    df = pd.DataFrame({"event_id": range(9),
+                       "value": [0.0, 9.999, 10.0, 49.9, 50.0, 75.0,
+                                 100.0, 1e9, None]})
+    out = range_lookup_join(rd.from_pandas(df).repartition(3),
+                            bands, value_col="value") \
+        .to_pandas().sort_values("event_id")
+    assert list(out["band"]) == ["a", "a", "b", "b", None, None,
+                                 "c", "c", None]
+    with pytest.raises(ValueError, match="overlapping"):
+        range_lookup_join(rd.from_pandas(df), pd.DataFrame(
+            {"band": ["x", "y"], "lo": [0.0, 5.0], "hi": [10.0, 20.0]}),
+            value_col="value")
+
+
+def test_inter_arrival_stats_reference(ray_session):
+    """Gap stats equal the pandas sorted-diff reference; ties yield
+    0-gaps; single-event keys report zero gaps; nulls excluded."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import inter_arrival_stats
+    rng = np.random.default_rng(5)
+    n = 300
+    ts = pd.Timestamp("2025-06-01") \
+        + pd.to_timedelta(rng.integers(0, 86400, n), unit="s")
+    df = pd.DataFrame({"user_id": rng.integers(0, 25, n), "ts": ts})
+    df.loc[::29, "ts"] = pd.NaT
+    # force ties and a single-event key
+    df.loc[1, ["user_id", "ts"]] = [99, pd.Timestamp("2025-06-02")]
+    df.loc[2, "ts"] = df.loc[3, "ts"] = pd.Timestamp("2025-06-01 12:00")
+    df.loc[2, "user_id"] = df.loc[3, "user_id"] = 7
+    out = inter_arrival_stats(rd.from_pandas(df).repartition(5),
+                              key="user_id", num_parts=4) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    d = df.dropna(subset=["ts"])
+    for _, row in out.iterrows():
+        s = np.sort(d[d["user_id"] == row["user_id"]]["ts"]
+                    .astype("datetime64[us]").astype(np.int64).to_numpy())
+        gaps = np.diff(s)
+        assert row["n_events"] == len(s)
+        assert row["n_gaps"] == len(gaps)
+        assert row["min_gap_us"] == (gaps.min() if len(gaps) else 0)
+        assert row["max_gap_us"] == (gaps.max() if len(gaps) else 0)
+        assert row["sum_gap_us"] == (gaps.sum() if len(gaps) else 0)
+    assert set(out["user_id"]) == set(d["user_id"])
+    assert out.loc[out["user_id"] == 99, "n_gaps"].iloc[0] == 0
+    assert out.loc[out["user_id"] == 7, "min_gap_us"].iloc[0] == 0
