@@ -323,6 +323,8 @@ def run_benchmarks() -> dict:
         timed("value_bands",
               lambda: Q.q_value_bands(SF_DIR).to_pandas())
         timed("gap_stats", lambda: Q.q_gap_stats(SF_DIR).to_pandas())
+        timed("cross_jaccard",
+              lambda: Q.q_cross_jaccard(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

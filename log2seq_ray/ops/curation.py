@@ -1281,3 +1281,148 @@ def ingest_neardup_run(ds, state_dir: str, window: int = 4,
             id_col: pa.array([], type=pa.int64()),
             "sz_part": pa.array([], type=pa.int64())}))
     return survivors
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+def _cross_expand_partition(max_df, pieces):
+    """One g-partition of the CROSS set-similarity join: pieces carry
+    (g, tid) rows of both corpora (tid = doc_id*2 + side; side 1 =
+    right). Per shingle group, emit every (left, right) cross pair with
+    its local multiplicity partial (= the pair's |A∩B| contribution from
+    this partition's shingles) plus per-tid capped size partials —
+    left-left and right-right pairs are never expanded."""
+    import ray
+    if pieces and isinstance(pieces[0], ray.ObjectRef):
+        pieces = ray.get(list(pieces))
+    pairs_empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                            "id_b": pa.array([], type=pa.int64()),
+                            "n_part": pa.array([], type=pa.int64())})
+    sizes_empty = pa.table({"tid": pa.array([], type=pa.int64()),
+                            "sz_part": pa.array([], type=pa.int64())})
+    pieces = [t for t in pieces if t.num_rows]
+    if not pieces:
+        return pairs_empty, sizes_empty
+    t = pa.concat_tables(pieces)
+    g = t.column("g").to_numpy()
+    tid = t.column("tid").to_numpy()
+    side = tid & 1
+    order = np.lexsort((tid, side, g))
+    g, tid, side = g[order], tid[order], side[order]
+    keep = np.ones(len(g), dtype=bool)        # cross-batch (g, tid) dedup
+    keep[1:] = (g[1:] != g[:-1]) | (tid[1:] != tid[:-1])
+    g, tid, side = g[keep], tid[keep], side[keep]
+    starts_mask = np.ones(len(g), dtype=bool)
+    starts_mask[1:] = g[1:] != g[:-1]
+    seg_id = np.cumsum(starts_mask) - 1
+    if max_df is not None:
+        # df = the shingle's TOTAL document frequency across both
+        # corpora (every row of a shingle lives in this partition)
+        seg_sizes = np.bincount(seg_id)
+        hot = seg_sizes > max_df
+        if hot.any():
+            keep = ~hot[seg_id]
+            g, tid, side = g[keep], tid[keep], side[keep]
+            starts_mask = np.ones(len(g), dtype=bool)
+            starts_mask[1:] = g[1:] != g[:-1]
+    if len(g) == 0:
+        return pairs_empty, sizes_empty
+    uid, sz = np.unique(tid, return_counts=True)
+    sizes = pa.table({"tid": pa.array(uid, type=pa.int64()),
+                      "sz_part": pa.array(sz.astype(np.int64))})
+    starts = np.flatnonzero(starts_mask)
+    seg_len = np.diff(np.append(starts, len(g)))
+    # reduceat keeps the input dtype — bool would saturate at 1
+    l_cnt = np.add.reduceat((side == 0).astype(np.int64), starts)
+    r_cnt = seg_len - l_cnt
+    tot = l_cnt * r_cnt
+    total = int(tot.sum())
+    if total == 0:
+        return pairs_empty, sizes
+    seg_of = np.repeat(np.arange(len(starts), dtype=np.int64), tot)
+    within = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(tot) - tot, tot)
+    li = within // r_cnt[seg_of]
+    ri = within % r_cnt[seg_of]
+    id_a = tid[starts[seg_of] + li]                       # left (even)
+    id_b = tid[starts[seg_of] + l_cnt[seg_of] + ri]       # right (odd)
+    po = np.lexsort((id_b, id_a))
+    pa_, pb_ = id_a[po], id_b[po]
+    first = np.ones(len(pa_), dtype=bool)
+    first[1:] = (pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1])
+    sidx = np.flatnonzero(first)
+    n_part = np.diff(np.append(sidx, len(pa_)))
+    return pa.table({"id_a": pa.array(pa_[sidx], type=pa.int64()),
+                     "id_b": pa.array(pb_[sidx], type=pa.int64()),
+                     "n_part": pa.array(n_part.astype(np.int64))}), sizes
+
+
+def cross_jaccard_pairs(left, right, window: int = 4, tau_num: int = 1,
+                        tau_den: int = 2, max_df=None, num_parts=None,
+                        id_col: str = "doc_id", col: str = "text"):
+    """Cross-corpus exact n-gram Jaccard similarity JOIN: every
+    (left doc, right doc) pair whose distinct ``window``-token
+    shingle-hash Jaccard meets ``tau_num/tau_den`` — the pairwise
+    contamination/overlap REPORT between a training corpus and a
+    benchmark set (:func:`decontaminate_frac` answers "how contaminated
+    is this doc"; this answers "against WHICH benchmark doc, and how
+    much"). Integer-exact threshold, same contract as
+    :func:`ngram_jaccard_dups`.
+
+    Scale shape: both corpora's (g, tagged-id) shingle rows meet in ONE
+    g-co-partitioned exchange; per shingle group only left × right
+    pairs expand (never within-corpus pairs — against a small benchmark
+    the blowup is bounded by the benchmark's per-shingle df); ``max_df``
+    caps hot shingles by their TOTAL cross-corpus df; |A∩B| finalizes
+    through the same two narrow pair exchanges as the self-join
+    (:func:`_pairs_finalize` — tagged ids keep the two id spaces
+    collision-free through the shared sizes table). Returns a Dataset of
+    (left_id, right_id, inter, union_n); doc ids must be non-negative.
+    """
+    from .dedup import _auto_parts
+    from .exchange import fan_out_pieces, split_by_key
+    import ray
+
+    num_parts = _auto_parts(num_parts)
+
+    def tagged(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            sh = _shingle_rows(b, window, id_col, col)
+            tid = pc.add(pc.multiply(sh.column(id_col),
+                                     pa.scalar(2, pa.int64())),
+                         pa.scalar(side, pa.int64()))
+            return pa.table({"g": sh.column("g"), "tid": tid})
+        return fn
+
+    shingles = left.map_batches(tagged(0), batch_format="pyarrow") \
+        .union(right.map_batches(tagged(1), batch_format="pyarrow"))
+    work = ray.remote(num_returns=2)(_cross_expand_partition)
+    per_part = fan_out_pieces(split_by_key, shingles.to_arrow_refs(),
+                              num_parts, args=("g", num_parts))
+    pair_refs, size_refs = [], []
+    for pieces in per_part:
+        pr, sr = work.remote(max_df, pieces)
+        pair_refs.append(pr)
+        size_refs.append(sr)
+    out = _pairs_finalize(pair_refs, size_refs, tau_num, tau_den,
+                          "tid", num_parts)
+
+    def untag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 and "id_a" not in b.column_names:
+            return pa.table({"left_id": pa.array([], type=pa.int64()),
+                             "right_id": pa.array([], type=pa.int64()),
+                             "inter": pa.array([], type=pa.int64()),
+                             "union_n": pa.array([], type=pa.int64())})
+        half = pa.scalar(2, pa.int64())
+        return pa.table({
+            "left_id": pc.divide(b.column("id_a"), half),
+            "right_id": pc.divide(b.column("id_b"), half),
+            "inter": b.column("inter"),
+            "union_n": b.column("union_n")})
+
+    import ray as _ray
+    import ray.data as rd
+    ut = _ray.remote(untag)
+    return rd.from_arrow_refs([ut.remote(r) for r in out.to_arrow_refs()])

@@ -41,6 +41,10 @@ def actor_pool(cap: int | None = None) -> tuple[int, int]:
 def split_by_key(tbl: pa.Table, key: str, num_parts: int):
     """One block → num_parts sub-tables by a deterministic vectorized hash
     of ``key`` (pandas.util.hash_array — ints AND strings, never raw %)."""
+    if isinstance(tbl, pd.DataFrame):
+        # zero-row pandas-backed blocks pass through to_arrow_refs
+        # unconverted (e.g. an empty rd.from_pandas input)
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
     if tbl.num_rows == 0:
         # Ray group-by outputs can contain a zero-COLUMN empty block;
         # route the (possibly schemaless) empty through every partition —

@@ -3687,3 +3687,73 @@ ORACLE_SQL["gap_stats"] = """
            CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us
     FROM g GROUP BY user_id
 """
+
+
+def q_cross_jaccard(sf_dir: str):
+    """Cross-corpus Jaccard similarity join: the corpus vs a 'benchmark'
+    of near-variant copies (every 37th doc + one appended token, re-keyed
+    +1e6) — each contaminated (train, benchmark) pair surfaces with its
+    exact intersection/union (ops/curation.py:cross_jaccard_pairs)."""
+    from .ops.curation import cross_jaccard_pairs
+
+    left = _docs(sf_dir, ["doc_id", "text"])
+
+    def variant(b: pa.Table) -> pa.Table:
+        t = _mod37(b, True)
+        return pa.table({
+            "doc_id": pc.add(pc.cast(t.column("doc_id"), pa.int64()),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                t.column("text"), pa.scalar(" zz9"), ""),
+        })
+
+    right = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        variant, batch_format="pyarrow")
+    return cross_jaccard_pairs(left, right, window=4, tau_num=1,
+                               tau_den=2, max_df=64)
+
+
+QUERIES["cross_jaccard"] = q_cross_jaccard
+
+# cross set-similarity join in SQL: both corpora's shingle sets, df cap
+# counted over the UNION, left × right intersection counts, the same
+# integer threshold inter*(den+num) >= num*(sz_l+sz_r)
+ORACLE_SQL["cross_jaccard"] = f"""
+    WITH L AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    R AS (SELECT doc_id + 1000000 AS doc_id,
+                 list_filter(string_split(text || ' zz9', ' '),
+                             x -> x <> '') AS t
+          FROM documents WHERE doc_id % 37 = 0),
+    SHL AS (SELECT doc_id, list_distinct(list_transform(
+              CASE WHEN len(t) = 0 THEN ['']
+                   WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                   ELSE list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' ')) END,
+              s -> {_H60.format(s='s')})) AS gs
+           FROM L),
+    SHR AS (SELECT doc_id, list_distinct(list_transform(
+              CASE WHEN len(t) = 0 THEN ['']
+                   WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                   ELSE list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' ')) END,
+              s -> {_H60.format(s='s')})) AS gs
+           FROM R),
+    EXL0 AS (SELECT doc_id, unnest(gs) AS g FROM SHL),
+    EXR0 AS (SELECT doc_id, unnest(gs) AS g FROM SHR),
+    DF AS (SELECT g, COUNT(*) AS df FROM
+               (SELECT g FROM EXL0 UNION ALL SELECT g FROM EXR0)
+           GROUP BY g),
+    EXL AS (SELECT e.doc_id, e.g FROM EXL0 e JOIN DF USING (g)
+            WHERE df <= 64),
+    EXR AS (SELECT e.doc_id, e.g FROM EXR0 e JOIN DF USING (g)
+            WHERE df <= 64),
+    SZL AS (SELECT doc_id, COUNT(*) AS sz FROM EXL GROUP BY doc_id),
+    SZR AS (SELECT doc_id, COUNT(*) AS sz FROM EXR GROUP BY doc_id),
+    I AS (SELECT a.doc_id AS li, b.doc_id AS ri, COUNT(*) AS inter
+          FROM EXL a JOIN EXR b ON a.g = b.g GROUP BY 1, 2)
+    SELECT li AS left_id, ri AS right_id,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_n
+    FROM I JOIN SZL sa ON sa.doc_id = li JOIN SZR sb ON sb.doc_id = ri
+    WHERE inter * 3 >= sa.sz + sb.sz
+"""

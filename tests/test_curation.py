@@ -6,6 +6,7 @@ documents table end-to-end; these pin the semantics on crafted corpora
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -326,3 +327,80 @@ def test_dup_spans_no_duplicates_empty_typed(ray_session):
     out = dup_spans(_ds(rows), window=4, num_parts=2)
     assert out.schema().names == ["doc_id", "span_start", "span_len"]
     assert len(out.to_pandas()) == 0
+
+
+def test_cross_jaccard_pairs_brute_force(ray_session):
+    """Cross-corpus Jaccard join equals the per-doc-set brute force:
+    only left × right pairs, integer-exact threshold, df cap counted
+    over BOTH corpora, short/empty docs follow the shingle conventions."""
+    import itertools
+    import ray.data as rd
+    from log2seq_ray.ops.curation import (cross_jaccard_pairs,
+                                          shingle_hash_rows)
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def mk(n, seed_off):
+        rows = []
+        for i in range(n):
+            k = int(rng.integers(0, 12))
+            rows.append(" ".join(rng.choice(vocab, k)) if k else "")
+        return rows
+
+    lt = mk(40, 0) + ["a b c d e f g h"]
+    rt = mk(25, 1) + ["a b c d e f g h x"]  # near-dup of the left tail
+    left = pd.DataFrame({"doc_id": np.arange(len(lt), dtype=np.int64),
+                         "text": lt})
+    right = pd.DataFrame({"doc_id": np.arange(len(rt), dtype=np.int64),
+                          "text": rt})
+
+    def sets(df, window):
+        t = pa.table({"doc_id": pa.array(df["doc_id"], type=pa.int64()),
+                      "text": pa.array(df["text"])})
+        h, row_of = shingle_hash_rows(t, "text", window)
+        out = {}
+        for hh, r in zip(h, row_of):
+            out.setdefault(int(df["doc_id"].iloc[r]), set()).add(int(hh))
+        return out
+
+    for window, max_df, tn, td in ((3, None, 1, 4), (4, 3, 1, 10)):
+        ls, rs = sets(left, window), sets(right, window)
+        if max_df is not None:
+            from collections import Counter
+            df_cnt = Counter()
+            for s in list(ls.values()) + list(rs.values()):
+                df_cnt.update(s)
+            hot = {g for g, c in df_cnt.items() if c > max_df}
+            ls = {k: v - hot for k, v in ls.items()}
+            rs = {k: v - hot for k, v in rs.items()}
+        exp = set()
+        for (li, a), (ri, b) in itertools.product(ls.items(), rs.items()):
+            inter = len(a & b)
+            if inter and inter * (td + tn) >= tn * (len(a) + len(b)):
+                exp.add((li, ri, inter, len(a | b)))
+        out = cross_jaccard_pairs(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            window=window, tau_num=tn, tau_den=td, max_df=max_df,
+            num_parts=4).to_pandas()
+        got = set(zip(out["left_id"], out["right_id"], out["inter"],
+                      out["union_n"]))
+        assert got == exp, (window, max_df, len(got), len(exp))
+    # the planted near-dup must be found at a high threshold
+    out = cross_jaccard_pairs(rd.from_pandas(left), rd.from_pandas(right),
+                              window=4, tau_num=3, tau_den=4).to_pandas()
+    assert (40, 25) in set(zip(out["left_id"], out["right_id"]))
+
+
+def test_cross_jaccard_empty_sides(ray_session):
+    """An empty side (or no qualifying pairs) yields a typed empty."""
+    import ray.data as rd
+    from log2seq_ray.ops.curation import cross_jaccard_pairs
+    left = pd.DataFrame({"doc_id": [1], "text": ["a b c d e"]})
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "text": pd.Series([], dtype="object")})
+    out = cross_jaccard_pairs(rd.from_pandas(left),
+                              rd.from_pandas(empty), window=4)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"left_id", "right_id", "inter",
+                                       "union_n"}
