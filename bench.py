@@ -325,6 +325,12 @@ def run_benchmarks() -> dict:
         timed("gap_stats", lambda: Q.q_gap_stats(SF_DIR).to_pandas())
         timed("cross_jaccard",
               lambda: Q.q_cross_jaccard(SF_DIR).to_pandas())
+        timed("token_concentration",
+              lambda: Q.q_token_concentration(SF_DIR).count())
+        timed("trending_daily",
+              lambda: Q.q_trending_daily(SF_DIR).to_pandas())
+        timed("source_dup_stats",
+              lambda: Q.q_source_dup_stats(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -729,3 +729,50 @@ def tokenize_ids(ds, vocab_size: int = 1024, id_col: str = "doc_id",
         _TokenizeStage, fn_constructor_kwargs=dict(
             vocab_ref=ref, id_col=id_col, col=col),
         batch_format="pyarrow", concurrency=actor_pool())
+
+
+def token_concentration(batch: pa.Table, id_col: str = "doc_id",
+                        col: str = "text") -> pa.Table:
+    """Per-document token-concentration signals, all integer-exact:
+    token count, distinct tokens, and the Simpson collision numerator
+    Σ c_t(c_t − 1) over per-token counts c_t — the repetition-heaviness
+    measure behind Gini-Simpson diversity (1 − Σp², with the one
+    division left to the caller so the engine and SQL agree bit-for-bit;
+    a keyword-stuffed page scores high, varied prose near 0).
+
+    Kernel shape: one flattened token stream per batch,
+    ``dictionary_encode`` to int codes, (row, code) lexsort + boundary
+    run lengths, then a per-row ``reduceat`` of c(c−1) — the
+    :func:`char_stats` pattern at token granularity; streams, no
+    shuffle."""
+    toks_arr = _token_lists(pc.fill_null(
+        batch.column(col).combine_chunks()
+        if isinstance(batch.column(col), pa.ChunkedArray)
+        else batch.column(col), ""))
+    counts = np.asarray(pc.list_value_length(toks_arr), dtype=np.int64)
+    n = len(batch)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    simpson = np.zeros(n, dtype=np.int64)
+    flat = pc.list_flatten(toks_arr)
+    if len(flat):
+        codes = np.asarray(pc.dictionary_encode(flat).indices,
+                           dtype=np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((codes, rows))
+        rr, cc = rows[order], codes[order]
+        brk = np.ones(len(rr), dtype=bool)
+        brk[1:] = (rr[1:] != rr[:-1]) | (cc[1:] != cc[:-1])
+        starts = np.flatnonzero(brk)
+        run = np.diff(np.append(starts, len(rr)))      # c_t per (row, tok)
+        run_rows = rr[starts]
+        first = np.ones(len(run_rows), dtype=bool)
+        first[1:] = run_rows[1:] != run_rows[:-1]
+        idx = np.flatnonzero(first)
+        np.add.at(n_distinct, run_rows[idx],
+                  np.diff(np.append(idx, len(run_rows))))
+        simpson[run_rows[idx]] = np.add.reduceat(run * (run - 1), idx)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_tokens": pa.array(counts, type=pa.int64()),
+        "n_distinct_tokens": pa.array(n_distinct, type=pa.int64()),
+        "simpson_num": pa.array(simpson, type=pa.int64())})

@@ -3757,3 +3757,113 @@ ORACLE_SQL["cross_jaccard"] = f"""
     FROM I JOIN SZL sa ON sa.doc_id = li JOIN SZR sb ON sb.doc_id = ri
     WHERE inter * 3 >= sa.sz + sb.sz
 """
+
+
+def q_token_concentration(sf_dir: str):
+    """Per-doc token-concentration (Simpson collision) signals —
+    integer-exact repetition heaviness (ops/text.py:token_concentration)."""
+    from .ops.text import token_concentration
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_concentration, batch_format="pyarrow")
+
+
+QUERIES["token_concentration"] = q_token_concentration
+
+ORACLE_SQL["token_concentration"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    C AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(t) AS tk FROM T)
+          GROUP BY doc_id, tk),
+    A AS (SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+                 CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num
+          FROM C GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+           COALESCE(a.simpson_num, 0) AS simpson_num
+    FROM T t LEFT JOIN A a USING (doc_id)
+"""
+
+
+def q_trending_daily(sf_dir: str):
+    """Trending report: top-2 event types per day by count (per-batch
+    (day, type) partials → narrow groupby → pruned top-k-per-group
+    exchange — raw events never shuffle)."""
+    from ray.data.aggregate import Sum
+    from .ops.asof import top_k_per_group
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("ts")))
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        g = pa.table({"day": day, "event_type": b.column("event_type")}) \
+            .group_by(["day", "event_type"]).aggregate([([], "count_all")])
+        return pa.table({"day": g.column("day"),
+                         "event_type": g.column("event_type"),
+                         "p": pc.cast(g.column("count_all"), pa.int64())})
+
+    counts = _events(sf_dir, ["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["day", "event_type"]).aggregate(Sum("p", alias_name="n"))
+    return top_k_per_group(counts, "day", "n", k=2, descending=True,
+                           tiebreak="event_type")
+
+
+QUERIES["trending_daily"] = q_trending_daily
+
+ORACLE_SQL["trending_daily"] = """
+    WITH c AS (SELECT date_trunc('day', ts) AS day, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT day, event_type, n,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY day
+                     ORDER BY n DESC, event_type) AS BIGINT) AS "rank"
+          FROM c)
+    SELECT day, event_type, n, "rank" FROM r WHERE "rank" <= 2
+"""
+
+
+def q_source_dup_stats(sf_dir: str):
+    """Crawl-ops duplication report per source: total docs vs distinct
+    texts (per-batch (source, hash) partials pre-aggregate; the shuffle
+    carries hashes, never text)."""
+    import hashlib
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        from .ops.hashutil import bytes_list
+        h = [hashlib.md5(v).hexdigest()
+             for v in bytes_list(b.column("text"))]
+        t = pa.table({"source": b.column("source"),
+                      "h": pa.array(h, type=pa.string())})
+        g = t.group_by(["source", "h"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "h": g.column("h"),
+                         "p": pc.cast(g.column("count_all"), pa.int64())})
+
+    per_hash = _docs(sf_dir, ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "h"]).aggregate(Sum("p", alias_name="n"))
+
+    def roll(b: pa.Table) -> pa.Table:
+        g = pa.table({"source": b.column("source"),
+                      "n": b.column("n")}) \
+            .group_by(["source"]) \
+            .aggregate([("n", "sum"), ([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "pd_": pc.cast(g.column("n_sum"), pa.int64()),
+                         "pu_": pc.cast(g.column("count_all"), pa.int64())})
+
+    out = per_hash.map_batches(roll, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("pd_", alias_name="n_docs"),
+                                     Sum("pu_", alias_name="n_distinct"))
+    return out
+
+
+QUERIES["source_dup_stats"] = q_source_dup_stats
+
+ORACLE_SQL["source_dup_stats"] = """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+    FROM documents GROUP BY source
+"""

@@ -2715,3 +2715,20 @@ def test_inter_arrival_stats_reference(ray_session):
     assert set(out["user_id"]) == set(d["user_id"])
     assert out.loc[out["user_id"] == 99, "n_gaps"].iloc[0] == 0
     assert out.loc[out["user_id"] == 7, "min_gap_us"].iloc[0] == 0
+
+
+def test_token_concentration_reference(ray_session):
+    """Simpson numerator equals the per-row Counter reference; empty and
+    null docs are all-zero rows."""
+    from collections import Counter
+    from log2seq_ray.ops.text import token_concentration
+    texts = ["a a a b", "x y z", "", None, "q q q q q", "a b a b a"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    out = token_concentration(t).to_pandas()
+    for i, txt in enumerate(texts):
+        toks = [w for w in (txt or "").split(" ") if w]
+        c = Counter(toks)
+        assert out["n_tokens"][i] == len(toks)
+        assert out["n_distinct_tokens"][i] == len(c)
+        assert out["simpson_num"][i] == sum(v * (v - 1) for v in c.values())
