@@ -555,3 +555,71 @@ def inter_arrival_stats(ds, key: str = "user_id", ts_col: str = "ts",
                             batch_format="pyarrow")
     return hash_exchange(narrow, key, _gap_stats_partition, num_parts,
                          fn_args=(key, ts_col))
+
+
+def _debounce_partition(key: str, sub_key: str, ts_col: str, id_col: str,
+                        min_gap_sec: int, pieces) -> pa.Table:
+    """One key partition of ``debounce``: lexsort by (key, sub_key, ts,
+    id), keep a row iff it opens its (key, sub_key) group or its gap
+    from the IMMEDIATELY PRECEDING event exceeds ``min_gap_sec`` (LAG
+    semantics — the comparison baseline is the previous event, kept or
+    not, so the decision is per-row local after the sort and needs no
+    sequential state)."""
+    from .exchange import concat_typed
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      key: pa.array([], type=pa.int64()),
+                      sub_key: pa.array([], type=pa.string()),
+                      ts_col: pa.array([], type=pa.timestamp("us"))})
+    t = concat_typed(pieces, key, sub_key, ts_col, id_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    t = t.filter(pc.is_valid(t.column(ts_col)))
+    if t.num_rows == 0:
+        return empty
+    ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                 pa.int64()).to_numpy()
+    ids = np.asarray(pc.cast(t.column(id_col), pa.int64()).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+
+    def _codes(col):
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        return np.asarray(pc.dictionary_encode(c).indices, dtype=np.int64)
+
+    kc, sc = _codes(t.column(key)), _codes(t.column(sub_key))
+    order = np.lexsort((ids, ts, sc, kc))
+    k, s, tt = kc[order], sc[order], ts[order]
+    keep = np.ones(len(k), dtype=bool)
+    same = (k[1:] == k[:-1]) & (s[1:] == s[:-1])
+    keep[1:] = ~same | (tt[1:] - tt[:-1] > min_gap_sec * 1_000_000)
+    kept = order[keep]
+    sel = pa.array(kept)
+    return pa.table({
+        id_col: t.column(id_col).take(sel),
+        key: t.column(key).take(sel),
+        sub_key: t.column(sub_key).take(sel),
+        ts_col: pc.cast(t.column(ts_col), pa.timestamp("us")).take(sel)})
+
+
+def debounce(ds, key: str = "user_id", sub_key: str = "event_type",
+             ts_col: str = "ts", id_col: str = "event_id",
+             min_gap_sec: int = 3600, num_parts: int = 16):
+    """Per-(key, sub_key) event throttling: drop every event that lands
+    within ``min_gap_sec`` of the previous event for the same (key,
+    sub_key) — the debounce/rate-limit pass that collapses retry storms
+    and duplicate client sends before sessionization or billing counts.
+    Gap baseline is the previous RAW event (SQL ``LAG`` semantics, so
+    the rule is reproducible by any engine); ties (equal ts) keep only
+    the lowest-id row; null timestamps are dropped.
+
+    Scale shape: one narrow (id, key, sub_key, ts) hash exchange keyed
+    by ``key`` (gaps span batch boundaries — partials can't
+    pre-aggregate); per-partition work is one lexsort + one adjacent
+    diff, no per-key Python. Output streams as a Dataset."""
+    from .exchange import hash_exchange
+    narrow = ds.map_batches(
+        lambda b: b.select([id_col, key, sub_key, ts_col]),
+        batch_format="pyarrow")
+    return hash_exchange(narrow, key, _debounce_partition, num_parts,
+                         fn_args=(key, sub_key, ts_col, id_col,
+                                  min_gap_sec))

@@ -3867,3 +3867,26 @@ ORACLE_SQL["source_dup_stats"] = """
            CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
     FROM documents GROUP BY source
 """
+
+
+def q_debounce(sf_dir: str):
+    """Per-(user, event_type) throttle: drop events within 2h of the
+    previous same-typed event for that user (LAG semantics) — the
+    retry-storm / duplicate-send collapse pass. One narrow user-keyed
+    exchange, vectorized lexsort + adjacent-diff per partition."""
+    from .ops.windows import debounce
+    return debounce(_events(sf_dir, ["event_id", "user_id", "event_type",
+                                     "ts"]), min_gap_sec=7200)
+
+
+QUERIES["debounce"] = q_debounce
+
+ORACLE_SQL["debounce"] = """
+    WITH x AS (
+        SELECT event_id, user_id, event_type, ts,
+               LAG(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE ts IS NOT NULL)
+    SELECT event_id, user_id, event_type, ts FROM x
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 7200 SECOND
+"""

@@ -2732,3 +2732,39 @@ def test_token_concentration_reference(ray_session):
         assert out["n_tokens"][i] == len(toks)
         assert out["n_distinct_tokens"][i] == len(c)
         assert out["simpson_num"][i] == sum(v * (v - 1) for v in c.values())
+
+
+def test_debounce_lag_semantics(ray_session):
+    """Debounce equals the pandas LAG reference: first event per (key,
+    sub_key) kept, later events kept iff strictly more than min_gap
+    after the PREVIOUS raw event; ties keep the lowest id; null ts
+    dropped."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import debounce
+    rng = np.random.default_rng(11)
+    n = 400
+    ts = pd.Timestamp("2025-06-01") \
+        + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, n),
+        "event_type": rng.choice(["a", "b"], n),
+        "ts": ts})
+    df.loc[::37, "ts"] = pd.NaT
+    # exact tie: two rows, same key/type/ts, different ids
+    df.loc[5, ["user_id", "event_type", "ts"]] = \
+        df.loc[6, ["user_id", "event_type", "ts"]] = \
+        [3, "a", pd.Timestamp("2025-06-01 01:00")]
+    out = debounce(rd.from_pandas(df).repartition(5), min_gap_sec=900,
+                   num_parts=4).to_pandas()
+    d = df.dropna(subset=["ts"]).sort_values(
+        ["user_id", "event_type", "ts", "event_id"])
+    prev = d.groupby(["user_id", "event_type"])["ts"].shift()
+    ref = d[prev.isna() | ((d["ts"] - prev)
+                           > pd.Timedelta(seconds=900))]
+    assert sorted(out["event_id"]) == sorted(ref["event_id"])
+    # the tie pair can never BOTH survive (gap 0 <= min_gap drops the
+    # higher id), and the higher id never survives alone
+    kept = set(out["event_id"])
+    assert not (5 in kept and 6 in kept)
+    assert 6 not in kept
