@@ -25,6 +25,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .exchange import actor_pool
 
@@ -358,3 +359,114 @@ def bloom_member(build_ds, probe_ds, key_col: str = "text",
             "hit", pa.array(bits.all(axis=1).astype(np.int64)))
 
     return probe_ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + pairwise set overlap
+# ---------------------------------------------------------------------------
+
+def _kmv_kernel(groups, h: np.ndarray, k: int):
+    """Per-group k smallest DISTINCT hashes. ``groups`` is an Arrow
+    array (any type), ``h`` the parallel int64 hash array. Returns
+    (group_take_indices, pos, h_kept) — one lexsort, no per-group
+    Python."""
+    enc = pc.dictionary_encode(
+        groups.combine_chunks() if isinstance(groups, pa.ChunkedArray)
+        else groups)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    order = np.lexsort((h, codes))
+    g, hh = codes[order], h[order]
+    # drop duplicate (group, hash) rows (adjacent after the sort)
+    first = np.ones(len(g), dtype=bool)
+    first[1:] = (g[1:] != g[:-1]) | (hh[1:] != hh[:-1])
+    g, hh, orig = g[first], hh[first], order[first]
+    new_g = np.ones(len(g), dtype=bool)
+    new_g[1:] = g[1:] != g[:-1]
+    seg_start = np.maximum.accumulate(
+        np.where(new_g, np.arange(len(g)), 0))
+    pos = np.arange(len(g)) - seg_start
+    keep = pos < k
+    return orig[keep], pos[keep], hh[keep]
+
+
+def _kmv_partial(group_col: str, value_col: str, k: int,
+                 b: pa.Table) -> pa.Table:
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      "h": pa.array([], type=pa.int64())})
+    t = b.select([group_col, value_col])
+    valid = pc.and_kleene(pc.is_valid(t.column(group_col)),
+                          pc.is_valid(t.column(value_col)))
+    if not pc.all(valid).as_py():
+        t = t.filter(pc.fill_null(valid, False))
+    if t.num_rows == 0:
+        return empty
+    h = _hash60(np.asarray(t.column(value_col)))
+    idx, _, hh = _kmv_kernel(t.column(group_col), h, k)
+    return pa.table({group_col: t.column(group_col).take(pa.array(idx)),
+                     "h": pa.array(hh, type=pa.int64())})
+
+
+def _kmv_final(group_col: str, k: int, pieces) -> pa.Table:
+    from .exchange import concat_typed
+    t = concat_typed(pieces, group_col, "h")
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      "pos": pa.array([], type=pa.int64()),
+                      "h": pa.array([], type=pa.int64())})
+    if t is None or t.num_rows == 0:
+        return empty
+    h = np.asarray(pc.cast(t.column("h"), pa.int64()).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    idx, pos, hh = _kmv_kernel(t.column(group_col), h, k)
+    return pa.table({group_col: t.column(group_col).take(pa.array(idx)),
+                     "pos": pa.array(pos, type=pa.int64()),
+                     "h": pa.array(hh, type=pa.int64())})
+
+
+def kmv_sketch(ds, group_col: str, value_col: str, k: int = 64,
+               num_parts: int = 8):
+    """Per-group KMV (k-minimum-values) sketch: the ``k`` smallest
+    DISTINCT 60-bit md5 hashes of ``value_col`` per group, as rows
+    ``(group, pos, h)`` with ``pos`` the 0-based rank. KMV sketches
+    union by hash-merge (take the k smallest of the combined sets), so
+    per-batch partials pre-aggregate perfectly: each batch contributes
+    at most ``k`` rows per group it sees, and one group-keyed exchange
+    merges them — the shuffle carries O(batches x groups x k) sketch
+    rows, never raw values. md5-bridged, so the SQL oracle reproduces
+    every hash bit-for-bit."""
+    from .exchange import hash_exchange
+    from functools import partial as _p
+    partials = ds.map_batches(_p(_kmv_partial, group_col, value_col, k),
+                              batch_format="pyarrow")
+    return hash_exchange(partials, group_col, _kmv_final, num_parts,
+                         fn_args=(group_col, k))
+
+
+def kmv_overlap(ds, group_col: str, value_col: str,
+                k: int = 64, num_parts: int = 8) -> pd.DataFrame:
+    """Pairwise distinct-set overlap between groups, estimated from KMV
+    sketches: for each group pair a<b, merge the two sketches, keep the
+    k smallest hashes of the union, and count how many of those sit in
+    BOTH sketches — ``n_inter / n_union`` is the standard KMV Jaccard
+    estimator (Beyer et al.), reported as exact integers plus a
+    floor-division ppm so the SQL oracle matches bit-for-bit. The
+    audience-overlap / cross-corpus-contamination sketch query: O(k)
+    space per group regardless of corpus size.
+
+    The pairwise finalize runs driver-side over the merged sketch table
+    (<= groups x k rows — sketch-sized by construction, the same
+    contract as the HLL/CMS finalizers)."""
+    sk = kmv_sketch(ds, group_col, value_col, k, num_parts).to_pandas()
+    by_g = {g: np.sort(sub["h"].to_numpy())
+            for g, sub in sk.groupby(group_col)}
+    names = sorted(by_g)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ha, hb = by_g[a], by_g[b]
+            kmin = np.union1d(ha, hb)[:k]
+            n_union = len(kmin)
+            n_inter = int((np.isin(kmin, ha) & np.isin(kmin, hb)).sum())
+            rows.append((a, b, n_union, n_inter,
+                         n_inter * 1_000_000 // n_union if n_union else 0))
+    return pd.DataFrame(rows, columns=[
+        "grp_a", "grp_b", "n_union", "n_inter", "jaccard_ppm"])

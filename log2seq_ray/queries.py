@@ -3890,3 +3890,53 @@ ORACLE_SQL["debounce"] = """
     SELECT event_id, user_id, event_type, ts FROM x
     WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 7200 SECOND
 """
+
+
+def q_kmv_overlap(sf_dir: str):
+    """Pairwise distinct-user overlap between event types via KMV
+    sketches (k=64): per-batch k-min partials pre-aggregate, one tiny
+    group-keyed sketch merge, pairwise finalize over <= groups x k
+    rows. Deterministic md5 hashing makes the estimator itself (not
+    just the true sets) SQL-reproducible."""
+    from .ops.sketch import kmv_overlap
+    return kmv_overlap(_events(sf_dir, ["event_type", "user_id"]),
+                       "event_type", "user_id", k=64)
+
+
+QUERIES["kmv_overlap"] = q_kmv_overlap
+
+# the same sketch derivation in SQL: per-group 64 smallest distinct
+# md5-60bit hashes; per pair, the 64 smallest of the union, counting
+# members present in both sketches; ppm = floor-division
+ORACLE_SQL["kmv_overlap"] = """
+    WITH h AS (
+        SELECT DISTINCT event_type AS g,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT g, h,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM h),
+    sk AS (SELECT g, h FROM r WHERE rn <= 64),
+    gs AS (SELECT DISTINCT g FROM sk),
+    p AS (SELECT a.g AS grp_a, b.g AS grp_b
+          FROM gs a JOIN gs b ON a.g < b.g),
+    u AS (SELECT p.grp_a, p.grp_b, s.h
+          FROM p JOIN sk s ON s.g = p.grp_a OR s.g = p.grp_b
+          GROUP BY p.grp_a, p.grp_b, s.h),
+    ur AS (SELECT grp_a, grp_b, h,
+                  ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b
+                                     ORDER BY h) AS rn
+           FROM u),
+    km AS (SELECT grp_a, grp_b, h FROM ur WHERE rn <= 64)
+    SELECT km.grp_a, km.grp_b,
+           CAST(COUNT(*) AS BIGINT) AS n_union,
+           CAST(COUNT(sa.h) FILTER (sb.h IS NOT NULL) AS BIGINT)
+               AS n_inter,
+           CAST((COUNT(sa.h) FILTER (sb.h IS NOT NULL) * 1000000)
+                // COUNT(*) AS BIGINT) AS jaccard_ppm
+    FROM km
+    LEFT JOIN sk sa ON sa.g = km.grp_a AND sa.h = km.h
+    LEFT JOIN sk sb ON sb.g = km.grp_b AND sb.h = km.h
+    GROUP BY km.grp_a, km.grp_b
+"""

@@ -2768,3 +2768,44 @@ def test_debounce_lag_semantics(ray_session):
     kept = set(out["event_id"])
     assert not (5 in kept and 6 in kept)
     assert 6 not in kept
+
+
+def test_kmv_overlap_exact_when_k_covers(ray_session):
+    """With k >= |union| the KMV estimator IS exact Jaccard; with small
+    k it equals the brute-force k-min estimator on the same md5 hashes.
+    Partial/merge path (repartitioned input) matches a single-batch
+    run."""
+    import hashlib
+    import ray.data as rd
+    from log2seq_ray.ops.sketch import kmv_overlap
+    rng = np.random.default_rng(7)
+    rows = []
+    sets = {"a": set(range(0, 60)), "b": set(range(30, 90)),
+            "c": set(range(85, 100))}
+    for g, vals in sets.items():
+        for v in vals:
+            for _ in range(int(rng.integers(1, 4))):  # duplicates
+                rows.append({"event_type": g, "user_id": int(v)})
+    rng.shuffle(rows)
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(6)
+    out = kmv_overlap(ds, "event_type", "user_id", k=512, num_parts=3) \
+        .set_index(["grp_a", "grp_b"])
+    for (a, b) in [("a", "b"), ("a", "c"), ("b", "c")]:
+        sa, sb = sets[a], sets[b]
+        assert out.loc[(a, b), "n_union"] == len(sa | sb)
+        assert out.loc[(a, b), "n_inter"] == len(sa & sb)
+    # small-k path vs brute-force estimator on the same hashes
+    k = 8
+    out8 = kmv_overlap(ds, "event_type", "user_id", k=k, num_parts=3) \
+        .set_index(["grp_a", "grp_b"])
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    for (a, b) in [("a", "b"), ("a", "c"), ("b", "c")]:
+        ha = sorted(h60(v) for v in sets[a])[:k]
+        hb = sorted(h60(v) for v in sets[b])[:k]
+        kmin = sorted(set(ha) | set(hb))[:k]
+        n_inter = sum(1 for h in kmin if h in set(ha) and h in set(hb))
+        assert out8.loc[(a, b), "n_union"] == len(kmin)
+        assert out8.loc[(a, b), "n_inter"] == n_inter
