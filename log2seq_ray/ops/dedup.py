@@ -1303,3 +1303,122 @@ def ingest_simhash_run(ds, state_dir: str, max_hamming: int = 8,
             "simhash": pa.array([], type=pa.int64()),
             "simhash_bucket": pa.array([], type=pa.int64())}))
     return survivors
+
+
+# ---------------------------------------------------------------------------
+# mirror detection: clusters of sources serving identical content
+# ---------------------------------------------------------------------------
+
+def _mirror_hash_partial(id_col: str, text_col: str, b: pa.Table):
+    """Per-batch DISTINCT (content-hash, source) rows — text never
+    leaves the batch, only its 60-bit md5 prefix."""
+    from .sketch import _hash60
+    empty = pa.table({"h": pa.array([], type=pa.int64()),
+                      id_col: pa.array([], type=pa.string())})
+    if b.num_rows == 0:
+        return empty
+    t = b.select([id_col, text_col])
+    valid = pc.is_valid(t.column(id_col))
+    if not pc.all(valid).as_py():
+        t = t.filter(valid)
+    if t.num_rows == 0:
+        return empty
+    h = _hash60(np.asarray(
+        pc.fill_null(t.column(text_col), "").to_pandas()))
+    out = pa.table({"h": pa.array(h, type=pa.int64()),
+                    id_col: t.column(id_col)})
+    return out.group_by(["h", id_col]).aggregate([]).select(
+        ["h", id_col])
+
+
+def _mirror_pair_partition(id_col: str, pieces) -> pa.Table:
+    """One content-hash partition: distinct (h, source) rows, sorted by
+    (h, source); every i<j source pair within an equal-h segment becomes
+    one shared-content observation; partial counts per pair."""
+    from .exchange import concat_typed, segment_pair_indices
+    empty = pa.table({"src_a": pa.array([], type=pa.string()),
+                      "src_b": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, "h", id_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    t = t.group_by(["h", id_col]).aggregate([])
+    h = np.asarray(t.column("h").to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    src = t.column(id_col).combine_chunks() \
+        if isinstance(t.column(id_col), pa.ChunkedArray) \
+        else t.column(id_col)
+    enc = pc.dictionary_encode(src)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    order = np.lexsort((codes, h))
+    _, i_row, j_row = segment_pair_indices(h[order])
+    if len(i_row) == 0:
+        return empty
+    ia, ib = codes[order][i_row], codes[order][j_row]
+    # sources within a segment are sorted by dictionary CODE, not by
+    # string value — normalize each pair to (min, max) by string
+    a = enc.dictionary.take(pa.array(ia))
+    bb = enc.dictionary.take(pa.array(ib))
+    lo = pc.min_element_wise(a, bb)
+    hi = pc.max_element_wise(a, bb)
+    pairs = pa.table({"src_a": lo, "src_b": hi})
+    g = pairs.group_by(["src_a", "src_b"]).aggregate([([], "count_all")])
+    return pa.table({"src_a": g.column("src_a"),
+                     "src_b": g.column("src_b"),
+                     "n": pc.cast(g.column("count_all"), pa.int64())})
+
+
+def mirror_clusters(ds, id_col: str = "source", text_col: str = "text",
+                    min_shared: int = 2, num_parts: int = 8):
+    """Mirror detection over a (source, text) corpus: connect two
+    sources when they serve >= ``min_shared`` byte-identical documents,
+    then return the connected components as ``(source, cluster)`` with
+    ``cluster`` = lexicographically-smallest member — the crawl-ops
+    report that collapses mirror farms before per-source quotas.
+
+    Scale shape: the corpus-sized work is one narrow (hash, source)
+    exchange keyed by content hash (text itself never shuffles) with
+    per-batch AND per-partition distinct pre-aggregation; pair
+    expansion uses the shared segment kernel, so a hash served by m
+    sources costs m(m-1)/2 narrow rows, bounded by the source count,
+    not the replica count. The edge list aggregates to O(|sources|^2)
+    rows and the final union-find runs driver-side over that bounded
+    table (the sketch-finalizer contract; |sources| is a catalog-sized
+    dimension, not a corpus-sized one)."""
+    from functools import partial as _p
+
+    from ray.data.aggregate import Sum
+
+    from .exchange import hash_exchange
+
+    partials = ds.map_batches(_p(_mirror_hash_partial, id_col, text_col),
+                              batch_format="pyarrow")
+    pair_counts = hash_exchange(partials, "h", _mirror_pair_partition,
+                                num_parts, fn_args=(id_col,)) \
+        .groupby(["src_a", "src_b"]).aggregate(Sum("n", alias_name="n"))
+    edges = pair_counts.filter(
+        expr=f"n >= {int(min_shared)}").to_pandas()
+
+    # all sources (tiny distinct), so singletons appear as their own
+    # cluster
+    sources = sorted(ds.map_batches(
+        lambda b: b.select([id_col]).group_by([id_col]).aggregate([]),
+        batch_format="pyarrow").unique(id_col))
+
+    parent = {s: s for s in sources}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["src_a"], edges["src_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return pa.table({
+        id_col: pa.array(sources, type=pa.string()),
+        "cluster": pa.array([find(s) for s in sources],
+                            type=pa.string())})

@@ -3940,3 +3940,68 @@ ORACLE_SQL["kmv_overlap"] = """
     LEFT JOIN sk sb ON sb.g = km.grp_b AND sb.h = km.h
     GROUP BY km.grp_a, km.grp_b
 """
+
+
+def q_mirror_clusters(sf_dir: str):
+    """Mirror-farm detection: sources serving >= 2 byte-identical docs
+    cluster together (connected components, min-source label). Every
+    4th doc gets a copy attributed to a synthetic mirror source
+    ('mirror' || doc_id%3) so cross-source duplication exists to find.
+    Corpus-sized work is one narrow (hash, source) exchange; the edge
+    list and union-find are O(|sources|^2)-bounded."""
+    from .ops.dedup import mirror_clusters
+
+    def aug(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        keep = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 4), 4)), 0)
+        if isinstance(keep, pa.ChunkedArray):
+            keep = keep.combine_chunks()
+        m3 = pc.cast(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 3), 3)), pa.string())
+        msrc = pc.binary_join_element_wise(
+            pa.scalar("mirror"), m3, "").filter(keep)
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        src = b.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pa.table({
+            "source": pa.concat_arrays([src, msrc.combine_chunks()
+                                        if isinstance(msrc, pa.ChunkedArray)
+                                        else msrc]),
+            "text": pa.concat_arrays([text, text.filter(keep)])})
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"]) \
+        .map_batches(aug, batch_format="pyarrow")
+    return mirror_clusters(docs, min_shared=2)
+
+
+QUERIES["mirror_clusters"] = q_mirror_clusters
+
+# same augmentation, pair counts over distinct (md5, source), edges at
+# n >= 2, components via reachability closure, min-member label;
+# singleton sources label themselves
+ORACLE_SQL["mirror_clusters"] = """
+    WITH RECURSIVE U AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror' || CAST(doc_id % 3 AS VARCHAR), text
+        FROM documents WHERE doc_id % 4 = 0),
+    hs AS (SELECT DISTINCT md5(text) AS h, source FROM U),
+    e0 AS (SELECT a.source AS sa, b.source AS sb
+           FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    E AS (SELECT sa AS src, sb AS dst FROM e0
+          UNION ALL SELECT sb, sa FROM e0),
+    W(node, reach) AS (
+        SELECT src, src FROM E
+        UNION
+        SELECT w.node, e.dst FROM W w JOIN E e ON w.reach = e.src),
+    comp AS (SELECT node, MIN(reach) AS cluster FROM W GROUP BY node)
+    SELECT s.source, COALESCE(c.cluster, s.source) AS cluster
+    FROM (SELECT DISTINCT source FROM U) s
+    LEFT JOIN comp c ON c.node = s.source
+"""

@@ -2809,3 +2809,27 @@ def test_kmv_overlap_exact_when_k_covers(ray_session):
         n_inter = sum(1 for h in kmin if h in set(ha) and h in set(hb))
         assert out8.loc[(a, b), "n_union"] == len(kmin)
         assert out8.loc[(a, b), "n_inter"] == n_inter
+
+
+def test_mirror_clusters_reference(ray_session):
+    """Known mirror topology: {a,b,c} share >=2 texts pairwise-or-
+    transitively, {d,e} share 2, f shares only ONE text with a (below
+    min_shared) and stays a singleton."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import mirror_clusters
+    rows = []
+    for s, texts in {
+        "a": ["t1", "t2", "t3", "only-a", "bridge"],
+        "b": ["t1", "t2", "x1"],
+        "c": ["t2", "t3", "x2"],          # c-b share only t2 → via a
+        "d": ["u1", "u2"],
+        "e": ["u1", "u2", "x3"],
+        "f": ["bridge", "zz"],            # 1 shared with a < min_shared
+    }.items():
+        rows += [{"source": s, "text": t} for t in texts]
+        rows += [{"source": s, "text": texts[0]}]  # replica noise
+    out = mirror_clusters(rd.from_pandas(pd.DataFrame(rows))
+                          .repartition(5), min_shared=2, num_parts=3) \
+        .to_pandas().set_index("source")["cluster"].to_dict()
+    assert out == {"a": "a", "b": "a", "c": "a",
+                   "d": "d", "e": "d", "f": "f"}
