@@ -444,3 +444,161 @@ def triangle_counts(pairs, a_col: str = "id_a", b_col: str = "id_b",
             cnt_pieces[t].append(piece)
     total = ray.remote(_tc_total)
     return rd.from_arrow_refs([total.remote(p) for p in cnt_pieces])
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded-round BSP peel)
+# ---------------------------------------------------------------------------
+
+def _kc_edge_partition(pieces) -> pa.Table:
+    """Concat + DISTINCT one src-hash partition's symmetric edges,
+    sorted by src (duplicate edges would double-count degrees)."""
+    from .exchange import concat_typed
+    empty = pa.table({"src": pa.array([], type=pa.int64()),
+                      "dst": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, "src", "dst")
+    if t is None or t.num_rows == 0:
+        return empty
+    src = t.column("src").to_numpy()
+    dst = t.column("dst").to_numpy()
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    keep = np.ones(len(src), dtype=bool)
+    keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    return pa.table({"src": pa.array(src[keep], type=pa.int64()),
+                     "dst": pa.array(dst[keep], type=pa.int64())})
+
+
+def _kc_init(edges: pa.Table) -> pa.Table:
+    ids = np.unique(edges.column("src").to_numpy()) if edges.num_rows \
+        else np.array([], dtype=np.int64)
+    return pa.table({"id": pa.array(ids, type=pa.int64()),
+                     "alive": pa.array(np.ones(len(ids), dtype=np.int64),
+                                       type=pa.int64())})
+
+
+def _kc_propagate(edges: pa.Table, state: pa.Table, num_parts: int):
+    """Sender side: every edge whose src is alive ships one unit to its
+    dst, pre-summed per dst before the exchange."""
+    from .exchange import split_by_key
+    empty = pa.table({"id": pa.array([], type=pa.int64()),
+                      "c": pa.array([], type=pa.int64())})
+    if edges.num_rows == 0 or state.num_rows == 0:
+        return [empty] * num_parts
+    idx = pc.index_in(edges.column("src").combine_chunks(),
+                      value_set=state.column("id").combine_chunks())
+    alive = state.column("alive").combine_chunks().take(idx) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges.column("dst").to_numpy()[alive == 1]
+    if len(dst) == 0:
+        return [empty] * num_parts
+    d = np.sort(dst)
+    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    cnt = np.diff(np.append(starts, len(d)))
+    msgs = pa.table({"id": pa.array(d[starts], type=pa.int64()),
+                     "c": pa.array(cnt, type=pa.int64())})
+    return split_by_key(msgs, "id", num_parts)
+
+
+def _kc_update(state: pa.Table, msg_pieces, k: int) -> pa.Table:
+    """Receiver side: alive'(v) = alive(v) AND (alive-neighbor count
+    >= k)."""
+    from .exchange import resolve_pieces
+    cnt = np.zeros(state.num_rows, dtype=np.int64)
+    id_col = state.column("id").combine_chunks()
+    for p in resolve_pieces(msg_pieces):
+        pos = pc.index_in(p.column("id").combine_chunks(),
+                          value_set=id_col) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        np.add.at(cnt, pos, p.column("c").to_numpy())
+    alive = state.column("alive").to_numpy() & (cnt >= k)
+    return pa.table({"id": id_col,
+                     "alive": pa.array(alive.astype(np.int64),
+                                       type=pa.int64())})
+
+
+def _kc_final(edges: pa.Table, state: pa.Table, msg_pieces) -> pa.Table:
+    """(node_id, core_deg) for surviving nodes: degree restricted to the
+    final core, from one extra message pass over the final alive set."""
+    from .exchange import resolve_pieces
+    cnt = np.zeros(state.num_rows, dtype=np.int64)
+    id_col = state.column("id").combine_chunks()
+    for p in resolve_pieces(msg_pieces):
+        pos = pc.index_in(p.column("id").combine_chunks(),
+                          value_set=id_col) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        np.add.at(cnt, pos, p.column("c").to_numpy())
+    alive = state.column("alive").to_numpy() == 1
+    ids = id_col.to_numpy()[alive]
+    return pa.table({"node_id": pa.array(ids, type=pa.int64()),
+                     "core_deg": pa.array(cnt[alive], type=pa.int64())})
+
+
+def kcore(pairs, k: int = 2, rounds: int = 4,
+          a_col: str = "id_a", b_col: str = "id_b", num_parts=None):
+    """k-core membership by bounded-round BSP peeling: starting from
+    all vertices, each round drops every vertex with fewer than ``k``
+    surviving neighbors; after exactly ``rounds`` rounds (early-stopped
+    once a round changes nothing — the remaining rounds are no-ops, so
+    the result equals the fixed-round contract whenever the peel has
+    converged) the survivors and their within-core degrees are
+    returned as ``(node_id, core_deg)``. The dense-subgraph filter that
+    separates template farms / mirror rings (cliquish cores) from
+    incidental pairwise similarity (trees and chains peel away).
+
+    100 TB shape: the pair list symmetrizes and hash-partitions by src
+    ONCE (deduplicated per partition) and never moves again; vertex
+    aliveness is co-partitioned with the out-edges; each round
+    exchanges per-partition pre-summed (dst, count) int64 rows —
+    O(distinct dsts), not O(edges) — and the driver sees one scalar
+    (the alive total) per round. Rounds are a fixed constant, not
+    data-dependent, so the job's critical path is bounded."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import _auto_parts
+    from .exchange import fan_out_pieces, split_by_key
+
+    num_parts = _auto_parts(num_parts)
+    edges = symmetrize_pairs(pairs, a_col, b_col)
+    per_part = fan_out_pieces(split_by_key, edges.to_arrow_refs(),
+                              num_parts, args=("src", num_parts))
+    edge_task = ray.remote(_kc_edge_partition)
+    edge_refs = [edge_task.remote(p) for p in per_part]
+    init = ray.remote(_kc_init)
+    state_refs = [init.remote(e) for e in edge_refs]
+
+    prop = ray.remote(num_returns=num_parts)(_kc_propagate) \
+        if num_parts > 1 else ray.remote(
+            lambda e, s, n: _kc_propagate(e, s, n)[0])
+
+    def _exchange():
+        msg_pieces = [[] for _ in range(num_parts)]
+        for p in range(num_parts):
+            out = prop.remote(edge_refs[p], state_refs[p], num_parts)
+            if num_parts == 1:
+                out = [out]
+            for q, piece in enumerate(out):
+                msg_pieces[q].append(piece)
+        return msg_pieces
+
+    upd = ray.remote(_kc_update)
+    n_alive = ray.remote(lambda s: int(s.column("alive").to_numpy().sum()))
+    # aliveness only shrinks, so an unchanged total means an unchanged
+    # SET — further rounds are no-ops and early stop preserves the
+    # fixed-round contract
+    prev = sum(ray.get([n_alive.remote(s) for s in state_refs]))
+    for _ in range(rounds):
+        msg_pieces = _exchange()
+        state_refs = [upd.remote(state_refs[q], msg_pieces[q], k)
+                      for q in range(num_parts)]
+        cur = sum(ray.get([n_alive.remote(s) for s in state_refs]))
+        if cur == prev:
+            break
+        prev = cur
+
+    fin = ray.remote(_kc_final)
+    msg_pieces = _exchange()
+    out_refs = [fin.remote(edge_refs[q], state_refs[q], msg_pieces[q])
+                for q in range(num_parts)]
+    return rd.from_arrow_refs(out_refs)

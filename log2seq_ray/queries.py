@@ -4005,3 +4005,63 @@ ORACLE_SQL["mirror_clusters"] = """
     FROM (SELECT DISTINCT source FROM U) s
     LEFT JOIN comp c ON c.node = s.source
 """
+
+
+def q_kcore_sim(sf_dir: str):
+    """2-core of the SimHash near-dup graph after <=4 peel rounds:
+    cliquish template-farm cores survive, chains and stars peel away.
+    Edges partition once; each round exchanges pre-summed (dst, count)
+    rows only."""
+    from .ops.dedup import simhash_dups
+    from .ops.graph import kcore
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return kcore(simhash_dups(docs, max_hamming=12), k=2, rounds=4)
+
+
+QUERIES["kcore_sim"] = q_kcore_sim
+
+# the simhash_dups pair derivation, then 4 unrolled peel rounds:
+# a_{i+1} = nodes of a_i with >= 2 neighbours inside a_i; output the
+# survivors with their within-core degree (early stop in the engine is
+# a no-op once stable, so fixed-round SQL matches)
+_KC_ROUND = """,
+    a{i1} AS (SELECT e.src AS id FROM E e
+             JOIN a{i} s ON e.src = s.id JOIN a{i} t ON e.dst = t.id
+             GROUP BY e.src HAVING COUNT(*) >= 2)"""
+
+ORACLE_SQL["kcore_sim"] = f"""
+    WITH tc AS (
+        SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents)
+        GROUP BY doc_id, tk),
+    th AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h,
+                  w
+           FROM tc),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((h >> b) & 1) = 1 THEN w ELSE -w END) AS s
+        FROM th, (SELECT unnest(range(0, 60)) AS b)
+        GROUP BY doc_id, b),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id),
+    S AS (SELECT d.doc_id,
+                 COALESCE(a.simhash, 0) AS simhash,
+                 COALESCE(a.simhash, 0) >> 44 AS bkt
+          FROM documents d LEFT JOIN agg a USING (doc_id)),
+    P AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+          FROM S a JOIN S b
+            ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+    E AS (SELECT ia AS src, ib AS dst FROM P
+          UNION ALL SELECT ib, ia FROM P),
+    a0 AS (SELECT DISTINCT src AS id FROM E)""" + "".join(
+    _KC_ROUND.format(i=i, i1=i + 1) for i in range(4)) + """
+    SELECT e.src AS node_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM E e JOIN a4 s ON e.src = s.id JOIN a4 t ON e.dst = t.id
+    GROUP BY e.src
+"""

@@ -2833,3 +2833,46 @@ def test_mirror_clusters_reference(ray_session):
         .to_pandas().set_index("source")["cluster"].to_dict()
     assert out == {"a": "a", "b": "a", "c": "a",
                    "d": "d", "e": "d", "f": "f"}
+
+
+def test_kcore_brute_force_parity(ray_session):
+    """kcore equals the sequential peel on a random graph, across
+    partition counts; a triangle+tail graph keeps exactly the
+    triangle."""
+    import ray.data as rd
+    from log2seq_ray.ops.graph import kcore
+
+    def peel(pairs, k, rounds):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        for _ in range(rounds):
+            nxt = {v for v in alive
+                   if len(adj[v] & alive) >= k}
+            if nxt == alive:
+                break
+            alive = nxt
+        return {v: len(adj[v] & alive) for v in alive}
+
+    # triangle 1-2-3 with a tail 3-4-5: 2-core = the triangle
+    tri = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    t = pa.table({"id_a": pa.array([p[0] for p in tri], type=pa.int64()),
+                  "id_b": pa.array([p[1] for p in tri], type=pa.int64())})
+    out = kcore(rd.from_arrow(t), k=2, rounds=4, num_parts=3) \
+        .to_pandas().set_index("node_id")["core_deg"].to_dict()
+    assert out == {1: 2, 2: 2, 3: 2}
+
+    rng = np.random.default_rng(3)
+    pairs = sorted({tuple(sorted(p)) for p in
+                    rng.integers(0, 40, size=(120, 2)) if p[0] != p[1]})
+    t = pa.table({"id_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                  "id_b": pa.array([p[1] for p in pairs], type=pa.int64())})
+    for k in (2, 3, 4):
+        ref = peel(pairs, k, rounds=6)
+        for np_ in (1, 4):
+            out = kcore(rd.from_arrow(t).repartition(3), k=k, rounds=6,
+                        num_parts=np_).to_pandas() \
+                .set_index("node_id")["core_deg"].to_dict()
+            assert out == ref, (k, np_)
