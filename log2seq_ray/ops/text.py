@@ -776,3 +776,154 @@ def token_concentration(batch: pa.Table, id_col: str = "doc_id",
         "n_tokens": pa.array(counts, type=pa.int64()),
         "n_distinct_tokens": pa.array(n_distinct, type=pa.int64()),
         "simpson_num": pa.array(simpson, type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# edit-distance-1 fuzzy matching via deletion-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+def _ed1_verify(a_list: list, b_list: list) -> np.ndarray:
+    """Vectorized exact edit-distance<=1 test for candidate pairs with
+    byte-length difference <= 1: ed(a,b) <= 1 iff
+    lcp(a,b) + lcs(a,b) >= max(|a|,|b|) - 1 (the classic one-edit-away
+    rule; exact, no DP needed). Operates on UTF-8 bytes — codepoint
+    semantics for ASCII vocabularies, a documented byte-level contract
+    otherwise."""
+    if not a_list:
+        return np.zeros(0, dtype=bool)
+    au = np.asarray(a_list, dtype="U")
+    bu = np.asarray(b_list, dtype="U")
+    enc_a = np.char.encode(au, "utf-8")
+    enc_b = np.char.encode(bu, "utf-8")
+    la = np.char.str_len(enc_a).astype(np.int64)
+    lb = np.char.str_len(enc_b).astype(np.int64)
+    w = max(1, int(max(la.max(), lb.max())))
+    A = np.zeros((len(a_list), w), dtype=np.uint8)
+    B = np.zeros((len(a_list), w), dtype=np.uint8)
+    Ar = np.zeros((len(a_list), w), dtype=np.uint8)
+    Br = np.zeros((len(a_list), w), dtype=np.uint8)
+    va = np.frombuffer(
+        np.asarray(enc_a, dtype=f"S{w}").tobytes(), dtype=np.uint8
+    ).reshape(len(a_list), w)
+    vb = np.frombuffer(
+        np.asarray(enc_b, dtype=f"S{w}").tobytes(), dtype=np.uint8
+    ).reshape(len(a_list), w)
+    A[:], B[:] = va, vb
+    # right-aligned copies for the common-suffix scan
+    cols = np.arange(w)
+    Ar[cols[None, :] >= (w - la)[:, None]] = va[cols[None, :] < la[:, None]]
+    Br[cols[None, :] >= (w - lb)[:, None]] = vb[cols[None, :] < lb[:, None]]
+    neq = A != B
+    p = np.where(neq.any(1), neq.argmax(1), w)
+    p = np.minimum(p, np.minimum(la, lb))
+    rneq = Ar != Br
+    rev = rneq[:, ::-1]
+    s = np.where(rev.any(1), rev.argmax(1), w)
+    s = np.minimum(s, np.minimum(la, lb))
+    return (np.abs(la - lb) <= 1) \
+        & (p + s >= np.maximum(la, lb) - 1)
+
+
+def _ed1_variants(tokens: pa.Array, max_len: int):
+    """(variant, token) blocking rows: the token itself plus every
+    single-codepoint deletion — two tokens at edit distance <= 1 are
+    guaranteed to share at least one variant (SymSpell blocking)."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    L = pc.utf8_length(tokens)
+    tokens = tokens.filter(pc.less_equal(L, max_len))
+    L = pc.utf8_length(tokens)
+    out_v, out_t = [tokens], [tokens]
+    for d in range(max_len):
+        mask = pc.greater(L, d)
+        if not pc.any(mask).as_py():
+            break
+        t = tokens.filter(mask)
+        v = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(t, 0, d),
+            pc.utf8_slice_codeunits(t, d + 1, 1 << 30), "")
+        out_v.append(v)
+        out_t.append(t)
+    variant = pa.concat_arrays([a.combine_chunks()
+                                if isinstance(a, pa.ChunkedArray) else a
+                                for a in out_v])
+    token = pa.concat_arrays([a.combine_chunks()
+                              if isinstance(a, pa.ChunkedArray) else a
+                              for a in out_t])
+    return pa.table({"variant": variant, "token": token})
+
+
+def _ed1_pair_partition(pieces) -> pa.Table:
+    """One variant-hash partition: sort by variant, expand i<j token
+    pairs within equal-variant segments, dedupe, verify with the exact
+    one-edit-away rule."""
+    from .exchange import concat_typed, segment_pair_indices
+    empty = pa.table({"token_a": pa.array([], type=pa.string()),
+                      "token_b": pa.array([], type=pa.string())})
+    t = concat_typed(pieces, "variant", "token")
+    if t is None or t.num_rows == 0:
+        return empty
+    t = t.group_by(["variant", "token"]).aggregate([])
+    enc_v = pc.dictionary_encode(t.column("variant").combine_chunks()
+                                 if isinstance(t.column("variant"),
+                                               pa.ChunkedArray)
+                                 else t.column("variant"))
+    vcodes = np.asarray(enc_v.indices, dtype=np.int64)
+    tok = t.column("token").combine_chunks() \
+        if isinstance(t.column("token"), pa.ChunkedArray) \
+        else t.column("token")
+    enc_t = pc.dictionary_encode(tok)
+    tcodes = np.asarray(enc_t.indices, dtype=np.int64)
+    order = np.lexsort((tcodes, vcodes))
+    _, i_row, j_row = segment_pair_indices(vcodes[order])
+    if len(i_row) == 0:
+        return empty
+    ta, tb = tcodes[order][i_row], tcodes[order][j_row]
+    neq = ta != tb
+    ta, tb = ta[neq], tb[neq]
+    if len(ta) == 0:
+        return empty
+    lo, hi = np.minimum(ta, tb), np.maximum(ta, tb)
+    uniq = np.unique(lo << 32 | hi)  # token codes < 2^32 per partition
+    lo, hi = uniq >> 32, uniq & ((1 << 32) - 1)
+    a_str = enc_t.dictionary.take(pa.array(lo, type=pa.int64()))
+    b_str = enc_t.dictionary.take(pa.array(hi, type=pa.int64()))
+    ok = _ed1_verify(a_str.to_pylist(), b_str.to_pylist())
+    # dictionary codes order by first occurrence, not lexicographically —
+    # normalize the surviving pairs by string value
+    a_keep, b_keep = a_str.filter(pa.array(ok)), b_str.filter(pa.array(ok))
+    return pa.table({"token_a": pc.min_element_wise(a_keep, b_keep),
+                     "token_b": pc.max_element_wise(a_keep, b_keep)})
+
+
+def edit1_pairs(ds, col: str = "token", max_len: int = 24,
+                num_parts: int = 8):
+    """All UNORDERED token pairs at edit distance exactly 1 (equal
+    tokens are never paired) within a vocabulary Dataset — the
+    typo-detection / spelling-normalization candidate generator.
+    SymSpell-style: each token emits itself plus its single-deletion
+    variants; any two tokens within one edit share a variant, so
+    blocking is lossless; candidates verify with the exact
+    one-edit-away prefix+suffix rule (vectorized, no DP). Tokens longer
+    than ``max_len`` codepoints are excluded (documented contract —
+    they are never typo-normalization targets).
+
+    Scale shape: a V-token vocabulary emits O(V x avg_len) narrow
+    (variant, token) rows through ONE variant-keyed exchange; pair
+    expansion is bounded per block by the tokens sharing a variant
+    (alphabet-bounded in practice), never all-pairs. A pair at
+    distance 1 can share several variants and so appear in several
+    partitions — pairs dedupe within a partition and the final
+    distinct collapses cross-partition repeats."""
+    from .dedup import unique_pairs
+    from .exchange import hash_exchange
+    vocab = ds.map_batches(
+        lambda b: _ed1_variants(b.column(col), max_len),
+        batch_format="pyarrow")
+    pairs = hash_exchange(vocab, "variant", _ed1_pair_partition,
+                          num_parts).map_batches(
+        lambda b: b.rename_columns(["id_a", "id_b"]),
+        batch_format="pyarrow")
+    return unique_pairs(pairs, num_parts).map_batches(
+        lambda b: b.rename_columns(["token_a", "token_b"]),
+        batch_format="pyarrow")

@@ -4065,3 +4065,64 @@ ORACLE_SQL["kcore_sim"] = f"""
     FROM E e JOIN a4 s ON e.src = s.id JOIN a4 t ON e.dst = t.id
     GROUP BY e.src
 """
+
+
+def q_typo_pairs(sf_dir: str):
+    """Typo-candidate pairs at edit distance 1 over the corpus
+    vocabulary (plus injected second-char-deletion typos of the >=900
+    count head tokens, so the normalizer has something to find).
+    SymSpell deletion-neighborhood blocking: one variant-keyed
+    exchange; verification is the exact vectorized one-edit-away
+    rule."""
+    from ray.data.aggregate import Sum
+
+    from .ops.text import edit1_pairs
+
+    def partial(b: pa.Table) -> pa.Table:
+        from .ops.text import _token_lists
+        toks = _token_lists(b.column("text"))
+        t = pa.table({"token": toks.flatten()})
+        g = t.group_by(["token"]).aggregate([([], "count_all")])
+        return pa.table({"token": g.column("token"),
+                         "p": pc.cast(g.column("count_all"), pa.int64())})
+
+    counts = _docs(sf_dir, ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("p", alias_name="n"))
+
+    def aug(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        tok = b.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        head = pc.and_(pc.greater_equal(b.column("n"), 900),
+                       pc.greater_equal(pc.utf8_length(tok), 4))
+        if isinstance(head, pa.ChunkedArray):
+            head = head.combine_chunks()
+        typo = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(tok.filter(head), 0, 1),
+            pc.utf8_slice_codeunits(tok.filter(head), 2, 1 << 30), "")
+        if isinstance(typo, pa.ChunkedArray):
+            typo = typo.combine_chunks()
+        return pa.table({"token": pa.concat_arrays([tok, typo])})
+
+    vocab = counts.map_batches(aug, batch_format="pyarrow")
+    return edit1_pairs(vocab, num_parts=8)
+
+
+QUERIES["typo_pairs"] = q_typo_pairs
+
+# brute-force levenshtein over the same vocabulary union (tiny at gate
+# scale; the engine's blocking is the part under test)
+ORACLE_SQL["typo_pairs"] = f"""
+    WITH t AS (SELECT unnest({_TOKENS}) AS tk FROM documents),
+    c AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tk),
+    v AS (SELECT tk FROM c
+          UNION
+          SELECT substr(tk, 1, 1) || substr(tk, 3) FROM c
+          WHERE n >= 900 AND len(tk) >= 4)
+    SELECT a.tk AS token_a, b.tk AS token_b
+    FROM v a JOIN v b ON a.tk < b.tk
+    WHERE abs(len(a.tk) - len(b.tk)) <= 1
+      AND levenshtein(a.tk, b.tk) <= 1
+"""

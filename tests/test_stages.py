@@ -2876,3 +2876,38 @@ def test_kcore_brute_force_parity(ray_session):
                         num_parts=np_).to_pandas() \
                 .set_index("node_id")["core_deg"].to_dict()
             assert out == ref, (k, np_)
+
+
+def test_edit1_pairs_brute_force_parity(ray_session):
+    """Deletion-neighborhood blocking + one-edit-away verify equals
+    brute-force Levenshtein on random vocabularies; equal tokens never
+    pair; > max_len tokens are excluded."""
+    import itertools
+    import ray.data as rd
+    from log2seq_ray.ops.text import edit1_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(17)
+    alphabet = list("abcde")
+    vocab = sorted({"".join(rng.choice(alphabet,
+                                       size=rng.integers(1, 7)))
+                    for _ in range(120)})
+    vocab += ["x" * 30]  # beyond max_len=24 → excluded entirely
+    t = pa.table({"token": pa.array(vocab, type=pa.string())})
+    out = edit1_pairs(rd.from_arrow(t).repartition(4),
+                      num_parts=4).to_pandas()
+    got = set(map(tuple, out[["token_a", "token_b"]].values))
+    short = [v for v in vocab if len(v) <= 24]
+    ref = {(a, b) for a, b in itertools.combinations(short, 2)
+           if lev(a, b) <= 1}
+    assert got == ref
+    assert all(a < b for a, b in got)
