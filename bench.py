@@ -331,6 +331,12 @@ def run_benchmarks() -> dict:
               lambda: Q.q_trending_daily(SF_DIR).to_pandas())
         timed("source_dup_stats",
               lambda: Q.q_source_dup_stats(SF_DIR).to_pandas())
+        timed("debounce", lambda: Q.q_debounce(SF_DIR).count())
+        timed("kmv_overlap", lambda: Q.q_kmv_overlap(SF_DIR))
+        timed("mirror_clusters",
+              lambda: Q.q_mirror_clusters(SF_DIR).to_pandas())
+        timed("kcore_sim", lambda: Q.q_kcore_sim(SF_DIR).to_pandas())
+        timed("typo_pairs", lambda: Q.q_typo_pairs(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop
