@@ -1426,3 +1426,63 @@ def cross_jaccard_pairs(left, right, window: int = 4, tau_num: int = 1,
     import ray.data as rd
     ut = _ray.remote(untag)
     return rd.from_arrow_refs([ut.remote(r) for r in out.to_arrow_refs()])
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: how much of a doc is unique to it corpus-wide
+# ---------------------------------------------------------------------------
+
+def _novelty_partition(id_col: str, pieces) -> pa.Table:
+    """One shingle-hash partition: every (g, doc) row of a shingle
+    lives here, so the local segment size IS the global df; emit
+    per-doc (n_grams, n_novel) partials."""
+    from .exchange import concat_typed
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "ng_part": pa.array([], type=pa.int64()),
+                      "nv_part": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, "g", id_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    g = t.column("g").to_numpy()
+    ids = t.column(id_col).to_numpy()
+    order = np.lexsort((ids, g))
+    gg, ii = g[order], ids[order]
+    starts = np.flatnonzero(np.concatenate([[True], gg[1:] != gg[:-1]]))
+    seg = np.diff(np.append(starts, len(gg)))
+    novel = (np.repeat(seg, seg) == 1).astype(np.int64)
+    uid = np.unique(ii)
+    pos = np.searchsorted(uid, ii)
+    ng = np.zeros(len(uid), dtype=np.int64)
+    nv = np.zeros(len(uid), dtype=np.int64)
+    np.add.at(ng, pos, 1)
+    np.add.at(nv, pos, novel)
+    return pa.table({id_col: pa.array(uid, type=pa.int64()),
+                     "ng_part": pa.array(ng, type=pa.int64()),
+                     "nv_part": pa.array(nv, type=pa.int64())})
+
+
+def novelty_scores(ds, window: int = 4, id_col: str = "doc_id",
+                   col: str = "text", num_parts: int = 16):
+    """Per-document n-gram novelty: of the doc's DISTINCT
+    ``window``-token shingles, how many appear in NO other document
+    (corpus-wide df == 1) — high novelty flags original content,
+    low novelty flags boilerplate/template text, and the complement
+    (n_grams - n_novel) is the memorization-risk mass shared with the
+    rest of the corpus. Returns (id, n_grams, n_novel).
+
+    Scale shape: the one corpus-sized exchange carries distinct
+    (shingle-hash, doc) int64 rows keyed by hash — text never
+    shuffles; df and the per-doc partials are computed inside each
+    partition (a shingle's rows are co-located by construction) and
+    only O(docs) partial rows reach the final small groupby."""
+    from ray.data.aggregate import Sum
+
+    from .exchange import hash_exchange
+    rows = ds.map_batches(
+        lambda b: _shingle_rows(b, window, id_col, col),
+        batch_format="pyarrow")
+    partials = hash_exchange(rows, "g", _novelty_partition, num_parts,
+                             fn_args=(id_col,))
+    return partials.groupby(id_col).aggregate(
+        Sum("ng_part", alias_name="n_grams"),
+        Sum("nv_part", alias_name="n_novel"))

@@ -4126,3 +4126,36 @@ ORACLE_SQL["typo_pairs"] = f"""
     WHERE abs(len(a.tk) - len(b.tk)) <= 1
       AND levenshtein(a.tk, b.tk) <= 1
 """
+
+
+def q_novelty_scores(sf_dir: str):
+    """Per-doc 4-gram novelty (distinct shingles with corpus df == 1):
+    the originality / memorization-risk signal. One narrow
+    (hash, doc) exchange; df is partition-local by construction."""
+    from .ops.curation import novelty_scores
+    return novelty_scores(_docs(sf_dir, ["doc_id", "text"]), window=4)
+
+
+QUERIES["novelty_scores"] = q_novelty_scores
+
+# same shingle convention as the minhash family: 0 tokens → [''],
+# < 4 tokens → the whole joined doc, else every 4-token window
+ORACLE_SQL["novelty_scores"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    SH AS (SELECT doc_id,
+                  list_distinct(CASE
+                      WHEN len(t) = 0 THEN ['']
+                      WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+3], ' '))
+                  END) AS s
+           FROM T),
+    G AS (SELECT doc_id, unnest(s) AS g FROM SH),
+    DF AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM G GROUP BY g)
+    SELECT G.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN DF.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+    FROM G JOIN DF USING (g)
+    GROUP BY G.doc_id
+"""

@@ -404,3 +404,36 @@ def test_cross_jaccard_empty_sides(ray_session):
     assert out.count() == 0
     assert set(out.schema().names) == {"left_id", "right_id", "inter",
                                        "union_n"}
+
+
+def test_novelty_scores_reference(ray_session):
+    """Novelty equals the brute-force df==1 count per doc, including the
+    short-doc (whole text) and empty-doc ('' shingle) conventions."""
+    import ray.data as rd
+    from collections import Counter
+    from log2seq_ray.ops.curation import novelty_scores
+    texts = ["a b c d e",          # windows: 'a b c d', 'b c d e'
+             "a b c d x",          # shares 'a b c d'
+             "u v",                # short → whole text, unique
+             "u v",                # short dup → df 2
+             "",                   # empty → '' shingle
+             "q r s t u v w"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    out = novelty_scores(rd.from_arrow(t).repartition(3), window=4,
+                         num_parts=3).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    def shingles(s):
+        toks = [w for w in s.split(" ") if w]
+        if not toks:
+            return {""}
+        if len(toks) < 4:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)}
+
+    df = Counter(g for s in texts for g in shingles(s))
+    for i, s in enumerate(texts):
+        sh = shingles(s)
+        assert out.loc[i, "n_grams"] == len(sh)
+        assert out.loc[i, "n_novel"] == sum(df[g] == 1 for g in sh)
