@@ -623,3 +623,64 @@ def debounce(ds, key: str = "user_id", sub_key: str = "event_type",
     return hash_exchange(narrow, key, _debounce_partition, num_parts,
                          fn_args=(key, sub_key, ts_col, id_col,
                                   min_gap_sec))
+
+
+def _cohort_partition(key: str, ts_col: str, pieces) -> pa.Table:
+    """One user partition of cohort retention: per user, cohort =
+    first active day; emit distinct (cohort_day, day_offset) user
+    counts."""
+    from .exchange import concat_typed
+    empty = pa.table({"cohort_day": pa.array([], type=pa.timestamp("us")),
+                      "day_offset": pa.array([], type=pa.int64()),
+                      "n_users": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, ts_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    t = t.filter(pc.is_valid(t.column(ts_col)))
+    if t.num_rows == 0:
+        return empty
+    day = (pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                   pa.int64()).to_numpy() // 86_400_000_000)
+    kcol = t.column(key).combine_chunks() \
+        if isinstance(t.column(key), pa.ChunkedArray) else t.column(key)
+    codes = np.asarray(pc.dictionary_encode(kcol).indices, dtype=np.int64)
+    order = np.lexsort((day, codes))
+    k, d = codes[order], day[order]
+    new_key = np.ones(len(k), dtype=bool)
+    new_key[1:] = k[1:] != k[:-1]
+    cohort = d[np.maximum.accumulate(
+        np.where(new_key, np.arange(len(k)), 0))]
+    offset = d - cohort
+    # distinct (user, offset), then count users per (cohort, offset)
+    first = np.ones(len(k), dtype=bool)
+    first[1:] = new_key[1:] | (offset[1:] != offset[:-1])
+    co, off = cohort[first], offset[first]
+    key2 = co * (1 << 20) + off          # offsets < 2^20 days ~ 2.8k yrs
+    uniq, counts = np.unique(key2, return_counts=True)
+    return pa.table({
+        "cohort_day": pa.array((uniq >> 20) * 86_400_000_000,
+                               type=pa.int64()).cast(pa.timestamp("us")),
+        "day_offset": pa.array(uniq & ((1 << 20) - 1), type=pa.int64()),
+        "n_users": pa.array(counts, type=pa.int64())})
+
+
+def cohort_retention(ds, key: str = "user_id", ts_col: str = "ts",
+                     num_parts: int = 16):
+    """Cohort retention table: users cohorted by their FIRST active
+    day; for every (cohort_day, day_offset) the number of cohort
+    members active ``day_offset`` days later (offset 0 row = cohort
+    size) — the standard retention triangle. Null timestamps drop.
+
+    Scale shape: one narrow (user, ts) hash exchange keyed by user
+    (a user's first-seen day needs all their events together); per
+    partition one lexsort + boundary masks; only O(cohorts x offsets)
+    count partials leave the partition for the final small groupby."""
+    from ray.data.aggregate import Sum
+
+    from .exchange import hash_exchange
+    narrow = ds.map_batches(lambda b: b.select([key, ts_col]),
+                            batch_format="pyarrow")
+    partials = hash_exchange(narrow, key, _cohort_partition, num_parts,
+                             fn_args=(key, ts_col))
+    return partials.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users"))

@@ -4159,3 +4159,26 @@ ORACLE_SQL["novelty_scores"] = f"""
     FROM G JOIN DF USING (g)
     GROUP BY G.doc_id
 """
+
+
+def q_cohort_retention(sf_dir: str):
+    """Retention triangle: users cohorted by first active day, counted
+    at each day offset they return. One user-keyed exchange; only
+    (cohort, offset) count partials shuffle to the final groupby."""
+    from .ops.windows import cohort_retention
+    return cohort_retention(_events(sf_dir, ["user_id", "ts"]))
+
+
+QUERIES["cohort_retention"] = q_cohort_retention
+
+ORACLE_SQL["cohort_retention"] = """
+    WITH e AS (SELECT user_id, date_trunc('day', ts) AS day
+               FROM events WHERE ts IS NOT NULL),
+    f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+    d AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                 date_diff('day', f.cohort_day, e.day) AS day_offset
+          FROM e JOIN f USING (user_id))
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY cohort_day, day_offset
+"""

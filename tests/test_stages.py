@@ -2911,3 +2911,38 @@ def test_edit1_pairs_brute_force_parity(ray_session):
            if lev(a, b) <= 1}
     assert got == ref
     assert all(a < b for a, b in got)
+
+
+def test_cohort_retention_reference(ray_session):
+    """Retention triangle equals the pandas reference: offset-0 rows are
+    cohort sizes; a user active on several days lands in each offset
+    once; null ts dropped."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import cohort_retention
+    rng = np.random.default_rng(23)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.Timestamp("2025-03-01")
+        + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s")})
+    df.loc[::41, "ts"] = pd.NaT
+    out = cohort_retention(rd.from_pandas(df).repartition(5),
+                           num_parts=4).to_pandas()
+    d = df.dropna(subset=["ts"]).copy()
+    d["day"] = d["ts"].dt.floor("D")
+    first = d.groupby("user_id")["day"].min().rename("cohort")
+    d = d.join(first, on="user_id")
+    d["off"] = (d["day"] - d["cohort"]).dt.days
+    ref = d.drop_duplicates(["user_id", "off"]) \
+        .groupby(["cohort", "off"]).size().reset_index(name="n")
+    got = out.sort_values(["cohort_day", "day_offset"]) \
+        .reset_index(drop=True)
+    ref = ref.sort_values(["cohort", "off"]).reset_index(drop=True)
+    assert (got["cohort_day"].to_numpy()
+            == ref["cohort"].to_numpy()).all()
+    assert got["day_offset"].tolist() == ref["off"].tolist()
+    assert got["n_users"].tolist() == ref["n"].tolist()
+    # offset-0 rows are cohort sizes
+    sizes = first.reset_index().groupby("cohort").size()
+    z = got[got["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    assert z.to_dict() == sizes.to_dict()
