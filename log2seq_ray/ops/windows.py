@@ -684,3 +684,48 @@ def cohort_retention(ds, key: str = "user_id", ts_col: str = "ts",
                              fn_args=(key, ts_col))
     return partials.groupby(["cohort_day", "day_offset"]).aggregate(
         Sum("n_users", alias_name="n_users"))
+
+
+def markov_transitions(ds, key: str = "user_id", ts_col: str = "ts",
+                       ev_col: str = "event_type",
+                       id_col: str = "event_id", num_parts: int = 16):
+    """First-order Markov transition matrix over per-key event paths:
+    ``event_bigrams`` counts normalized per source state to an exact
+    integer probability ``p_ppm = n * 10^6 // n_from`` — the user-path
+    model behind next-event prediction and anomaly scoring. Returns
+    (ev_from, ev_to, n, n_from, p_ppm).
+
+    Scale shape: the corpus-sized work is event_bigrams' one keyed
+    exchange; the transition matrix itself is O(|event types|^2) —
+    state-catalog-sized, so the per-source normalization runs in one
+    map_batches over a single coalesced block (repartition(1) of a
+    types^2 table, the sketch-finalizer contract)."""
+    big = event_bigrams(ds, key, ts_col, ev_col, id_col, num_parts)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "ev_from": pa.array([], type=pa.string()),
+                "ev_to": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "n_from": pa.array([], type=pa.int64()),
+                "p_ppm": pa.array([], type=pa.int64())})
+        ev_from = b.column("ev_from").combine_chunks() \
+            if isinstance(b.column("ev_from"), pa.ChunkedArray) \
+            else b.column("ev_from")
+        n = np.asarray(pc.cast(b.column("n"), pa.int64()).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        codes = np.asarray(pc.dictionary_encode(ev_from).indices,
+                           dtype=np.int64)
+        totals = np.zeros(int(codes.max()) + 1, dtype=np.int64)
+        np.add.at(totals, codes, n)
+        n_from = totals[codes]
+        return pa.table({
+            "ev_from": ev_from,
+            "ev_to": b.column("ev_to"),
+            "n": pa.array(n, type=pa.int64()),
+            "n_from": pa.array(n_from, type=pa.int64()),
+            "p_ppm": pa.array(n * 1_000_000 // n_from, type=pa.int64())})
+
+    return big.repartition(1).map_batches(
+        normalize, batch_format="pyarrow", batch_size=None)

@@ -4182,3 +4182,30 @@ ORACLE_SQL["cohort_retention"] = """
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM d GROUP BY cohort_day, day_offset
 """
+
+
+def q_markov_transitions(sf_dir: str):
+    """First-order Markov user-path model: transition counts + exact
+    integer ppm probabilities per source event type."""
+    from .ops.windows import markov_transitions
+    return markov_transitions(
+        _events(sf_dir, ["event_id", "user_id", "event_type", "ts"]))
+
+
+QUERIES["markov_transitions"] = q_markov_transitions
+
+ORACLE_SQL["markov_transitions"] = """
+    WITH e AS (SELECT user_id, ts, event_id, event_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          AS nxt
+               FROM events WHERE ts IS NOT NULL),
+    c AS (SELECT event_type AS ev_from, nxt AS ev_to,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT ev_from, CAST(SUM(n) AS BIGINT) AS n_from
+          FROM c GROUP BY ev_from)
+    SELECT c.ev_from, c.ev_to, c.n, t.n_from,
+           CAST((c.n * 1000000) // t.n_from AS BIGINT) AS p_ppm
+    FROM c JOIN t USING (ev_from)
+"""

@@ -2946,3 +2946,32 @@ def test_cohort_retention_reference(ray_session):
     sizes = first.reset_index().groupby("cohort").size()
     z = got[got["day_offset"] == 0].set_index("cohort_day")["n_users"]
     assert z.to_dict() == sizes.to_dict()
+
+
+def test_markov_transitions_reference(ray_session):
+    """Transition ppm equals the pandas LEAD reference; rows sum to
+    n_from per source; ppm is floor-division exact."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import markov_transitions
+    rng = np.random.default_rng(31)
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 20, n),
+        "event_type": rng.choice(list("abcd"), n),
+        "ts": pd.Timestamp("2025-01-01")
+        + pd.to_timedelta(rng.integers(0, 86400, n), unit="s")})
+    out = markov_transitions(rd.from_pandas(df).repartition(4),
+                             num_parts=4).to_pandas()
+    d = df.sort_values(["user_id", "ts", "event_id"])
+    d["nxt"] = d.groupby("user_id")["event_type"].shift(-1)
+    ref = d.dropna(subset=["nxt"]).groupby(
+        ["event_type", "nxt"]).size().reset_index(name="n")
+    tot = ref.groupby("event_type")["n"].sum()
+    got = out.sort_values(["ev_from", "ev_to"]).reset_index(drop=True)
+    ref = ref.sort_values(["event_type", "nxt"]).reset_index(drop=True)
+    assert got["n"].tolist() == ref["n"].tolist()
+    assert got["ev_from"].tolist() == ref["event_type"].tolist()
+    for _, r in got.iterrows():
+        assert r["n_from"] == tot[r["ev_from"]]
+        assert r["p_ppm"] == r["n"] * 1_000_000 // r["n_from"]
