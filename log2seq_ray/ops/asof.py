@@ -79,9 +79,9 @@ def asof_join(left, right, key: str, ts_col: str,
     work = ray.remote(_asof_partition)
 
     def fan_out(ds):
-        from .exchange import fan_out_pieces
-        return fan_out_pieces(split_by_key, ds.to_arrow_refs(), num_parts,
-                              args=(key, num_parts))
+        from .exchange import fan_out_pieces, stream_block_refs
+        return fan_out_pieces(split_by_key, stream_block_refs(ds),
+                              num_parts, args=(key, num_parts))
 
     l_parts = fan_out(left)
     r_parts = fan_out(right)

@@ -289,7 +289,8 @@ def ngram_jaccard_dups(ds, window: int = 4, tau_num: int = 1,
         batch_format="pyarrow")
     from .exchange import fan_out_pieces
     work = ray.remote(num_returns=2)(_jacc_partition)
-    per_part = fan_out_pieces(split_by_key, shingles.to_arrow_refs(),
+    from .exchange import stream_block_refs
+    per_part = fan_out_pieces(split_by_key, stream_block_refs(shingles),
                               num_parts, args=("g", num_parts))
     pair_refs, size_refs = [], []
     for pieces in per_part:
@@ -557,7 +558,8 @@ def paragraph_dedup(ds, para_tokens: int = 20, num_parts=None,
         batch_format="pyarrow")
     from .exchange import fan_out_pieces
     work = ray.remote(_para_partition)
-    per_part = fan_out_pieces(split_by_key, rows.to_arrow_refs(),
+    from .exchange import stream_block_refs
+    per_part = fan_out_pieces(split_by_key, stream_block_refs(rows),
                               num_parts, args=("h", num_parts))
     partials = rd.from_arrow_refs(
         [work.remote(pieces) for pieces in per_part])
@@ -1399,7 +1401,8 @@ def cross_jaccard_pairs(left, right, window: int = 4, tau_num: int = 1,
     shingles = left.map_batches(tagged(0), batch_format="pyarrow") \
         .union(right.map_batches(tagged(1), batch_format="pyarrow"))
     work = ray.remote(num_returns=2)(_cross_expand_partition)
-    per_part = fan_out_pieces(split_by_key, shingles.to_arrow_refs(),
+    from .exchange import stream_block_refs
+    per_part = fan_out_pieces(split_by_key, stream_block_refs(shingles),
                               num_parts, args=("g", num_parts))
     pair_refs, size_refs = [], []
     for pieces in per_part:

@@ -323,9 +323,9 @@ def _band_partitions(ds, n_hashes, n_bands, shingle_k, id_col, col,
                                    shingle_k=shingle_k, id_col=id_col,
                                    col=col),
         batch_format="pyarrow", concurrency=actor_pool())
-    from .exchange import fan_out_pieces
-    return fan_out_pieces(_split_bands, bands.to_arrow_refs(), num_parts,
-                          args=(num_parts,))
+    from .exchange import fan_out_pieces, stream_block_refs
+    return fan_out_pieces(_split_bands, stream_block_refs(bands),
+                          num_parts, args=(num_parts,))
 
 
 def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
@@ -593,7 +593,8 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
     cand_docs = ds.map_batches(
         _filter_by_id_fn(ids_ref, id_col, [id_col, col]),
         batch_format="pyarrow")
-    block_refs = cand_docs.to_arrow_refs()
+    from .exchange import stream_block_refs
+    block_refs = stream_block_refs(cand_docs)
     per_part_docs = fan_out_pieces(_split_docs_by_need, block_refs,
                                    np2, args=(id_refs, id_col, col))
     verify = ray.remote(_verify_partition)
@@ -717,9 +718,9 @@ def label_propagation_clusters(pairs, num_parts: int = 8,
                 b.column("id_b").combine_chunks().cast(pa.int64()),
                 b.column("id_a").combine_chunks().cast(pa.int64())])}),
         batch_format="pyarrow")
-    from .exchange import fan_out_pieces
-    per_part = fan_out_pieces(_lp_split, sym.to_arrow_refs(), num_parts,
-                              args=("src", num_parts))
+    from .exchange import fan_out_pieces, stream_block_refs
+    per_part = fan_out_pieces(_lp_split, stream_block_refs(sym),
+                              num_parts, args=("src", num_parts))
     edge_task = ray.remote(_lp_edge_partition)
     edge_refs = [edge_task.remote(pieces) for pieces in per_part]
 

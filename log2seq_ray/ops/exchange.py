@@ -172,9 +172,25 @@ def fan_out_pieces(split_fn, block_refs, num_parts: int, args=()):
     return per_part
 
 
+def stream_block_refs(ds):
+    """Yield a Dataset's block refs AS STREAMING EXECUTION PRODUCES
+    them — the memory-progressive alternative to ``to_arrow_refs()``,
+    which materializes (and pins) every upstream block before the first
+    consumer task runs. Fed to :func:`fan_out_pieces`, each upstream
+    block becomes eligible for release as soon as its split task
+    finishes, so an exchange's peak footprint is the narrow pieces plus
+    the blocks currently in flight, not the whole projected input.
+    Blocks may arrive in any format ``split_by_key`` handles (Arrow or
+    pandas)."""
+    for bundle in ds.iter_internal_ref_bundles():
+        yield from bundle.block_refs
+
+
 def _fan_out(ds, key: str, num_parts: int):
-    """Fan a Dataset's blocks into per-partition piece-ref lists."""
-    return fan_out_pieces(split_by_key, ds.to_arrow_refs(), num_parts,
+    """Fan a Dataset's blocks into per-partition piece-ref lists,
+    streaming: split tasks launch while upstream execution is still
+    producing blocks."""
+    return fan_out_pieces(split_by_key, stream_block_refs(ds), num_parts,
                           args=(key, num_parts))
 
 

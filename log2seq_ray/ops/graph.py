@@ -403,7 +403,8 @@ def triangle_counts(pairs, a_col: str = "id_a", b_col: str = "id_b",
 
     num_parts = _auto_parts(num_parts)
     edges = symmetrize_pairs(pairs, a_col, b_col)
-    per_part = fan_out_pieces(split_by_key, edges.to_arrow_refs(),
+    from .exchange import stream_block_refs
+    per_part = fan_out_pieces(split_by_key, stream_block_refs(edges),
                               num_parts, args=("src", num_parts))
     dega = ray.remote(num_returns=2)(_tc_deg_partition)
     deg_refs, edge_refs = zip(*[dega.remote(p) for p in per_part])
@@ -561,7 +562,8 @@ def kcore(pairs, k: int = 2, rounds: int = 4,
 
     num_parts = _auto_parts(num_parts)
     edges = symmetrize_pairs(pairs, a_col, b_col)
-    per_part = fan_out_pieces(split_by_key, edges.to_arrow_refs(),
+    from .exchange import stream_block_refs
+    per_part = fan_out_pieces(split_by_key, stream_block_refs(edges),
                               num_parts, args=("src", num_parts))
     edge_task = ray.remote(_kc_edge_partition)
     edge_refs = [edge_task.remote(p) for p in per_part]
