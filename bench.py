@@ -337,6 +337,12 @@ def run_benchmarks() -> dict:
               lambda: Q.q_mirror_clusters(SF_DIR).to_pandas())
         timed("kcore_sim", lambda: Q.q_kcore_sim(SF_DIR).to_pandas())
         timed("typo_pairs", lambda: Q.q_typo_pairs(SF_DIR).to_pandas())
+        timed("novelty_scores",
+              lambda: Q.q_novelty_scores(SF_DIR).count())
+        timed("cohort_retention",
+              lambda: Q.q_cohort_retention(SF_DIR).to_pandas())
+        timed("markov_transitions",
+              lambda: Q.q_markov_transitions(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop
