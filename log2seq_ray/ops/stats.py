@@ -685,3 +685,63 @@ def dense_counts(ds, key: str, ts_col: str = "ts", unit: str = "hour",
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_exchange(partials, key, _dense_fill_partition, num_parts,
                          fn_args=(key, unit_us))
+
+
+def _mad_partition(group_col, value_col, pieces):
+    """All groups of one partition: median by segment pick, then the
+    median of |v - med| (same sorted-segment machinery) — both from ONE
+    exchange, since MAD needs the group's values resident anyway."""
+    from .exchange import concat_typed
+    t = concat_typed(pieces, group_col, value_col)
+    if t is None:
+        return pa.table({})
+    t = t.filter(_finite_mask(t.column(value_col)))
+    gcol = t.column(group_col)
+    gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) \
+        else gcol
+    empty = pa.table({group_col: pa.array([], type=gcol.type),
+                      "n": pa.array([], type=pa.int64()),
+                      "med": pa.array([], type=pa.float64()),
+                      "mad": pa.array([], type=pa.float64())})
+    if t.num_rows == 0:
+        return empty
+    enc = pc.dictionary_encode(gcol)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    vals = np.asarray(t.column(value_col).to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
+    order = np.lexsort((vals, codes))
+    k, v = codes[order], vals[order]
+    starts = np.ones(len(k), dtype=bool)
+    starts[1:] = k[1:] != k[:-1]
+    sidx = np.flatnonzero(starts)
+    m = np.diff(np.append(sidx, len(k)))
+    med = v[sidx + _disc_index(m, 0.5)]
+    dev = np.abs(v - np.repeat(med, m))
+    order2 = np.lexsort((dev, k))
+    d = dev[order2]
+    mad = d[sidx + _disc_index(m, 0.5)]
+    return pa.table({
+        group_col: enc.dictionary.take(pa.array(k[sidx])),
+        "n": pa.array(m, type=pa.int64()),
+        "med": pa.array(med, type=pa.float64()),
+        "mad": pa.array(mad, type=pa.float64())})
+
+
+def group_mad_stats(ds, group_col: str, value_col: str,
+                    num_parts: int = 16):
+    """Robust per-group location/scale: exact discrete median and MAD
+    (median absolute deviation), the outlier-resistant alternative to
+    mean/std for anomaly thresholds (x is anomalous if
+    |x - med| > k * mad). Both statistics are ELEMENT PICKS (DuckDB
+    ``quantile_disc`` convention) over deterministic float64 ops, so
+    the SQL oracle matches bit-for-bit — no summation-order drift.
+
+    Scale shape: one (group, value) hash exchange — a group's exact
+    median needs its values together by definition; the second pass
+    (deviations) reuses the resident partition, so MAD costs no extra
+    shuffle; output is O(groups)."""
+    from .exchange import hash_exchange
+    pairs = ds.map_batches(
+        lambda b: b.select([group_col, value_col]), batch_format="pyarrow")
+    return hash_exchange(pairs, group_col, _mad_partition, num_parts,
+                         fn_args=(group_col, value_col))

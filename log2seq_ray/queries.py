@@ -4209,3 +4209,141 @@ ORACLE_SQL["markov_transitions"] = """
            CAST((c.n * 1000000) // t.n_from AS BIGINT) AS p_ppm
     FROM c JOIN t USING (ev_from)
 """
+
+
+def q_value_mad(sf_dir: str):
+    """Robust per-type location/scale (median + MAD) for anomaly
+    thresholds — element-pick exact, one exchange for both stats."""
+    from .ops.stats import group_mad_stats
+    return group_mad_stats(_events(sf_dir, ["event_type", "value"]),
+                           "event_type", "value")
+
+
+QUERIES["value_mad"] = q_value_mad
+
+ORACLE_SQL["value_mad"] = """
+    WITH f AS (SELECT event_type, value FROM events
+               WHERE value IS NOT NULL AND isfinite(value)),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 quantile_disc(value, 0.5) AS med
+          FROM f GROUP BY event_type)
+    SELECT f.event_type, ANY_VALUE(m.n) AS n, ANY_VALUE(m.med) AS med,
+           quantile_disc(abs(f.value - m.med), 0.5) AS mad
+    FROM f JOIN m USING (event_type)
+    GROUP BY f.event_type
+"""
+
+
+def q_cluster_size_hist(sf_dir: str):
+    """Dup-cluster size distribution (the crawl-health report a dedup
+    pass is judged by): member counts per MinHash cluster, then
+    clusters per size. Both aggregations shuffle only count partials."""
+    from ray.data.aggregate import Sum
+
+    def csize(b: pa.Table) -> pa.Table:
+        g = b.select(["cluster_id"]).group_by(["cluster_id"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"cluster_id": g.column("cluster_id"),
+                         "p": pc.cast(g.column("count_all"), pa.int64())})
+
+    sizes = q_minhash_clusters(sf_dir) \
+        .map_batches(csize, batch_format="pyarrow") \
+        .groupby("cluster_id").aggregate(Sum("p", alias_name="sz"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.select(["sz"]).group_by(["sz"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"cluster_size": g.column("sz"),
+                         "hp": pc.cast(g.column("count_all"), pa.int64())})
+
+    return sizes.map_batches(hist, batch_format="pyarrow") \
+        .groupby("cluster_size").aggregate(Sum("hp",
+                                               alias_name="n_clusters"))
+
+
+QUERIES["cluster_size_hist"] = q_cluster_size_hist
+
+ORACLE_SQL["cluster_size_hist"] = f"""
+    SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM ({ORACLE_SQL["minhash_clusters"]}) GROUP BY cluster_id)
+    GROUP BY sz
+"""
+
+
+def q_langid_confusion(sf_dir: str):
+    """Language-ID quality report: confusion matrix of predicted vs
+    labeled language with per-cell counts — the acceptance gate before
+    trusting the classifier for routing. LangId actor pool + per-batch
+    (label, pred) count partials; one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from .ops.text import LangIdStage
+
+    preds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=actor_pool())
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang", "lang_pred"]) \
+            .group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "lang_pred": g.column("lang_pred"),
+                         "p": pc.cast(g.column("count_all"), pa.int64())})
+
+    return preds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "lang_pred"]).aggregate(Sum("p", alias_name="n"))
+
+
+QUERIES["langid_confusion"] = q_langid_confusion
+
+ORACLE_SQL["langid_confusion"] = f"""
+    SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN ({ORACLE_SQL["langid"]}) p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+"""
+
+
+def q_hourly_approx_users(sf_dir: str):
+    """Windowed cardinality sketch: approximate distinct users per hour
+    (deterministic-integer HLL, p=5) — the bounded-memory form of
+    hourly_users when the key space is too large to count exactly.
+    Register partials merge by MAX; no raw user ids cross the shuffle
+    after the per-batch partial."""
+    from .ops.sketch import approx_distinct
+
+    def hourly(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("ts")))
+        return pa.table({
+            "hour": pc.floor_temporal(
+                pc.cast(b.column("ts"), pa.timestamp("us")), unit="hour"),
+            "user_id": b.column("user_id")})
+
+    ds = _events(sf_dir, ["user_id", "ts"]).map_batches(
+        hourly, batch_format="pyarrow")
+    out = approx_distinct(ds, "hour", "user_id", p=5, estimator="int")
+    return out
+
+
+QUERIES["hourly_approx_users"] = q_hourly_approx_users
+
+ORACLE_SQL["hourly_approx_users"] = """
+    WITH h AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS hour,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE ts IS NOT NULL),
+    r AS (SELECT hour, h >> 55 AS idx,
+                 CASE WHEN (h & ((1::BIGINT << 55) - 1)) = 0 THEN 56
+                      ELSE 56 - length(bin(h & ((1::BIGINT << 55) - 1)))
+                 END AS rho
+          FROM h),
+    reg AS (SELECT hour, idx, MAX(rho) AS rho
+            FROM r GROUP BY hour, idx),
+    s AS (SELECT hour,
+                 (32 - COUNT(*)) * (1::BIGINT << 56)
+                     + SUM(1::BIGINT << (56 - rho)) AS sp
+          FROM reg GROUP BY hour)
+    SELECT hour, CAST((697::HUGEINT * 32 * 32 * (1::HUGEINT << 56))
+                      // (1000 * sp) AS BIGINT) AS n_approx
+    FROM s
+"""

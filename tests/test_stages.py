@@ -2975,3 +2975,33 @@ def test_markov_transitions_reference(ray_session):
     for _, r in got.iterrows():
         assert r["n_from"] == tot[r["ev_from"]]
         assert r["p_ppm"] == r["n"] * 1_000_000 // r["n_from"]
+
+
+def test_group_mad_stats_reference(ray_session):
+    """Median/MAD equal the sorted element-pick reference (DuckDB
+    quantile_disc convention: index ceil(q*n)-1); NaN and null values
+    excluded; single-value groups report mad 0."""
+    import ray.data as rd
+    from log2seq_ray.ops.stats import group_mad_stats
+    rng = np.random.default_rng(41)
+    n = 400
+    df = pd.DataFrame({"event_type": rng.choice(list("xyz"), n),
+                       "value": rng.normal(10, 5, n)})
+    df.loc[::23, "value"] = np.nan
+    df.loc[0, ["event_type", "value"]] = ["solo", 7.5]
+    out = group_mad_stats(rd.from_pandas(df).repartition(5),
+                          "event_type", "value", num_parts=4) \
+        .to_pandas().set_index("event_type")
+
+    def disc(a, q=0.5):
+        a = np.sort(a)
+        return a[int(np.ceil(q * len(a))) - 1 if len(a) > 1 else 0]
+
+    d = df.dropna(subset=["value"])
+    for g, sub in d.groupby("event_type"):
+        v = sub["value"].to_numpy()
+        med = disc(v)
+        assert out.loc[g, "n"] == len(v)
+        assert out.loc[g, "med"] == med
+        assert out.loc[g, "mad"] == disc(np.abs(v - med))
+    assert out.loc["solo", "mad"] == 0.0
