@@ -927,3 +927,81 @@ def edit1_pairs(ds, col: str = "token", max_len: int = 24,
     return unique_pairs(pairs, num_parts).map_batches(
         lambda b: b.rename_columns(["token_a", "token_b"]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# integer-weighted keyword search (IR top-k without float drift)
+# ---------------------------------------------------------------------------
+
+def keyword_search(ds, terms, k: int = 20, id_col: str = "doc_id",
+                   col: str = "text"):
+    """Top-``k`` documents for a bag-of-terms query, scored with
+    integer idf weights: ``score(d) = Σ_t tf(t, d) * (10^6 // df(t))``
+    — the tf-idf ranking shape with floor-division weights, so scores
+    are exact int64 sums (order-free, SQL-reproducible; float BM25
+    would drift with summation order). Ties break to the lower id.
+    Returns a pandas frame of (id, score), score > 0 only.
+
+    Scale shape: pass 1 streams the corpus once for the query terms'
+    document frequencies (per-batch presence partials; the shuffle
+    carries O(batches x |terms|) rows); the tiny weight table rides
+    into pass 2 as a closure; pass 2 scores per batch vectorized and
+    prunes to a local top-k, so the driver merges k x n_blocks rows —
+    no global sort."""
+    from ray.data.aggregate import Sum
+    term_list = sorted(set(terms))
+    tset = pa.array(term_list, type=pa.string())
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        flat = pc.list_flatten(toks)
+        n = len(b)
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        ti = np.asarray(pc.fill_null(pc.index_in(flat, value_set=tset),
+                                     -1).to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        sel = ti >= 0
+        if not sel.any():
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df_part": pa.array([], type=pa.int64())})
+        pair = row_of[sel] * len(term_list) + ti[sel]
+        uniq = np.unique(pair)          # presence, not tf
+        tidx = uniq % len(term_list)
+        u, c = np.unique(tidx, return_counts=True)
+        return pa.table({
+            "term": pa.array([term_list[i] for i in u], type=pa.string()),
+            "df_part": pa.array(c, type=pa.int64())})
+
+    df = ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_part", alias_name="df")) \
+        .to_pandas()
+    weights = {t: 1_000_000 // int(d)
+               for t, d in zip(df["term"], df["df"]) if d > 0}
+    w_arr = np.array([weights.get(t, 0) for t in term_list],
+                     dtype=np.int64)
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        flat = pc.list_flatten(toks)
+        n = len(b)
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        ti = np.asarray(pc.fill_null(pc.index_in(flat, value_set=tset),
+                                     -1).to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        sel = ti >= 0
+        score = np.zeros(n, dtype=np.int64)
+        if sel.any():
+            np.add.at(score, row_of[sel], w_arr[ti[sel]])
+        t = pa.table({id_col: pc.cast(b.column(id_col), pa.int64()),
+                      "score": pa.array(score, type=pa.int64())})
+        t = t.filter(pc.greater(t.column("score"), 0))
+        idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                            (id_col, "ascending")])
+        return t.take(idx.slice(0, k))
+
+    pdf = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    return pdf.sort_values(["score", id_col],
+                           ascending=[False, True]).head(k) \
+        .reset_index(drop=True)

@@ -4347,3 +4347,99 @@ ORACLE_SQL["hourly_approx_users"] = """
                       // (1000 * sp) AS BIGINT) AS n_approx
     FROM s
 """
+
+
+def q_keyword_search(sf_dir: str):
+    """Integer-idf keyword search: top-20 docs for a fixed bag-of-terms
+    query, score = sum tf * (10^6 // df) — exact int64, no float
+    summation drift. Two streaming passes (df, then score+local
+    top-k); no global sort."""
+    from .ops.text import keyword_search
+    return keyword_search(_docs(sf_dir, ["doc_id", "text"]),
+                          ["join", "hash", "customer", "slow"], k=20)
+
+
+QUERIES["keyword_search"] = q_keyword_search
+
+ORACLE_SQL["keyword_search"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents),
+    q AS (SELECT tk FROM (VALUES ('join'), ('hash'), ('customer'),
+                                 ('slow')) v(tk)),
+    tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok WHERE tk IN (SELECT tk FROM q) GROUP BY 1, 2),
+    df AS (SELECT tk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok WHERE tk IN (SELECT tk FROM q) GROUP BY tk)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.c * (1000000 // df.df)) AS BIGINT) AS score
+    FROM tf JOIN df USING (tk)
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id ASC LIMIT 20
+"""
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust anomaly counts: events with |value - median| > 3 * MAD
+    per type — the two-pass broadcast-back pattern (tiny per-group
+    stats ride into a streaming second pass; raw values never shuffle
+    twice)."""
+    from ray.data.aggregate import Sum
+
+    from .ops.stats import group_mad_stats
+
+    stats = group_mad_stats(_events(sf_dir, ["event_type", "value"]),
+                            "event_type", "value").to_pandas()
+    med = dict(zip(stats["event_type"], stats["med"]))
+    mad = dict(zip(stats["event_type"], stats["mad"]))
+    types = sorted(med)
+    tset = pa.array(types, type=pa.string())
+    med_arr = np.array([med[t] for t in types], dtype=np.float64)
+    mad_arr = np.array([mad[t] for t in types], dtype=np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        fin = pc.and_kleene(pc.is_valid(v), pc.is_finite(v))
+        t = b.filter(pc.fill_null(fin, False))
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "o": pa.array([], type=pa.int64()),
+                             "t": pa.array([], type=pa.int64())})
+        ti = np.asarray(pc.fill_null(pc.index_in(
+            t.column("event_type"), value_set=tset), -1)
+            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        vals = np.asarray(t.column("value").to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        out = np.abs(vals - med_arr[ti]) > 3.0 * mad_arr[ti]
+        n_out = np.zeros(len(types), dtype=np.int64)
+        n_tot = np.zeros(len(types), dtype=np.int64)
+        np.add.at(n_tot, ti, 1)
+        np.add.at(n_out, ti, out.astype(np.int64))
+        nz = n_tot > 0
+        return pa.table({
+            "event_type": tset.filter(pa.array(nz)),
+            "o": pa.array(n_out[nz], type=pa.int64()),
+            "t": pa.array(n_tot[nz], type=pa.int64())})
+
+    return _events(sf_dir, ["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("o", alias_name="n_outliers"),
+            Sum("t", alias_name="n_total"))
+
+
+QUERIES["mad_outliers"] = q_mad_outliers
+
+ORACLE_SQL["mad_outliers"] = """
+    WITH f AS (SELECT event_type, value FROM events
+               WHERE value IS NOT NULL AND isfinite(value)),
+    m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+          FROM f GROUP BY event_type),
+    m2 AS (SELECT f.event_type, ANY_VALUE(m.med) AS med,
+                  quantile_disc(abs(f.value - m.med), 0.5) AS mad
+           FROM f JOIN m USING (event_type) GROUP BY f.event_type)
+    SELECT f.event_type,
+           CAST(SUM(CASE WHEN abs(f.value - m2.med) > 3.0 * m2.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM f JOIN m2 USING (event_type)
+    GROUP BY f.event_type
+"""

@@ -3005,3 +3005,31 @@ def test_group_mad_stats_reference(ray_session):
         assert out.loc[g, "med"] == med
         assert out.loc[g, "mad"] == disc(np.abs(v - med))
     assert out.loc["solo", "mad"] == 0.0
+
+
+def test_keyword_search_reference(ray_session):
+    """Integer-idf scores equal the per-doc Counter reference; zero-hit
+    docs are excluded; ties break to the lower doc_id."""
+    import ray.data as rd
+    from collections import Counter
+    from log2seq_ray.ops.text import keyword_search
+    texts = ["join hash join", "hash", "slow join slow slow",
+             "nothing here", "customer join hash slow", ""]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    terms = ["join", "hash", "customer", "slow"]
+    out = keyword_search(rd.from_arrow(t).repartition(3), terms, k=10)
+    df = Counter()
+    for s in texts:
+        for w in set(s.split()):
+            if w in terms:
+                df[w] += 1
+    w = {t_: 1_000_000 // df[t_] for t_ in terms if df[t_]}
+    ref = []
+    for i, s in enumerate(texts):
+        c = Counter(x for x in s.split() if x in w)
+        score = sum(n * w[t_] for t_, n in c.items())
+        if score > 0:
+            ref.append((i, score))
+    ref.sort(key=lambda r: (-r[1], r[0]))
+    assert list(map(tuple, out[["doc_id", "score"]].values)) == ref
