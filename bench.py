@@ -343,6 +343,16 @@ def run_benchmarks() -> dict:
               lambda: Q.q_cohort_retention(SF_DIR).to_pandas())
         timed("markov_transitions",
               lambda: Q.q_markov_transitions(SF_DIR).to_pandas())
+        timed("value_mad", lambda: Q.q_value_mad(SF_DIR).to_pandas())
+        timed("cluster_size_hist",
+              lambda: Q.q_cluster_size_hist(SF_DIR).to_pandas())
+        timed("langid_confusion",
+              lambda: Q.q_langid_confusion(SF_DIR).to_pandas())
+        timed("hourly_approx_users",
+              lambda: Q.q_hourly_approx_users(SF_DIR))
+        timed("keyword_search", lambda: Q.q_keyword_search(SF_DIR))
+        timed("mad_outliers",
+              lambda: Q.q_mad_outliers(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop
