@@ -353,6 +353,12 @@ def run_benchmarks() -> dict:
         timed("keyword_search", lambda: Q.q_keyword_search(SF_DIR))
         timed("mad_outliers",
               lambda: Q.q_mad_outliers(SF_DIR).to_pandas())
+        timed("assign_sessions",
+              lambda: Q.q_assign_sessions(SF_DIR).count())
+        timed("cluster_top_terms",
+              lambda: Q.q_cluster_top_terms(SF_DIR).to_pandas())
+        timed("vec_quantize",
+              lambda: Q.q_vec_quantize(SF_DIR).count())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -760,3 +760,66 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     if survivors.count() == 0:
         return empty_ids
     return survivors.select_columns([id_col])
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization (int8 codes, global per-dimension min/max)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(ds, id_col: str = "vec_id",
+                        col: str = "embedding", levels: int = 255):
+    """Scalar quantization of an embedding column to integer codes:
+    ``code = floor((v - min_d) * levels / (max_d - min_d))`` clamped to
+    [0, levels], with the per-DIMENSION min/max taken over the whole
+    corpus — the storage-shrink step before an IVF/PQ index (float32 →
+    1 byte/dim at levels=255). Constant dimensions code to 0. All float
+    ops are deterministic IEEE doubles with a fixed expression shape,
+    so the SQL oracle matches bit-for-bit. Returns exploded
+    (id, dim, code) rows (dim 1-based).
+
+    Scale shape: pass 1 reduces per-batch (dim, min, max) partials —
+    d rows per batch — through one tiny groupby; the d-row scale table
+    rides into pass 2 as a closure and codes stream out per batch."""
+    from ray.data.aggregate import Max, Min
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"dim": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        X = _to_matrix(b.column(col))
+        d = X.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1), type=pa.int64()),
+            "mn": pa.array(X.min(axis=0), type=pa.float64()),
+            "mx": pa.array(X.max(axis=0), type=pa.float64())})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(Min("mn", alias_name="mn"),
+                                  Max("mx", alias_name="mx")) \
+        .to_pandas().sort_values("dim")
+    mn = mm["mn"].to_numpy(dtype=np.float64)
+    mx = mm["mx"].to_numpy(dtype=np.float64)
+    span = mx - mn
+
+    def codes(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "code": pa.array([], type=pa.int64())})
+        X = _to_matrix(b.column(col))
+        n, d = X.shape
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.floor((X - mn) * float(levels) / span)
+        c = np.where(span > 0, c, 0.0)
+        c = np.clip(c, 0, levels).astype(np.int64)
+        ids = np.repeat(np.asarray(pc.cast(b.column(id_col), pa.int64())
+                                   .to_numpy(zero_copy_only=False),
+                                   dtype=np.int64), d)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), n),
+                            type=pa.int64()),
+            "code": pa.array(c.ravel(), type=pa.int64())})
+
+    return ds.map_batches(codes, batch_format="pyarrow")

@@ -729,3 +729,64 @@ def markov_transitions(ds, key: str = "user_id", ts_col: str = "ts",
 
     return big.repartition(1).map_batches(
         normalize, batch_format="pyarrow", batch_size=None)
+
+
+def _assign_partition(key: str, ts_col: str, id_col: str, gap_sec: int,
+                      pieces) -> pa.Table:
+    """One key partition of ``assign_sessions``: the sessionize sort +
+    boundary mask, then a per-key cumulative sum of boundaries gives
+    each EVENT its 1-based session number."""
+    from .exchange import concat_typed
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      key: pa.array([], type=pa.int64()),
+                      "session_no": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, ts_col, id_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    t = t.filter(pc.is_valid(t.column(ts_col)))
+    if t.num_rows == 0:
+        return empty
+    ts = np.asarray(pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                            pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    kcol = t.column(key).combine_chunks() \
+        if isinstance(t.column(key), pa.ChunkedArray) else t.column(key)
+    codes = np.asarray(pc.dictionary_encode(kcol).indices, dtype=np.int64)
+    order = np.lexsort((ts, codes))
+    k, s = codes[order], ts[order]
+    n = len(k)
+    new_key = np.ones(n, dtype=bool)
+    new_key[1:] = k[1:] != k[:-1]
+    gap = np.empty(n, dtype=np.int64)
+    gap[0] = _GAP_SENTINEL
+    gap[1:] = s[1:] - s[:-1]
+    brk = (new_key | (gap > gap_sec * 1_000_000)).astype(np.int64)
+    cum = np.cumsum(brk)
+    # per-key session_no: subtract the cumulative count BEFORE the key
+    key_start = np.maximum.accumulate(
+        np.where(new_key, np.arange(n), 0))
+    session_no = cum - (cum[key_start] - brk[key_start])  # 1-based
+    sel = pa.array(order)
+    return pa.table({
+        id_col: t.column(id_col).take(sel),
+        key: t.column(key).take(sel),
+        "session_no": pa.array(session_no, type=pa.int64())})
+
+
+def assign_sessions(ds, key: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", gap_sec: int = 1800,
+                    num_parts: int = 16):
+    """Per-EVENT session assignment: every event gets its key's 1-based
+    ``session_no`` under the same gap rule as ``sessionize`` — the
+    enrichment form (downstream joins events to their session) rather
+    than the aggregate form. Equal-timestamp ties never split a
+    session, so the assignment is order-stable. Null timestamps drop.
+
+    Scale shape: identical to sessionize — one narrow (id, key, ts)
+    exchange, one lexsort + boundary cumsum per partition; output is
+    one row per event and streams as a Dataset."""
+    from .exchange import hash_exchange
+    narrow = ds.map_batches(lambda b: b.select([id_col, key, ts_col]),
+                            batch_format="pyarrow")
+    return hash_exchange(narrow, key, _assign_partition, num_parts,
+                         fn_args=(key, ts_col, id_col, gap_sec))

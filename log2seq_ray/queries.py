@@ -4443,3 +4443,127 @@ ORACLE_SQL["mad_outliers"] = """
     FROM f JOIN m2 USING (event_type)
     GROUP BY f.event_type
 """
+
+
+def q_assign_sessions(sf_dir: str):
+    """Per-event session numbers (1800s gap, sessionize's rule) — the
+    enrichment join key for session-level features."""
+    from .ops.windows import assign_sessions
+    return assign_sessions(_events(sf_dir, ["event_id", "user_id", "ts"]))
+
+
+QUERIES["assign_sessions"] = q_assign_sessions
+
+ORACLE_SQL["assign_sessions"] = """
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE ts IS NOT NULL),
+    x AS (SELECT event_id, user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                           OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+    FROM x
+"""
+
+
+def q_cluster_top_terms(sf_dir: str):
+    """Cluster labeling: the top-3 tokens by total count across each
+    MinHash dup-cluster's members (count desc, token asc) — the
+    human-readable tag for a dedup report. Composition: exploded
+    per-doc token counts hash-JOIN the cluster map on doc_id (both
+    sides corpus-sized), (cluster, token) partial sums, then the
+    pruned top-k-per-group exchange."""
+    from ray.data.aggregate import Sum
+
+    from .ops.asof import top_k_per_group
+    from .ops.join import hash_join
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        from .ops.text import _token_lists
+        toks = _token_lists(b.column("text"))
+        n = len(b)
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        ids = np.repeat(
+            np.asarray(pc.cast(b.column("doc_id"), pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64),
+            counts)
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "token": pc.list_flatten(toks)})
+        g = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "token": g.column("token"),
+                         "c": pc.cast(g.column("count_all"), pa.int64())})
+
+    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tok_counts, batch_format="pyarrow")
+    joined = hash_join(q_minhash_clusters(sf_dir), toks,
+                       "doc_id", "doc_id",
+                       left_cols=["doc_id", "cluster_id"],
+                       right_cols=["doc_id", "token", "c"])
+    per_ct = joined.map_batches(
+        lambda b: pa.table({
+            "cluster_id": b.column("cluster_id"),
+            "token": b.column("token"),
+            "c": b.column("c")}).group_by(["cluster_id", "token"])
+        .aggregate([("c", "sum")]).rename_columns(
+            ["cluster_id", "token", "p"]),
+        batch_format="pyarrow") \
+        .groupby(["cluster_id", "token"]).aggregate(Sum("p",
+                                                        alias_name="n"))
+    return top_k_per_group(per_ct, "cluster_id", "n", k=3,
+                           descending=True, tiebreak="token")
+
+
+QUERIES["cluster_top_terms"] = q_cluster_top_terms
+
+ORACLE_SQL["cluster_top_terms"] = f"""
+    WITH C AS ({ORACLE_SQL["minhash_clusters"]}),
+    tc AS (SELECT doc_id, tk AS token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents)
+           GROUP BY doc_id, tk),
+    ct AS (SELECT C.cluster_id, tc.token,
+                  CAST(SUM(tc.c) AS BIGINT) AS n
+           FROM C JOIN tc USING (doc_id)
+           GROUP BY C.cluster_id, tc.token),
+    r AS (SELECT cluster_id, token, n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                         ORDER BY n DESC, token ASC)
+                      AS BIGINT) AS "rank"
+          FROM ct)
+    SELECT cluster_id, token, n, "rank" FROM r WHERE "rank" <= 3
+"""
+
+
+def q_vec_quantize(sf_dir: str):
+    """Scalar int8 quantization of the embeddings table (exploded
+    (vec_id, dim, code) rows): corpus per-dim min/max partials, then a
+    streaming code pass — float32 → 1 byte/dim before indexing."""
+    import ray.data as rd
+
+    from .ops.similarity import quantize_embeddings
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return quantize_embeddings(emb, levels=255)
+
+
+QUERIES["vec_quantize"] = q_vec_quantize
+
+# identical expression shape: ((v - mn) * 255) / (mx - mn), floor,
+# clamp, constant dims -> 0; dims 1-based
+ORACLE_SQL["vec_quantize"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, emb[i] AS v
+          FROM e, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS i)),
+    mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY dim)
+    SELECT x.vec_id, x.dim,
+           CAST(CASE WHEN mm.mx > mm.mn THEN
+                    least(greatest(floor((x.v - mm.mn) * 255.0
+                                         / (mm.mx - mm.mn)), 0), 255)
+                ELSE 0 END AS BIGINT) AS code
+    FROM x JOIN mm USING (dim)
+"""

@@ -3033,3 +3033,67 @@ def test_keyword_search_reference(ray_session):
             ref.append((i, score))
     ref.sort(key=lambda r: (-r[1], r[0]))
     assert list(map(tuple, out[["doc_id", "score"]].values)) == ref
+
+
+def test_assign_sessions_reference(ray_session):
+    """Per-event session numbers equal the pandas LAG reference: 1-based
+    per key, a new session iff the gap to the previous event exceeds
+    gap_sec; equal-timestamp ties share a session; null ts dropped;
+    partitioning (1 vs 4) never changes the assignment."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import assign_sessions
+    rng = np.random.default_rng(3)
+    n = 500
+    ts = pd.Timestamp("2025-06-01") \
+        + pd.to_timedelta(rng.integers(0, 48 * 3600, n), unit="s")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 15, n),
+        "ts": ts})
+    df.loc[::41, "ts"] = pd.NaT
+    # exact-tie pair: same user, same ts, different ids
+    df.loc[7, ["user_id", "ts"]] = df.loc[8, ["user_id", "ts"]] = \
+        [4, pd.Timestamp("2025-06-01 05:00")]
+    d = df.dropna(subset=["ts"]).sort_values(["user_id", "ts", "event_id"])
+    prev = d.groupby("user_id")["ts"].shift()
+    brk = prev.isna() | ((d["ts"] - prev) > pd.Timedelta(seconds=1800))
+    ref = dict(zip(d["event_id"],
+                   brk.astype(int).groupby(d["user_id"]).cumsum()))
+    for parts in (1, 4):
+        out = assign_sessions(rd.from_pandas(df).repartition(5),
+                              gap_sec=1800, num_parts=parts).to_pandas()
+        assert len(out) == len(ref)
+        got = dict(zip(out["event_id"], out["session_no"]))
+        assert got == ref
+    # the tie pair shares a session
+    assert got[7] == got[8]
+
+
+def test_quantize_embeddings_reference(ray_session):
+    """Int codes equal the numpy reference floor((v-mn)*L/(mx-mn)) with
+    global per-dimension min/max; constant dimensions code to 0; min
+    codes to 0 and max to L; partitioning never changes codes."""
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import quantize_embeddings
+    rng = np.random.default_rng(9)
+    n, d = 80, 6
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    X[:, 2] = 1.5                      # constant dim
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": [row.tolist() for row in X]})
+    Xd = X.astype(np.float64)
+    mn, mx = Xd.min(axis=0), Xd.max(axis=0)
+    span = mx - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ref = np.floor((Xd - mn) * 255.0 / span)
+    ref = np.clip(np.where(span > 0, ref, 0.0), 0, 255).astype(np.int64)
+    for parts in (1, 5):
+        out = quantize_embeddings(
+            rd.from_arrow(t).repartition(parts), levels=255) \
+            .to_pandas().sort_values(["vec_id", "dim"])
+        got = out["code"].to_numpy().reshape(n, d)
+        assert (got == ref).all()
+    assert (got[:, 2] == 0).all()
+    for j in (0, 1, 3):
+        col = got[:, j]
+        assert col.min() == 0 and col.max() == 255
