@@ -359,6 +359,12 @@ def run_benchmarks() -> dict:
               lambda: Q.q_cluster_top_terms(SF_DIR).to_pandas())
         timed("vec_quantize",
               lambda: Q.q_vec_quantize(SF_DIR).count())
+        timed("bm25_search", lambda: Q.q_bm25_search(SF_DIR))
+        timed("token_budget_sample",
+              lambda: Q.q_token_budget_sample(SF_DIR).count())
+        timed("dedup_lines", lambda: Q.q_dedup_lines(SF_DIR).count())
+        timed("leakage_safe_split",
+              lambda: Q.q_leakage_safe_split(SF_DIR).count())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -1489,3 +1489,76 @@ def novelty_scores(ds, window: int = 4, id_col: str = "doc_id",
     return partials.groupby(id_col).aggregate(
         Sum("ng_part", alias_name="n_grams"),
         Sum("nv_part", alias_name="n_novel"))
+
+
+def _budget_partition(group_col: str, id_col: str, budget: int,
+                      pieces) -> pa.Table:
+    """One group partition of :func:`token_budget_sample`: lexsort by
+    (group, md5, id), exclusive segmented cumsum of token counts, keep
+    iff the budget was not exhausted before the doc."""
+    import hashlib
+    from .exchange import concat_typed
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      group_col: pa.array([], type=pa.string()),
+                      "n_tokens": pa.array([], type=pa.int64()),
+                      "cum_before": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, group_col, id_col, "n_tokens")
+    if t is None or t.num_rows == 0:
+        return empty
+    ids = np.asarray(pc.cast(t.column(id_col), pa.int64())
+                     .to_numpy(zero_copy_only=False), dtype=np.int64)
+    h = np.array([hashlib.md5(str(v).encode()).hexdigest()
+                  for v in ids.tolist()])
+    gcol = t.column(group_col)
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    codes = np.asarray(pc.dictionary_encode(gcol).indices, dtype=np.int64)
+    n_tok = np.asarray(pc.cast(t.column("n_tokens"), pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((ids, h, codes))
+    g, v = codes[order], n_tok[order]
+    cum = np.cumsum(v)
+    new_g = np.ones(len(g), dtype=bool)
+    new_g[1:] = g[1:] != g[:-1]
+    start = np.maximum.accumulate(np.where(new_g, np.arange(len(g)), 0))
+    before = cum - v - np.where(new_g, 0, (cum - v)[start])
+    before[new_g] = 0
+    keep = before < budget
+    sel = pa.array(order[keep])
+    return pa.table({
+        id_col: t.column(id_col).take(sel),
+        group_col: t.column(group_col).take(sel),
+        "n_tokens": t.column("n_tokens").take(sel),
+        "cum_before": pa.array(before[keep], type=pa.int64())})
+
+
+def token_budget_sample(ds, budget: int, group_col: str = "lang",
+                        id_col: str = "doc_id", col: str = "text",
+                        num_parts: int = 16):
+    """Deterministic per-group token-budget sampling: within each group,
+    documents are taken in md5(id) order (tie id) until the group's
+    cumulative token count reaches ``budget`` — a doc is kept iff the
+    budget was not already exhausted BEFORE it (so the crossing doc is
+    kept and each nonempty group keeps at least one). The "give me N
+    training tokens per domain" primitive: reproducible across runs and
+    partitionings, unlike seeded sampling.
+
+    Scale shape: one streaming pass reduces each doc to a narrow
+    (group, id, n_tokens) row; ONE group-keyed exchange; per-partition
+    lexsort + segmented exclusive cumsum. Only sampled rows return, as
+    a Dataset of (id, group, n_tokens, cum_before)."""
+    from .exchange import hash_exchange
+    from .text import _token_lists
+
+    def narrow(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            group_col: b.column(group_col),
+            "n_tokens": pa.array(
+                np.diff(np.asarray(toks.offsets, dtype=np.int64)),
+                type=pa.int64())})
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow")
+    return hash_exchange(rows, group_col, _budget_partition, num_parts,
+                         fn_args=(group_col, id_col, int(budget)))

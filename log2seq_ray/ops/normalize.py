@@ -286,3 +286,43 @@ def remove_boilerplate_lines(ds, id_col: str, col: str = "text",
         })
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def dedup_lines_within_doc(batch: pa.Table, col: str = "text",
+                           sep: str = "\n") -> pa.Table:
+    """Remove repeated lines WITHIN each document, keeping the first
+    occurrence in original order (intra-doc repetition removal — nav
+    chrome repeated mid-page, boilerplate paragraphs pasted twice; the
+    cross-doc analogue is ``remove_boilerplate_lines``). Null text →
+    empty string. Purely per-batch: splits, first-occurrence masks and
+    rejoins are one vectorized pass — no shuffle, streams at any scale.
+
+    Returns the batch with ``col`` replaced and an ``n_dropped`` int64
+    column (lines removed per doc)."""
+    text = batch.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lists = pc.split_pattern(pc.fill_null(text, ""), pattern=sep)
+    flat = pc.list_flatten(lists)
+    counts = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    n = len(batch)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    codes = np.asarray(pc.dictionary_encode(flat).indices, dtype=np.int64)
+    pos = np.arange(len(codes), dtype=np.int64)
+    order = np.lexsort((pos, codes, rows))
+    rs, cs = rows[order], codes[order]
+    first = np.ones(len(cs), dtype=bool)
+    first[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+    keep = np.zeros(len(cs), dtype=bool)
+    keep[order] = first
+    kept_counts = np.bincount(rows[keep], minlength=n).astype(np.int64) \
+        if len(rows) else np.zeros(n, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(kept_counts, out=offsets[1:])
+    kept_lists = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        flat.take(pa.array(np.flatnonzero(keep))))
+    out = batch.set_column(batch.schema.get_field_index(col), col,
+                           pc.binary_join(kept_lists, sep))
+    return out.append_column(
+        "n_dropped", pa.array(counts - kept_counts, type=pa.int64()))

@@ -1005,3 +1005,99 @@ def keyword_search(ds, terms, k: int = 20, id_col: str = "doc_id",
     return pdf.sort_values(["score", id_col],
                            ascending=[False, True]).head(k) \
         .reset_index(drop=True)
+
+
+def bm25_search(ds, terms, k: int = 20, id_col: str = "doc_id",
+                col: str = "text"):
+    """Top-``k`` documents for a bag-of-terms query under a fixed-point
+    integer BM25 (k1 = 1.2, b = 0.75):
+
+        idf(t)   = 10^6 // df(t)                      (floor division)
+        norm(d)  = (len(d) * 1000) // max(avgdl, 1)   (per-mille ratio)
+        s(t, d)  = (22000 * idf * tf) //
+                   (10000 * tf + 3000 + 9 * norm)     (per-term floor)
+        score(d) = Σ_t s(t, d)
+
+    — the BM25 saturation/length-normalization shape with every float
+    replaced by a floor division, so scores are exact int64 sums
+    (order-free, SQL-reproducible; true float BM25 would drift with
+    summation order). Ties break to the lower id. Returns a pandas
+    frame of (id, score), score > 0 only.
+
+    Scale shape: pass 1 streams the corpus once for the query terms'
+    document frequencies PLUS the corpus doc/token totals (two sentinel
+    rows per batch ride the same tiny groupby); the weight table and
+    avgdl enter pass 2 as a closure; pass 2 scores per batch vectorized
+    and prunes to a local top-k, so the driver merges k × n_blocks rows
+    — no global sort."""
+    from ray.data.aggregate import Sum
+    term_list = sorted(set(terms))
+    T = len(term_list)
+    tset = pa.array(term_list, type=pa.string())
+    _N, _LEN = "\x00n_docs", "\x00n_tokens"
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        flat = pc.list_flatten(toks)
+        n = len(b)
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        ti = np.asarray(pc.fill_null(pc.index_in(flat, value_set=tset),
+                                     -1).to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        sel = ti >= 0
+        names, vals = [_N, _LEN], [n, int(counts.sum())]
+        if sel.any():
+            uniq = np.unique(row_of[sel] * T + ti[sel])   # presence
+            u, c = np.unique(uniq % T, return_counts=True)
+            names += [term_list[i] for i in u]
+            vals += c.tolist()
+        return pa.table({"term": pa.array(names, type=pa.string()),
+                         "df_part": pa.array(vals, type=pa.int64())})
+
+    stats = ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_part", alias_name="df")) \
+        .to_pandas()
+    lookup = dict(zip(stats["term"], stats["df"]))
+    n_docs = int(lookup.pop(_N, 0))
+    tot_len = int(lookup.pop(_LEN, 0))
+    if n_docs == 0:
+        import pandas as pd
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
+    avgdl = max(tot_len // n_docs, 1)
+    w_arr = np.array([1_000_000 // int(lookup[t])
+                      if lookup.get(t, 0) > 0 else 0
+                      for t in term_list], dtype=np.int64)
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        flat = pc.list_flatten(toks)
+        n = len(b)
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        norm = counts * 1000 // avgdl
+        ti = np.asarray(pc.fill_null(pc.index_in(flat, value_set=tset),
+                                     -1).to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        sel = ti >= 0
+        score = np.zeros(n, dtype=np.int64)
+        if sel.any():
+            pair, tf = np.unique(row_of[sel] * T + ti[sel],
+                                 return_counts=True)
+            rows, tidx = pair // T, pair % T
+            tf = tf.astype(np.int64)
+            s = (22000 * w_arr[tidx] * tf) \
+                // (10000 * tf + 3000 + 9 * norm[rows])
+            np.add.at(score, rows, s)
+        t = pa.table({id_col: pc.cast(b.column(id_col), pa.int64()),
+                      "score": pa.array(score, type=pa.int64())})
+        t = t.filter(pc.greater(t.column("score"), 0))
+        idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                            (id_col, "ascending")])
+        return t.take(idx.slice(0, k))
+
+    pdf = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    return pdf.sort_values(["score", id_col],
+                           ascending=[False, True]).head(k) \
+        .reset_index(drop=True)

@@ -4567,3 +4567,178 @@ ORACLE_SQL["vec_quantize"] = """
                 ELSE 0 END AS BIGINT) AS code
     FROM x JOIN mm USING (dim)
 """
+
+
+def q_bm25_search(sf_dir: str):
+    """Fixed-point integer BM25 (k1=1.2, b=0.75 as exact floor-division
+    arithmetic): top-20 docs for the same bag-of-terms query as
+    keyword_search, now with tf saturation + length normalization.
+    Two streaming passes; no global sort."""
+    from .ops.text import bm25_search
+    return bm25_search(_docs(sf_dir, ["doc_id", "text"]),
+                       ["join", "hash", "customer", "slow"], k=20)
+
+
+QUERIES["bm25_search"] = q_bm25_search
+
+# identical fixed-point shape: idf = 10^6 // df, norm = len*1000 //
+# max(avgdl, 1), per-term floor-divided saturation, integer sum
+ORACLE_SQL["bm25_search"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS tk FROM documents),
+    dl AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS dl
+           FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS tot_len FROM dl),
+    q AS (SELECT tk FROM (VALUES ('join'), ('hash'), ('customer'),
+                                 ('slow')) v(tk)),
+    tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE tk IN (SELECT tk FROM q) GROUP BY 1, 2),
+    df AS (SELECT tk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok WHERE tk IN (SELECT tk FROM q) GROUP BY tk),
+    s AS (SELECT tf.doc_id,
+                 SUM((22000 * (1000000 // df.df) * tf.tf) //
+                     (10000 * tf.tf + 3000 +
+                      9 * ((dl.dl * 1000) //
+                           GREATEST(tot.tot_len // tot.n_docs, 1))))
+                     AS score
+          FROM tf JOIN df USING (tk) JOIN dl USING (doc_id)
+          CROSS JOIN tot
+          GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+    WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_token_budget_sample(sf_dir: str):
+    """Deterministic 2000-tokens-per-language sample: docs taken in
+    md5(doc_id) order per lang until the budget is exhausted (the
+    crossing doc kept) — the 'N training tokens per domain' primitive."""
+    from .ops.curation import token_budget_sample
+    return token_budget_sample(
+        _docs(sf_dir, ["doc_id", "lang", "text"]), budget=2000,
+        group_col="lang")
+
+
+QUERIES["token_budget_sample"] = q_token_budget_sample
+
+ORACLE_SQL["token_budget_sample"] = f"""
+    WITH L AS (SELECT lang, doc_id,
+                      CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    O AS (SELECT lang, doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS cum_before
+          FROM L)
+    SELECT doc_id, lang, n_tokens, cum_before FROM O
+    WHERE cum_before < 2000
+"""
+
+
+def _multiline(b: pa.Table) -> pa.Table:
+    """Deterministic multi-line view of documents (the corpus has no
+    newlines): lines of 8 tokens joined by \\n, plus a REPEAT of the
+    first line appended for even doc_ids — the planted intra-doc dup."""
+    from .ops.text import _token_lists
+    toks = _token_lists(b.column("text"))
+    counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+    max_lines = int((counts.max() + 7) // 8) if len(counts) else 0
+    body = pc.binary_join(pc.list_slice(toks, 0, 8), " ")
+    for j in range(1, max_lines):
+        line = pc.binary_join(pc.list_slice(toks, 8 * j, 8 * j + 8), " ")
+        has = pa.array(counts > 8 * j)
+        body = pc.if_else(has, pc.binary_join_element_wise(
+            body, line, "\n"), body)
+    first = pc.binary_join(pc.list_slice(toks, 0, 8), " ")
+    even = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)
+    body = pc.if_else(even, pc.binary_join_element_wise(
+        body, first, "\n"), body)
+    return pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                     "text": body})
+
+
+def q_dedup_lines(sf_dir: str):
+    """Intra-doc repeated-line removal over a deterministic multi-line
+    corpus view (even doc_ids carry a planted duplicate of their first
+    line): first occurrence kept in order, per-doc drop counts."""
+    from .ops.normalize import dedup_lines_within_doc
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(_multiline, batch_format="pyarrow") \
+        .map_batches(dedup_lines_within_doc, batch_format="pyarrow")
+
+
+QUERIES["dedup_lines"] = q_dedup_lines
+
+ORACLE_SQL["dedup_lines"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    M AS (SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                     array_to_string(list_transform(
+                         range(1, len(t) + 1, 8),
+                         i -> array_to_string(t[i:i+7], ' ')), chr(10))
+                     || chr(10) || array_to_string(t[1:8], ' ')
+                 ELSE
+                     array_to_string(list_transform(
+                         range(1, len(t) + 1, 8),
+                         i -> array_to_string(t[i:i+7], ' ')), chr(10))
+                 END AS txt
+          FROM T),
+    S AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM M),
+    L AS (SELECT doc_id, unnest(ls) AS line,
+                 CAST(generate_subscripts(ls, 1) AS BIGINT) AS pos
+          FROM S),
+    K AS (SELECT doc_id, line, pos,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, line
+                                    ORDER BY pos) AS rn
+          FROM L)
+    SELECT doc_id,
+           string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                      ORDER BY pos) AS text,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+    FROM K GROUP BY doc_id
+"""
+
+
+def q_leakage_safe_split(sf_dir: str):
+    """Near-dup-aware train/val split: every doc in a MinHash dup
+    cluster splits by its CLUSTER id (min member), singletons by their
+    own id — all copies of a near-duplicate land on the same side, so
+    the val set never leaks into train. Composition: docs LEFT
+    hash-join the cluster map, then a streaming md5-mod label pass."""
+    import hashlib
+
+    from .ops.join import hash_join
+
+    joined = hash_join(_docs(sf_dir, ["doc_id"]),
+                       q_minhash_clusters(sf_dir), "doc_id", "doc_id",
+                       how="left")
+
+    def label(b: pa.Table) -> pa.Table:
+        key = pc.coalesce(pc.cast(b.column("cluster_id"), pa.int64()),
+                          pc.cast(b.column("doc_id"), pa.int64()))
+        ks = key.to_numpy(zero_copy_only=False).tolist()
+        mod = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+             for v in ks), dtype=np.int64, count=len(ks))
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "split_key": key,
+            "split": pa.array(np.where(mod < 80, "train", "val"))})
+
+    return joined.map_batches(label, batch_format="pyarrow")
+
+
+QUERIES["leakage_safe_split"] = q_leakage_safe_split
+
+ORACLE_SQL["leakage_safe_split"] = f"""
+    WITH C AS ({ORACLE_SQL["minhash_clusters"]}),
+    D AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_key
+          FROM documents d LEFT JOIN C c USING (doc_id))
+    SELECT doc_id, CAST(split_key AS BIGINT) AS split_key,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)),
+                                          1, 8)) AS UBIGINT) % 100 < 80
+                THEN 'train' ELSE 'val' END AS split
+    FROM D
+"""

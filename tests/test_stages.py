@@ -3097,3 +3097,92 @@ def test_quantize_embeddings_reference(ray_session):
     for j in (0, 1, 3):
         col = got[:, j]
         assert col.min() == 0 and col.max() == 255
+
+
+def test_bm25_search_reference(ray_session):
+    """Fixed-point BM25 equals the per-doc Counter reference (idf =
+    10^6 // df, per-term floor-divided saturation, exact integer sums);
+    tf saturation: a doc repeating one term 50x must NOT scale 50x over
+    a single occurrence."""
+    import ray.data as rd
+    from collections import Counter
+    from log2seq_ray.ops.text import bm25_search
+    texts = ["join hash join", "hash", "slow join slow slow",
+             "nothing here", "customer join hash slow", "",
+             "join " * 50]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": [s.strip() for s in texts]})
+    terms = ["join", "hash", "customer", "slow"]
+    out = bm25_search(rd.from_arrow(t).repartition(3), terms, k=10)
+    lens = [len(s.split()) for s in texts]
+    n_docs, tot = len(texts), sum(lens)
+    avgdl = max(tot // n_docs, 1)
+    df = Counter()
+    for s in texts:
+        for w in set(s.split()):
+            if w in terms:
+                df[w] += 1
+    ref = []
+    for i, s in enumerate(texts):
+        c = Counter(x for x in s.split() if x in df)
+        norm = lens[i] * 1000 // avgdl
+        score = sum((22000 * (1_000_000 // df[w]) * tf)
+                    // (10000 * tf + 3000 + 9 * norm)
+                    for w, tf in c.items())
+        if score > 0:
+            ref.append((i, score))
+    ref.sort(key=lambda r: (-r[1], r[0]))
+    assert list(map(tuple, out[["doc_id", "score"]].values)) == ref
+    scores = dict(ref)
+    assert scores[6] < 10 * scores[0]      # saturation, not linear tf
+
+
+def test_token_budget_sample_reference(ray_session):
+    """Budget sampling equals the pandas reference: md5(id) order per
+    group, keep iff exclusive cumsum < budget (crossing doc kept, every
+    nonempty group keeps >= 1); partitioning never changes the set."""
+    import hashlib
+    import ray.data as rd
+    from log2seq_ray.ops.curation import token_budget_sample
+    rng = np.random.default_rng(5)
+    langs = rng.choice(["en", "de", "fr"], 60)
+    texts = [" ".join(["w"] * int(rng.integers(1, 30))) for _ in range(60)]
+    t = pa.table({"doc_id": pa.array(range(60), type=pa.int64()),
+                  "lang": langs, "text": texts})
+    df = pd.DataFrame({"doc_id": range(60), "lang": langs,
+                       "n": [len(s.split()) for s in texts]})
+    df["h"] = [hashlib.md5(str(i).encode()).hexdigest()
+               for i in df["doc_id"]]
+    df = df.sort_values(["lang", "h", "doc_id"])
+    df["cb"] = df.groupby("lang")["n"].cumsum() - df["n"]
+    ref = df[df["cb"] < 50]
+    for parts in (1, 4):
+        out = token_budget_sample(
+            rd.from_arrow(t).repartition(5), budget=50,
+            group_col="lang", num_parts=parts).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(ref["doc_id"])
+        got = dict(zip(out["doc_id"], out["cum_before"]))
+        assert got == dict(zip(ref["doc_id"], ref["cb"]))
+    assert set(out["lang"]) == {"en", "de", "fr"}
+
+
+def test_dedup_lines_within_doc_reference(ray_session):
+    """First-occurrence line dedup equals the per-row reference; null
+    text -> '', all-unique docs untouched, drop counts exact."""
+    from log2seq_ray.ops.normalize import dedup_lines_within_doc
+    texts = ["a\nb\na\nc\nb", "x\ny", "", None, "dup\ndup\ndup",
+             "one\n\ntwo\n\nthree"]
+    b = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    out = dedup_lines_within_doc(b)
+    got = out.column("text").to_pylist()
+    dropped = out.column("n_dropped").to_pylist()
+    for i, s in enumerate(texts):
+        lines = (s or "").split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        assert got[i] == "\n".join(kept)
+        assert dropped[i] == len(lines) - len(kept)
