@@ -365,6 +365,8 @@ def run_benchmarks() -> dict:
         timed("dedup_lines", lambda: Q.q_dedup_lines(SF_DIR).count())
         timed("leakage_safe_split",
               lambda: Q.q_leakage_safe_split(SF_DIR).count())
+        timed("collocations", lambda: Q.q_collocations(SF_DIR))
+        timed("pq_codes", lambda: Q.q_pq_codes(SF_DIR).count())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

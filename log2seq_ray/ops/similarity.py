@@ -823,3 +823,141 @@ def quantize_embeddings(ds, id_col: str = "vec_id",
             "code": pa.array(c.ravel(), type=pa.int64())})
 
     return ds.map_batches(codes, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (per-subspace Lloyd codebooks, exploded codes)
+# ---------------------------------------------------------------------------
+
+def _pq_subdims(d: int, m: int) -> np.ndarray:
+    """Subspace index of each dimension: ``sub(dim) = dim * m // d`` —
+    contiguous near-equal blocks, the same formula the SQL oracle uses."""
+    return np.arange(d, dtype=np.int64) * m // d
+
+
+class _PQPartialStage:
+    """Per-batch partials of one PQ Lloyd step: for every subspace,
+    assign each vector to its nearest codeword (squared L2 on the
+    subspace dims; init = ``vec_id % k``) and emit (sub, c, dim, val)
+    partial sums, with ``dim = -1`` carrying the member counts."""
+
+    def __init__(self, books_ref, m: int, k: int, id_col: str, col: str):
+        import ray
+        self.books = None if books_ref is None else ray.get(books_ref)
+        self.m, self.k = m, k
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _to_matrix(batch.column(self.col))
+        n, d = X.shape
+        sub_of = _pq_subdims(d, self.m)
+        ids = np.asarray(pc.cast(batch.column(self.id_col), pa.int64())
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        subs, cs, dims, vals = [], [], [], []
+        for s in range(self.m):
+            cols = np.flatnonzero(sub_of == s)
+            Xs = X[:, cols]
+            if self.books is None:
+                a = ids % self.k
+                cids = np.arange(self.k, dtype=np.int64)
+            else:
+                cids, C = self.books[s]
+                d2 = ((Xs[:, None, :] - C[None]) ** 2).sum(axis=2)
+                a = cids[np.argmin(d2, axis=1)]
+            for j, c in enumerate(cids):
+                mask = a == c
+                cnt = int(mask.sum())
+                if cnt == 0:
+                    continue
+                ssum = Xs[mask].sum(axis=0)
+                dloc = len(cols)
+                subs.append(np.full(dloc + 1, s, dtype=np.int64))
+                cs.append(np.full(dloc + 1, c, dtype=np.int64))
+                dims.append(np.concatenate(
+                    [np.arange(dloc, dtype=np.int64), [-1]]))
+                vals.append(np.concatenate([ssum, [float(cnt)]]))
+        if not subs:
+            return pa.table({"sub": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "val": pa.array([], type=pa.float64())})
+        return pa.table({
+            "sub": pa.array(np.concatenate(subs), type=pa.int64()),
+            "c": pa.array(np.concatenate(cs), type=pa.int64()),
+            "dim": pa.array(np.concatenate(dims), type=pa.int64()),
+            "val": pa.array(np.concatenate(vals), type=pa.float64())})
+
+
+def _pq_step(ds, books, m: int, k: int, id_col: str, col: str):
+    """One distributed PQ Lloyd step → per-subspace (cids, raw-mean
+    codebook matrix); emptied codewords dropped (rows sorted by id so
+    argmin ties resolve to the lowest — SQL ROW_NUMBER parity)."""
+    import ray
+    ref = ray.put(books) if books is not None else None
+    partials = ds.map_batches(
+        _PQPartialStage,
+        fn_constructor_kwargs=dict(books_ref=ref, m=m, k=k,
+                                   id_col=id_col, col=col),
+        batch_format="pyarrow", batch_size=16384,
+        concurrency=actor_pool()).to_pandas()
+    out = []
+    for s in range(m):
+        p = partials[partials["sub"] == s]
+        agg = p.groupby(["c", "dim"], sort=True)["val"].sum()
+        counts = agg.xs(-1, level="dim")
+        cids = np.asarray(counts.index[counts.to_numpy() > 0],
+                          dtype=np.int64)
+        sums = agg.drop(index=-1, level="dim").unstack()
+        C = sums.loc[cids].to_numpy() / counts.loc[cids].to_numpy()[:, None]
+        out.append((cids, C))
+    return out
+
+
+class _PQAssignStage:
+    def __init__(self, books_ref, m: int, id_col: str, col: str):
+        import ray
+        b = books_ref
+        self.books = b if isinstance(b, list) else ray.get(b)
+        self.m, self.id_col, self.col = m, id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _to_matrix(batch.column(self.col))
+        n, d = X.shape
+        sub_of = _pq_subdims(d, self.m)
+        ids = pc.cast(batch.column(self.id_col), pa.int64())
+        outs = []
+        for s, (cids, C) in enumerate(self.books):
+            Xs = X[:, np.flatnonzero(sub_of == s)]
+            d2 = ((Xs[:, None, :] - C[None]) ** 2).sum(axis=2)
+            code = cids[np.argmin(d2, axis=1)]
+            outs.append(pa.table({
+                self.id_col: ids,
+                "subspace": pa.array(np.full(n, s, dtype=np.int64)),
+                "code": pa.array(code, type=pa.int64())}))
+        return pa.concat_tables(outs)
+
+
+def pq_codes(ds, m: int = 2, k: int = 4, iters: int = 1,
+             id_col: str = "vec_id", col: str = "embedding"):
+    """Product quantization (Jégou et al., TPAMI 2011): split each
+    vector into ``m`` contiguous subspaces (``sub(dim) = dim·m // d``)
+    and Lloyd-train a ``k``-codeword codebook per subspace on the RAW
+    (unnormalized) coordinates — squared-L2 assignment, ``vec_id % k``
+    init, ``iters`` updates, emptied codewords dropped. Returns
+    exploded (id, subspace, code) rows: the log₂k·m-bit compressed
+    representation an IVF-PQ index stores per vector.
+
+    Scale shape: identical to :func:`kmeans_assign` — every training
+    step is one ``map_batches`` pass shipping m·k×(d/m+1) partial sums
+    (vectors never shuffle), the trained codebooks broadcast once via
+    ``ray.put``, and the code pass streams."""
+    import ray
+    books = None
+    for _ in range(iters + 1):
+        books = _pq_step(ds, books, m, k, id_col, col)
+    ref = ray.put(books)
+    return ds.map_batches(
+        _PQAssignStage,
+        fn_constructor_kwargs=dict(books_ref=ref, m=m, id_col=id_col,
+                                   col=col),
+        batch_format="pyarrow", concurrency=actor_pool())

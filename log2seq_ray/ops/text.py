@@ -1101,3 +1101,94 @@ def bm25_search(ds, terms, k: int = 20, id_col: str = "doc_id",
     return pdf.sort_values(["score", id_col],
                            ascending=[False, True]).head(k) \
         .reset_index(drop=True)
+
+
+def collocation_pairs(ds, min_count: int = 5, k: int = 25,
+                      col: str = "text"):
+    """Top-``k`` collocations (adjacent token pairs) ranked by an
+    integer PMI-style association score:
+
+        score(a, b) = (c_ab² * 10^6) // (c_a * c_b)
+
+    — monotone in p(ab)²/(p(a)p(b)) at fixed corpus size (the
+    squared-PMI / Dice-family collocation measure) with every float
+    replaced by one floor division, so ranking is SQL-reproducible.
+    Pairs below ``min_count`` bigram occurrences are pruned first
+    (the standard noise floor). Ties break (token_a, token_b) asc.
+    Returns pandas (token_a, token_b, c_ab, score).
+
+    Scale shape: bigram and unigram count partials pre-aggregate per
+    batch before their two narrow groupbys; the pruned bigram table
+    joins unigram counts through the distributed ``hash_join`` twice
+    (vocabulary-sized sides never collect on the driver); per-batch
+    local top-k bounds the driver merge at k × n_blocks. int64 bound:
+    c_ab² * 10^6 caps c_ab at ~3·10^6 — beyond that (a 100-TB corpus)
+    drop the score scale to 10^3 or pre-shard the corpus."""
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        flat = pc.list_flatten(toks)
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        adj = np.flatnonzero(rows[1:] == rows[:-1])
+        if len(adj) == 0:
+            return pa.table({"ta": pa.array([], type=pa.string()),
+                             "tb": pa.array([], type=pa.string()),
+                             "n_part": pa.array([], type=pa.int64())})
+        t = pa.table({"ta": flat.take(pa.array(adj)),
+                      "tb": flat.take(pa.array(adj + 1))})
+        g = t.group_by(["ta", "tb"]).aggregate([([], "count_all")])
+        return pa.table({"ta": g.column("ta"), "tb": g.column("tb"),
+                         "n_part": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    def unigram_partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_token_lists(b.column(col)))
+        g = pa.table({"token": flat}).group_by(["token"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"token": g.column("token"),
+                         "c_part": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    bi = ds.map_batches(bigram_partial, batch_format="pyarrow") \
+        .groupby(["ta", "tb"]).aggregate(Sum("n_part", alias_name="c_ab")) \
+        .filter(expr=f"c_ab >= {int(min_count)}")
+    uni = ds.map_batches(unigram_partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("c_part", alias_name="cu"))
+
+    j1 = hash_join(bi, uni, "ta", "token") \
+        .map_batches(lambda b: pa.table({
+            "ta": b.column("ta"), "tb": b.column("tb"),
+            "c_ab": b.column("c_ab"), "ca": b.column("cu")}),
+            batch_format="pyarrow")
+    j2 = hash_join(j1, uni, "tb", "token")
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"token_a": pa.array([], type=pa.string()),
+                             "token_b": pa.array([], type=pa.string()),
+                             "c_ab": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.int64())})
+        c_ab = np.asarray(b.column("c_ab").to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        ca = np.asarray(b.column("ca").to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        cb = np.asarray(b.column("cu").to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        t = pa.table({"token_a": b.column("ta"),
+                      "token_b": b.column("tb"),
+                      "c_ab": pa.array(c_ab, type=pa.int64()),
+                      "score": pa.array(c_ab * c_ab * 1_000_000
+                                        // (ca * cb), type=pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                            ("token_a", "ascending"),
+                                            ("token_b", "ascending")])
+        return t.take(idx.slice(0, k))
+
+    pdf = j2.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    return pdf.sort_values(["score", "token_a", "token_b"],
+                           ascending=[False, True, True]).head(k) \
+        .reset_index(drop=True)

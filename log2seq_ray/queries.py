@@ -4742,3 +4742,83 @@ ORACLE_SQL["leakage_safe_split"] = f"""
                 THEN 'train' ELSE 'val' END AS split
     FROM D
 """
+
+
+def q_collocations(sf_dir: str):
+    """Top-25 collocations by integer squared-PMI score
+    (c_ab² · 10^6 // (c_a · c_b), bigrams with ≥5 occurrences) —
+    the phrase-mining signal for tokenizer/vocab curation."""
+    from .ops.text import collocation_pairs
+    return collocation_pairs(_docs(sf_dir, ["text"]), min_count=5, k=25)
+
+
+QUERIES["collocations"] = q_collocations
+
+ORACLE_SQL["collocations"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tk,
+                   CAST(generate_subscripts(t, 1) AS BIGINT) AS pos
+            FROM T),
+    bi AS (SELECT tk AS ta,
+                  LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS tb
+           FROM tok),
+    bc AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM bi WHERE tb IS NOT NULL
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    uni AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+            GROUP BY tk)
+    SELECT bc.ta AS token_a, bc.tb AS token_b, bc.c_ab,
+           CAST((bc.c_ab * bc.c_ab * 1000000) // (ua.c * ub.c)
+                AS BIGINT) AS score
+    FROM bc JOIN uni ua ON ua.tk = bc.ta
+            JOIN uni ub ON ub.tk = bc.tb
+    ORDER BY score DESC, token_a ASC, token_b ASC LIMIT 25
+"""
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codes (m=2 subspaces × k=4 codewords, one
+    Lloyd update): the compressed per-vector representation an IVF-PQ
+    index stores — 4 bits here vs 32 floats."""
+    import ray.data as rd
+
+    from .ops.similarity import pq_codes
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return pq_codes(emb, m=2, k=4, iters=1)
+
+
+QUERIES["pq_codes"] = q_pq_codes
+
+# same shape as the kmeans oracle, per subspace: id%k init on RAW
+# coords, squared-L2 assignment (ties -> lowest code), one update
+ORACLE_SQL["pq_codes"] = """
+    WITH E AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                      CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                          - 1 AS dim,
+                      CAST(len(embedding) AS BIGINT) AS d
+               FROM embeddings),
+    X AS (SELECT vec_id, v, dim, (dim * 2) // d AS sub FROM E),
+    C0 AS (SELECT sub, vec_id % 4 AS c, dim, AVG(v) AS mv
+           FROM X GROUP BY 1, 2, 3),
+    S1 AS (SELECT x.vec_id, x.sub, c0.c,
+                  SUM(power(x.v - c0.mv, 2)) AS d2
+           FROM X x JOIN C0 c0 ON c0.sub = x.sub AND c0.dim = x.dim
+           GROUP BY 1, 2, 3),
+    A1 AS (SELECT vec_id, sub, c FROM (
+             SELECT vec_id, sub, c, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
+             FROM S1) WHERE rn = 1),
+    C1 AS (SELECT x.sub, a.c, x.dim, AVG(x.v) AS mv
+           FROM X x JOIN A1 a ON a.vec_id = x.vec_id AND a.sub = x.sub
+           GROUP BY 1, 2, 3),
+    S2 AS (SELECT x.vec_id, x.sub, c1.c,
+                  SUM(power(x.v - c1.mv, 2)) AS d2
+           FROM X x JOIN C1 c1 ON c1.sub = x.sub AND c1.dim = x.dim
+           GROUP BY 1, 2, 3)
+    SELECT vec_id, CAST(sub AS BIGINT) AS subspace,
+           CAST(c AS BIGINT) AS code FROM (
+        SELECT vec_id, sub, c, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
+        FROM S2) WHERE rn = 1
+"""

@@ -3186,3 +3186,70 @@ def test_dedup_lines_within_doc_reference(ray_session):
                 kept.append(ln)
         assert got[i] == "\n".join(kept)
         assert dropped[i] == len(lines) - len(kept)
+
+
+def test_collocation_pairs_reference(ray_session):
+    """Integer squared-PMI collocations equal the Counter reference
+    (adjacent pairs within docs, min_count floor, token tie-breaks)."""
+    import ray.data as rd
+    from collections import Counter
+    from log2seq_ray.ops.text import collocation_pairs
+    rng = np.random.default_rng(2)
+    vocab = ["red", "blue", "fish", "old", "new", "car"]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(2, 20))))
+             for _ in range(40)] + ["red fish " * 10, "", "solo"]
+    t = pa.table({"text": texts})
+    out = collocation_pairs(rd.from_arrow(t).repartition(4),
+                            min_count=3, k=8)
+    uni, bi = Counter(), Counter()
+    for s in texts:
+        w = s.split()
+        uni.update(w)
+        bi.update(zip(w, w[1:]))
+    ref = [(a, b, c, c * c * 1_000_000 // (uni[a] * uni[b]))
+           for (a, b), c in bi.items() if c >= 3]
+    ref.sort(key=lambda r: (-r[3], r[0], r[1]))
+    got = list(map(tuple, out[["token_a", "token_b", "c_ab",
+                               "score"]].values))
+    assert got == ref[:8]
+
+
+def test_pq_codes_reference(ray_session):
+    """PQ codes equal a numpy reference (id%k init on raw coords,
+    squared-L2 Lloyd, contiguous sub(dim)=dim*m//d subspaces) at iters
+    0 and 2; codes per vector = m; partitioning never changes codes."""
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import pq_codes
+    rng = np.random.default_rng(13)
+    n, d, m, k = 120, 10, 2, 3
+    X = (rng.normal(size=(n, d))
+         + rng.integers(0, 3, n)[:, None] * 4.0).astype(np.float64)
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": [r.tolist() for r in X]})
+    sub_of = np.arange(d) * m // d
+
+    def ref_codes(iters):
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            Xs = X[:, sub_of == s]
+            a = np.arange(n, dtype=np.int64) % k
+            cids = np.arange(k, dtype=np.int64)
+            for _ in range(iters + 1):
+                keep = np.array([c for c in cids if (a == c).any()])
+                C = np.stack([Xs[a == c].sum(0) / (a == c).sum()
+                              for c in keep])
+                cids = keep
+                d2 = ((Xs[:, None, :] - C[None]) ** 2).sum(axis=2)
+                a = cids[np.argmin(d2, axis=1)]
+            codes[:, s] = a
+        return codes
+
+    for iters in (0, 2):
+        ref = ref_codes(iters)
+        for parts in (1, 4):
+            out = pq_codes(rd.from_arrow(t).repartition(parts),
+                           m=m, k=k, iters=iters).to_pandas() \
+                .sort_values(["vec_id", "subspace"])
+            assert len(out) == n * m
+            got = out["code"].to_numpy().reshape(n, m)
+            assert (got == ref).all()
