@@ -367,6 +367,11 @@ def run_benchmarks() -> dict:
               lambda: Q.q_leakage_safe_split(SF_DIR).count())
         timed("collocations", lambda: Q.q_collocations(SF_DIR))
         timed("pq_codes", lambda: Q.q_pq_codes(SF_DIR).count())
+        timed("pq_knn", lambda: Q.q_pq_knn(SF_DIR))
+        timed("trailing_outliers",
+              lambda: Q.q_trailing_outliers(SF_DIR).count())
+        timed("value_ranks_by_type",
+              lambda: Q.q_value_ranks_by_type(SF_DIR).count())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -952,12 +952,103 @@ def pq_codes(ds, m: int = 2, k: int = 4, iters: int = 1,
     (vectors never shuffle), the trained codebooks broadcast once via
     ``ray.put``, and the code pass streams."""
     import ray
-    books = None
-    for _ in range(iters + 1):
-        books = _pq_step(ds, books, m, k, id_col, col)
-    ref = ray.put(books)
+    ref = ray.put(pq_codebooks(ds, m, k, iters, id_col, col))
     return ds.map_batches(
         _PQAssignStage,
         fn_constructor_kwargs=dict(books_ref=ref, m=m, id_col=id_col,
                                    col=col),
         batch_format="pyarrow", concurrency=actor_pool())
+
+
+def pq_codebooks(ds, m: int, k: int, iters: int,
+                 id_col: str = "vec_id", col: str = "embedding"):
+    """The per-subspace (cids, codebook) list :func:`pq_codes` and
+    :func:`pq_knn` train against: init by ``vec_id % k`` + ``iters``
+    Lloyd updates, each one distributed partials pass."""
+    books = None
+    for _ in range(iters + 1):
+        books = _pq_step(ds, books, m, k, id_col, col)
+    return books
+
+
+class _PQKnnStage:
+    """Asymmetric-distance top-k: assign each corpus vector's subspace
+    codes, then its approximate distance to every query is ``Σ_s
+    DT[s][q, code_s]`` — two table lookups and one add per (query,
+    vector), never a full d-dim computation. Emits the batch-local
+    top-k rows per query."""
+
+    def __init__(self, payload_ref, m: int, kk: int, id_col: str,
+                 col: str):
+        import ray
+        p = payload_ref if isinstance(payload_ref, tuple) \
+            else ray.get(payload_ref)
+        self.q_ids, self.books, self.DT = p
+        self.m, self.k, self.id_col, self.col = m, kk, id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _to_matrix(batch.column(self.col))
+        n, d = X.shape
+        if n == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             self.id_col: pa.array([], type=pa.int64()),
+                             "ad": pa.array([], type=pa.float64())})
+        sub_of = _pq_subdims(d, self.m)
+        ids = np.asarray(pc.cast(batch.column(self.id_col), pa.int64())
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        ad = np.zeros((len(self.q_ids), n), dtype=np.float64)
+        for s, (cids, C) in enumerate(self.books):
+            Xs = X[:, np.flatnonzero(sub_of == s)]
+            d2 = ((Xs[:, None, :] - C[None]) ** 2).sum(axis=2)
+            pos = np.argmin(d2, axis=1)          # position into cids
+            ad += self.DT[s][:, pos]
+        out_q, out_v, out_d = [], [], []
+        kk = min(self.k, n)
+        for qi in range(len(self.q_ids)):
+            row = ad[qi]
+            part = np.lexsort((ids, row))[:kk]
+            out_q.append(np.full(kk, self.q_ids[qi], dtype=np.int64))
+            out_v.append(ids[part])
+            out_d.append(row[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            self.id_col: pa.array(np.concatenate(out_v), type=pa.int64()),
+            "ad": pa.array(np.concatenate(out_d), type=pa.float64())})
+
+
+def pq_knn(ds, queries, m: int = 2, k_code: int = 4, iters: int = 1,
+           k: int = 10, id_col: str = "vec_id", col: str = "embedding"):
+    """Approximate top-``k`` by PQ asymmetric distance (ADC): train
+    per-subspace codebooks, precompute each query's distance table to
+    every codeword (n_q × k_code per subspace), then a corpus vector's
+    approximate distance is ``Σ_s DT[s][code_s]`` — table lookups, not
+    d-dim arithmetic. The compressed-domain scan an IVF-PQ index runs
+    inside each probed cell. Ties break (distance asc, id asc).
+    Returns pandas (query_id, vec_id, rank).
+
+    Scale shape: codebooks + distance tables broadcast once via
+    ``ray.put``; each batch assigns codes and prunes to a local top-k,
+    so the driver merges k × n_q × n_blocks rows — no shuffle."""
+    import pandas as pd
+    import ray
+    q_ids, Q = queries
+    Q = np.asarray(Q, dtype=np.float64)
+    books = pq_codebooks(ds, m, k_code, iters, id_col, col)
+    d = Q.shape[1]
+    sub_of = _pq_subdims(d, m)
+    DT = [((Q[:, np.flatnonzero(sub_of == s)][:, None, :]
+            - C[None]) ** 2).sum(axis=2)
+          for s, (cids, C) in enumerate(books)]
+    ref = ray.put((np.asarray(q_ids, dtype=np.int64), books, DT))
+    cands = ds.map_batches(
+        _PQKnnStage,
+        fn_constructor_kwargs=dict(payload_ref=ref, m=m, kk=k,
+                                   id_col=id_col, col=col),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=actor_pool())
+    pdf = cands.to_pandas()
+    pdf = pdf.sort_values(["query_id", "ad", id_col],
+                          ascending=[True, True, True])
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    pdf = pdf[pdf["rank"] <= k].reset_index(drop=True)
+    return pdf[["query_id", id_col, "rank"]]

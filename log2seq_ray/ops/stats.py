@@ -745,3 +745,65 @@ def group_mad_stats(ds, group_col: str, value_col: str,
         lambda b: b.select([group_col, value_col]), batch_format="pyarrow")
     return hash_exchange(pairs, group_col, _mad_partition, num_parts,
                          fn_args=(group_col, value_col))
+
+
+def _rank_partition(group_col: str, val_col: str, id_col: str,
+                    pieces) -> pa.Table:
+    """One group partition of :func:`group_value_rank`: lexsort by
+    (group, value, id); a row's rank is its value-run start's offset
+    within the group segment (ties share a rank — RANK() semantics)."""
+    from .exchange import concat_typed
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      group_col: pa.array([], type=pa.string()),
+                      "rnk": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, group_col, val_col, id_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    valid = pc.is_valid(t.column(val_col))
+    if not pc.all(valid).as_py():
+        t = t.filter(valid)
+    if t.num_rows == 0:
+        return empty
+    v = np.asarray(t.column(val_col).to_numpy(zero_copy_only=False),
+                   dtype=np.float64)
+    ids = np.asarray(pc.cast(t.column(id_col), pa.int64())
+                     .to_numpy(zero_copy_only=False), dtype=np.int64)
+    gcol = t.column(group_col).combine_chunks() \
+        if isinstance(t.column(group_col), pa.ChunkedArray) \
+        else t.column(group_col)
+    codes = np.asarray(pc.dictionary_encode(gcol).indices, dtype=np.int64)
+    order = np.lexsort((ids, v, codes))
+    g, sv = codes[order], v[order]
+    n = len(g)
+    idx = np.arange(n, dtype=np.int64)
+    new_g = np.ones(n, dtype=bool)
+    new_g[1:] = g[1:] != g[:-1]
+    new_run = new_g.copy()
+    new_run[1:] |= sv[1:] != sv[:-1]
+    seg_start = np.maximum.accumulate(np.where(new_g, idx, 0))
+    run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+    rnk = run_start - seg_start
+    sel = pa.array(order)
+    return pa.table({id_col: t.column(id_col).take(sel),
+                     group_col: t.column(group_col).take(sel),
+                     "rnk": pa.array(rnk, type=pa.int64())})
+
+
+def group_value_rank(ds, group_col: str, val_col: str, id_col: str,
+                     num_parts: int = 16):
+    """Per-group value rank for EVERY row — ``RANK() OVER (PARTITION BY
+    group ORDER BY value) − 1`` (ties share a rank): the per-group
+    normalization step before quantile binning or difficulty-ordered
+    curriculum sampling. Null values drop. No arithmetic touches the
+    values (pure sort), so doubles rank engine-exactly.
+
+    Scale shape: ONE narrow (group, value, id) exchange; per partition
+    a single lexsort + two run-boundary scans — the global-rank analogue
+    of ``percentile_rank`` for when the distinct-value histogram
+    broadcast would be corpus-sized (continuous values)."""
+    from .exchange import hash_exchange
+    narrow = ds.map_batches(
+        lambda b: b.select([group_col, val_col, id_col]),
+        batch_format="pyarrow")
+    return hash_exchange(narrow, group_col, _rank_partition, num_parts,
+                         fn_args=(group_col, val_col, id_col))

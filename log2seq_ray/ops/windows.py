@@ -790,3 +790,85 @@ def assign_sessions(ds, key: str = "user_id", ts_col: str = "ts",
                             batch_format="pyarrow")
     return hash_exchange(narrow, key, _assign_partition, num_parts,
                          fn_args=(key, ts_col, id_col, gap_sec))
+
+
+def _zscore_partition(key: str, ts_col: str, id_col: str, val_col: str,
+                      window: int, min_n: int, z: int, pieces) -> pa.Table:
+    """One key partition of :func:`trailing_zscore_outliers`: the
+    trailing-sum layout of ``_trailing_partition`` over value AND
+    value², window EXCLUSIVE of the current row, then the integer
+    cross-multiplied test ``(m·x − S)² > z²·(m·SS − S²)``."""
+    from .exchange import concat_typed
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "trail_n": pa.array([], type=pa.int64()),
+                      "is_outlier": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, ts_col, id_col, val_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    valid = pc.is_valid(t.column(ts_col))
+    if not pc.all(valid).as_py():
+        t = t.filter(valid)
+    if t.num_rows == 0:
+        return empty
+    ts = np.asarray(pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                            pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    kcol = t.column(key).combine_chunks() \
+        if isinstance(t.column(key), pa.ChunkedArray) else t.column(key)
+    codes = np.asarray(pc.dictionary_encode(kcol).indices, dtype=np.int64)
+    # MILLI-units (not the micro convention): the test squares m·x, and
+    # micro² at window=20 overflows int64 — milli keeps every product
+    # under 2^63 for |value| <= 1e4 (documented contract)
+    x = np.floor(np.asarray(
+        pc.fill_null(t.column(val_col), 0.0).to_numpy(zero_copy_only=False),
+        dtype=np.float64) * 1e3).astype(np.int64)
+    order = np.lexsort((ids, ts, codes))
+    k, s_ids, s_x = codes[order], ids[order], x[order]
+    n = len(k)
+    new_key = np.ones(n, dtype=bool)
+    new_key[1:] = k[1:] != k[:-1]
+    starts = np.nonzero(new_key)[0]
+    seg = np.repeat(np.arange(len(starts)),
+                    np.diff(np.append(starts, n)))
+    idx = np.arange(n, dtype=np.int64)
+    lower = np.maximum(starts[seg], idx - window)
+    pre = np.concatenate([[np.int64(0)], np.cumsum(s_x)[:-1]])
+    pre2 = np.concatenate([[np.int64(0)], np.cumsum(s_x * s_x)[:-1]])
+    m = idx - lower
+    S = pre[idx] - pre[lower]
+    SS = pre2[idx] - pre2[lower]
+    test = m >= min_n
+    lhs = (m * s_x - S) ** 2
+    rhs = z * z * (m * SS - S * S)
+    return pa.table({
+        id_col: pa.array(s_ids[test]),
+        "trail_n": pa.array(m[test], type=pa.int64()),
+        "is_outlier": pa.array((lhs[test] > rhs[test]).astype(np.int64))})
+
+
+def trailing_zscore_outliers(ds, key: str = "user_id", ts_col: str = "ts",
+                             id_col: str = "event_id",
+                             val_col: str = "value", window: int = 20,
+                             min_n: int = 8, z: int = 3,
+                             num_parts: int = 16):
+    """Streaming per-key anomaly flags: an event is an outlier when its
+    value is more than ``z`` trailing standard deviations from the mean
+    of the PREVIOUS ``window`` events of its key (events with fewer
+    than ``min_n`` predecessors aren't testable and are excluded). The
+    σ-test is the integer cross-multiplication ``(m·x − S)² >
+    z²·(m·SS − S²)`` over milli-unit values — no float division, no
+    sqrt, so the flag is engine-exact and SQL-reproducible. Null
+    timestamps drop.
+
+    Scale shape: one narrow (key, ts, id, value) exchange; trailing
+    sums of x and x² are two cumsum lookups per row (the
+    ``trailing_totals`` layout) — never a per-row window rescan."""
+    from .exchange import hash_exchange
+    narrow = ds.map_batches(
+        lambda b: b.select([key, ts_col, id_col, val_col]),
+        batch_format="pyarrow")
+    return hash_exchange(narrow, key, _zscore_partition, num_parts,
+                         fn_args=(key, ts_col, id_col, val_col,
+                                  int(window), int(min_n), int(z)))

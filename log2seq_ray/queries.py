@@ -4822,3 +4822,112 @@ ORACLE_SQL["pq_codes"] = """
             PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
         FROM S2) WHERE rn = 1
 """
+
+
+def q_trailing_outliers(sf_dir: str):
+    """Streaming trailing-z-score anomaly flags: events > 3 trailing σ
+    from the mean of their user's previous 20 events (≥ 8 required) —
+    the integer cross-multiplied test, no float division or sqrt."""
+    from .ops.windows import trailing_zscore_outliers
+    return trailing_zscore_outliers(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+        window=20, min_n=8, z=3)
+
+
+QUERIES["trailing_outliers"] = q_trailing_outliers
+
+ORACLE_SQL["trailing_outliers"] = """
+    WITH V AS (SELECT event_id, user_id, ts,
+                      CAST(floor(value * 1000) AS BIGINT) AS x
+               FROM events WHERE ts IS NOT NULL),
+    W AS (SELECT event_id, x,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS m,
+                 CAST(COALESCE(SUM(x) OVER w, 0) AS BIGINT) AS s,
+                 CAST(COALESCE(SUM(x * x) OVER w, 0) AS BIGINT) AS ss
+          FROM V WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 20 PRECEDING
+                                       AND 1 PRECEDING))
+    SELECT event_id, m AS trail_n,
+           CAST(CASE WHEN (m * x - s) * (m * x - s)
+                          > 9 * (m * ss - s * s)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM W WHERE m >= 8
+"""
+
+
+def q_value_ranks_by_type(sf_dir: str):
+    """Per-type value rank of every event (RANK() − 1, ties shared) —
+    the per-group normalization for quantile binning; pure sort, so
+    continuous doubles rank engine-exactly."""
+    from .ops.stats import group_value_rank
+    return group_value_rank(
+        _events(sf_dir, ["event_id", "event_type", "value"]),
+        group_col="event_type", val_col="value", id_col="event_id")
+
+
+QUERIES["value_ranks_by_type"] = q_value_ranks_by_type
+
+ORACLE_SQL["value_ranks_by_type"] = """
+    SELECT event_id, event_type,
+           CAST(RANK() OVER (PARTITION BY event_type ORDER BY value)
+                - 1 AS BIGINT) AS rnk
+    FROM events WHERE value IS NOT NULL
+"""
+
+
+def q_pq_knn(sf_dir: str):
+    """Approximate top-10 by PQ asymmetric distance for the first 5
+    vectors: the compressed-domain scan (2 table lookups + 1 add per
+    candidate) an IVF-PQ index runs inside each probed cell."""
+    import ray.data as rd
+
+    from .ops.similarity import pq_knn, queries_from_dataset
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return pq_knn(emb, queries_from_dataset(emb, n_queries=5),
+                  m=2, k_code=4, iters=1, k=10)
+
+
+QUERIES["pq_knn"] = q_pq_knn
+
+# the pq_codes pipeline + per-query codeword distance tables + ADC rank
+ORACLE_SQL["pq_knn"] = """
+    WITH E AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                      CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                          - 1 AS dim,
+                      CAST(len(embedding) AS BIGINT) AS d
+               FROM embeddings),
+    X AS (SELECT vec_id, v, dim, (dim * 2) // d AS sub FROM E),
+    C0 AS (SELECT sub, vec_id % 4 AS c, dim, AVG(v) AS mv
+           FROM X GROUP BY 1, 2, 3),
+    S1 AS (SELECT x.vec_id, x.sub, c0.c,
+                  SUM(power(x.v - c0.mv, 2)) AS d2
+           FROM X x JOIN C0 c0 ON c0.sub = x.sub AND c0.dim = x.dim
+           GROUP BY 1, 2, 3),
+    A1 AS (SELECT vec_id, sub, c FROM (
+             SELECT vec_id, sub, c, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
+             FROM S1) WHERE rn = 1),
+    C1 AS (SELECT x.sub, a.c, x.dim, AVG(x.v) AS mv
+           FROM X x JOIN A1 a ON a.vec_id = x.vec_id AND a.sub = x.sub
+           GROUP BY 1, 2, 3),
+    S2 AS (SELECT x.vec_id, x.sub, c1.c,
+                  SUM(power(x.v - c1.mv, 2)) AS d2
+           FROM X x JOIN C1 c1 ON c1.sub = x.sub AND c1.dim = x.dim
+           GROUP BY 1, 2, 3),
+    CODES AS (SELECT vec_id, sub, c FROM (
+        SELECT vec_id, sub, c, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
+        FROM S2) WHERE rn = 1),
+    QD AS (SELECT x.vec_id AS qid, x.sub, c1.c,
+                  SUM(power(x.v - c1.mv, 2)) AS d2
+           FROM X x JOIN C1 c1 ON c1.sub = x.sub AND c1.dim = x.dim
+           WHERE x.vec_id < 5 GROUP BY 1, 2, 3),
+    AD AS (SELECT q.qid, cd.vec_id, SUM(q.d2) AS ad
+           FROM CODES cd JOIN QD q ON q.sub = cd.sub AND q.c = cd.c
+           GROUP BY 1, 2)
+    SELECT qid AS query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY ad ASC, vec_id ASC) AS rnk
+        FROM AD) WHERE rnk <= 10
+"""

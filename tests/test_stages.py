@@ -3253,3 +3253,101 @@ def test_pq_codes_reference(ray_session):
             assert len(out) == n * m
             got = out["code"].to_numpy().reshape(n, m)
             assert (got == ref).all()
+
+
+def test_trailing_zscore_outliers_reference(ray_session):
+    """Trailing-z flags equal the pandas rolling reference (previous-
+    window mean/std, milli-unit integer cross-multiplication, min_n
+    floor); a planted spike after a calm run must flag."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import trailing_zscore_outliers
+    rng = np.random.default_rng(21)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 6, n),
+        "ts": pd.Timestamp("2025-06-01")
+        + pd.to_timedelta(np.arange(n) * 60, unit="s"),
+        "value": rng.normal(100, 5, n).round(2)})
+    df.loc[df.index[-1], ["user_id", "value"]] = [0, 5000.0]  # spike
+    df.loc[::53, "ts"] = pd.NaT
+    out = trailing_zscore_outliers(
+        rd.from_pandas(df).repartition(5), window=10, min_n=4, z=3,
+        num_parts=4).to_pandas()
+    d = df.dropna(subset=["ts"]).sort_values(
+        ["user_id", "ts", "event_id"]).copy()
+    d["x"] = np.floor(d["value"].to_numpy() * 1000).astype(np.int64)
+    ref = {}
+    for _, sub in d.groupby("user_id"):
+        xs = sub["x"].to_numpy()
+        for i, eid in enumerate(sub["event_id"]):
+            lo = max(0, i - 10)
+            m = i - lo
+            if m < 4:
+                continue
+            w = xs[lo:i]
+            S, SS = int(w.sum()), int((w.astype(object) ** 2).sum())
+            x = int(xs[i])
+            ref[eid] = (m, int((m * x - S) ** 2 > 9 * (m * SS - S * S)))
+    got = {r.event_id: (r.trail_n, r.is_outlier)
+           for r in out.itertuples()}
+    assert got == ref
+    spike_id = int(df.index[-1])
+    assert got[spike_id][1] == 1
+
+
+def test_group_value_rank_reference(ray_session):
+    """Per-group rank equals pandas RANK()-1 (ties share, min method);
+    null values drop; num_parts never changes ranks."""
+    import ray.data as rd
+    from log2seq_ray.ops.stats import group_value_rank
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": rng.integers(0, 20, n).astype(float)})  # many ties
+    df.loc[::29, "value"] = np.nan
+    d = df.dropna(subset=["value"])
+    ref = dict(zip(d["event_id"],
+                   (d.groupby("event_type")["value"]
+                    .rank(method="min") - 1).astype(int)))
+    for parts in (1, 4):
+        out = group_value_rank(
+            rd.from_pandas(df).repartition(5), "event_type", "value",
+            "event_id", num_parts=parts).to_pandas()
+        assert dict(zip(out["event_id"], out["rnk"])) == ref
+
+
+def test_pq_knn_reference(ray_session):
+    """ADC top-k equals the numpy reference (same codebooks, distance
+    tables, tie-breaks). Note ADC distance is to the codeword
+    reconstruction, so same-code vectors tie and break by id — self
+    is NOT guaranteed rank 1."""
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import (pq_codebooks, pq_knn,
+                                            _pq_subdims)
+    rng = np.random.default_rng(23)
+    n, d, m, kc = 150, 8, 2, 3
+    X = (rng.normal(size=(n, d))
+         + rng.integers(0, 3, n)[:, None] * 6.0).astype(np.float64)
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": [r.tolist() for r in X]})
+    ds = rd.from_arrow(t).repartition(4)
+    q_ids = np.arange(3, dtype=np.int64)
+    Q = X[:3]
+    out = pq_knn(ds, (q_ids, Q), m=m, k_code=kc, iters=1, k=5)
+    books = pq_codebooks(ds, m, kc, 1)
+    sub_of = _pq_subdims(d, m)
+    ad = np.zeros((3, n))
+    for s, (cids, C) in enumerate(books):
+        Xs = X[:, sub_of == s]
+        codes = np.argmin(((Xs[:, None, :] - C[None]) ** 2).sum(2), axis=1)
+        DT = ((Q[:, sub_of == s][:, None, :] - C[None]) ** 2).sum(2)
+        ad += DT[:, codes]
+    ref = []
+    for qi in range(3):
+        order = np.lexsort((np.arange(n), ad[qi]))[:5]
+        ref += [(qi, int(v), r + 1) for r, v in enumerate(order)]
+    got = list(map(tuple, out[["query_id", "vec_id", "rank"]].values))
+    assert got == ref
