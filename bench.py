@@ -372,6 +372,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_trailing_outliers(SF_DIR).count())
         timed("value_ranks_by_type",
               lambda: Q.q_value_ranks_by_type(SF_DIR).count())
+        timed("cross_run_hll", lambda: Q.q_cross_run_hll(SF_DIR))
+        timed("bpe_merges", lambda: Q.q_bpe_merges(SF_DIR))
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -470,3 +470,65 @@ def kmv_overlap(ds, group_col: str, value_col: str,
                          n_inter * 1_000_000 // n_union if n_union else 0))
     return pd.DataFrame(rows, columns=[
         "grp_a", "grp_b", "n_union", "n_inter", "jaccard_ppm"])
+
+
+def ingest_hll_run(ds, state_dir: str, group_col: str, value_col: str,
+                   p: int = 5):
+    """Incremental cross-RUN approximate distinct counting — the
+    sketch-store shape of the ingest family: each run commits its own
+    per-(group, register) HLL max-partials (≤ groups × 2^p tiny rows)
+    under ``state_dir``; the returned per-group estimate covers ALL
+    committed runs plus this one. Register max-merge is exactly the HLL
+    union, so N runs estimate their union without ever re-reading the
+    raw data — the property that makes nightly distinct-user counts
+    O(sketch) instead of O(history). ``estimator='int'`` arithmetic
+    (SQL-reproducible); commit is write-to-temp + rename.
+
+    100 TB shape: the index stores 3-int rows per (group, register) per
+    run; reading N runs costs N × groups × 2^p rows regardless of how
+    many raw values the history saw."""
+    import os
+    import uuid
+
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    os.makedirs(state_dir, exist_ok=True)
+    runs = sorted(d for d in os.listdir(state_dir) if d.startswith("run_"))
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.select([group_col, value_col]).to_pandas()
+        out = []
+        for g, sub in df.groupby(group_col):
+            idx, rho = hll_rows(sub[value_col].tolist(), p)
+            t = pd.DataFrame({"idx": idx, "rho": rho}) \
+                .groupby("idx")["rho"].max()
+            for i, r in t.items():
+                out.append((g, int(i), int(r)))
+        return pd.DataFrame(out,
+                            columns=[group_col, "register", "partial"])
+
+    mine = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "register"]) \
+        .aggregate(Max("partial", alias_name="rho")).materialize()
+
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    os.makedirs(tmp, exist_ok=True)
+    mine.write_parquet(tmp)
+    final = f"{state_dir}/run_{len(runs):05d}"
+    os.rename(tmp, final)
+
+    files = [f"{state_dir}/run_{i:05d}/{f}"
+             for i in range(len(runs) + 1)
+             if os.path.isdir(f"{state_dir}/run_{i:05d}")
+             for f in sorted(os.listdir(f"{state_dir}/run_{i:05d}"))
+             if f.endswith(".parquet")]
+    merged = rd.read_parquet(files) \
+        .groupby([group_col, "register"]) \
+        .aggregate(Max("rho", alias_name="rho")).to_pandas()
+    rows = []
+    for g, sub in merged.groupby(group_col):
+        registers = dict(zip(sub["register"], sub["rho"]))
+        rows.append((g, int(hll_estimate_int(registers, p))))
+    return pd.DataFrame(rows, columns=[group_col, "n_approx"]) \
+        .sort_values(group_col).reset_index(drop=True)

@@ -1192,3 +1192,118 @@ def collocation_pairs(ds, min_count: int = 5, k: int = 25,
     return pdf.sort_values(["score", "token_a", "token_b"],
                            ascending=[False, True, True]).head(k) \
         .reset_index(drop=True)
+
+
+def _bpe_pair_partial(b: pa.Table) -> pa.Table:
+    """Weighted adjacent-symbol-pair counts of one vocab batch (pairs
+    overlap, fastBPE-style): one flatten + shift compare, group-by-pair
+    partial sums."""
+    syms = b.column("syms")
+    if isinstance(syms, pa.ChunkedArray):
+        syms = syms.combine_chunks()
+    flat = pc.list_flatten(syms)
+    counts = np.asarray(pc.list_value_length(syms), dtype=np.int64)
+    rows = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+    w = np.asarray(pc.cast(b.column("cnt"), pa.int64())
+                   .to_numpy(zero_copy_only=False), dtype=np.int64)
+    adj = np.flatnonzero(rows[1:] == rows[:-1])
+    if len(adj) == 0:
+        return pa.table({"l": pa.array([], type=pa.string()),
+                         "r": pa.array([], type=pa.string()),
+                         "n_part": pa.array([], type=pa.int64())})
+    t = pa.table({"l": flat.take(pa.array(adj)),
+                  "r": flat.take(pa.array(adj + 1)),
+                  "w": pa.array(w[rows[adj]], type=pa.int64())})
+    g = t.group_by(["l", "r"]).aggregate([("w", "sum")])
+    return g.rename_columns(["l", "r", "n_part"])
+
+
+def _bpe_merge_batch(b: pa.Table, a: str, c: str) -> pa.Table:
+    """Greedy left-to-right non-overlapping merge of symbol pair
+    (a, c) in every word of one vocab batch — in an equal-symbol run
+    (a == c) merges land on even offsets, exactly the SQL islands."""
+    syms = b.column("syms")
+    if isinstance(syms, pa.ChunkedArray):
+        syms = syms.combine_chunks()
+    flat = pc.list_flatten(syms)   # not .values: respects slice offsets
+    counts = np.asarray(pc.list_value_length(syms), dtype=np.int64)
+    rows = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+    vals = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+    n = len(vals)
+    m = np.zeros(n, dtype=bool)
+    if n > 1:
+        m[:-1] = (vals[:-1] == a) & (vals[1:] == c) \
+            & (rows[:-1] == rows[1:])
+    idx = np.arange(n)
+    run_start = m & ~np.concatenate([[False], m[:-1]])
+    rs = np.maximum.accumulate(np.where(run_start, idx, -1))
+    take = m & ((idx - rs) % 2 == 0)
+    drop = np.concatenate([[False], take[:-1]])
+    vals = vals.copy()
+    vals[take] = a + c
+    keep = ~drop
+    kept_counts = np.bincount(rows[keep], minlength=len(b)) \
+        .astype(np.int64)
+    offsets = np.zeros(len(b) + 1, dtype=np.int32)
+    np.cumsum(kept_counts, out=offsets[1:])
+    new_syms = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(vals[keep], type=pa.string()))
+    return pa.table({"word": b.column("word"), "cnt": b.column("cnt"),
+                     "syms": new_syms})
+
+
+def bpe_train(ds, n_merges: int = 6, col: str = "text"):
+    """Distributed BPE vocabulary training (Sennrich et al., ACL 2016):
+    learn ``n_merges`` merge rules over the corpus — each round picks
+    the adjacent symbol pair with the highest corpus-weighted count
+    (overlapping pairs counted, fastBPE-style; ties (left, right) asc)
+    and greedily rewrites every word. Returns the merge table
+    (merge_rank, sym_a, sym_b, n) — n is the pair count that won the
+    round, BEFORE its merge.
+
+    Scale shape: the corpus is touched ONCE (distributed word counts);
+    every round then runs over the DISTINCT-WORD vocab — the BPE
+    insight that makes tokenizer training O(vocab), not O(corpus).
+    Rounds are one pair-count partials pass (pre-aggregated per batch,
+    tiny (l, r) groupby) + one streaming rewrite, vocab re-materialized
+    per round so lineage stays flat. The char split is per distinct
+    word, never per corpus row."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def word_partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_token_lists(b.column(col)))
+        g = pa.table({"word": flat}).group_by(["word"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"word": g.column("word"),
+                         "c_part": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    def to_syms(b: pa.Table) -> pa.Table:
+        words = b.column("word").to_pylist()
+        return pa.table({
+            "word": b.column("word"), "cnt": b.column("cnt"),
+            "syms": pa.array([list(w) for w in words],
+                             type=pa.list_(pa.string()))})
+
+    vocab = ds.map_batches(word_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c_part", alias_name="cnt")) \
+        .map_batches(to_syms, batch_format="pyarrow").materialize()
+
+    merges = []
+    for k in range(n_merges):
+        pairs = vocab.map_batches(_bpe_pair_partial,
+                                  batch_format="pyarrow") \
+            .groupby(["l", "r"]).aggregate(Sum("n_part", alias_name="n")) \
+            .to_pandas()
+        if pairs.empty:
+            break
+        best = pairs.sort_values(["n", "l", "r"],
+                                 ascending=[False, True, True]).iloc[0]
+        merges.append((k + 1, best["l"], best["r"], int(best["n"])))
+        vocab = vocab.map_batches(
+            lambda b, a=best["l"], c=best["r"]: _bpe_merge_batch(b, a, c),
+            batch_format="pyarrow").materialize()
+    return pd.DataFrame(merges,
+                        columns=["merge_rank", "sym_a", "sym_b", "n"])

@@ -4931,3 +4931,108 @@ ORACLE_SQL["pq_knn"] = """
             PARTITION BY qid ORDER BY ad ASC, vec_id ASC) AS rnk
         FROM AD) WHERE rnk <= 10
 """
+
+
+def q_cross_run_hll(sf_dir: str):
+    """Two-run incremental distinct-user sketch: run A (even events)
+    commits its HLL registers, run B (odd events) merges against the
+    store — the union estimate over BOTH runs equals a single-pass HLL
+    over all events (register max-merge ≡ set union), which is what
+    the oracle computes."""
+    import os
+    import shutil
+
+    from .ops.sketch import ingest_hll_run
+
+    state = f"/tmp/l2sr_hll_ingest_{os.getpid()}"
+    shutil.rmtree(state, ignore_errors=True)
+    ev = _events(sf_dir, ["event_id", "event_type", "user_id"])
+    run_a = ev.map_batches(lambda b: parity_half(b, 0, "event_id"),
+                           batch_format="pyarrow")
+    run_b = ev.map_batches(lambda b: parity_half(b, 1, "event_id"),
+                           batch_format="pyarrow")
+    ingest_hll_run(run_a, state, "event_type", "user_id", p=5)
+    out = ingest_hll_run(run_b, state, "event_type", "user_id", p=5)
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
+QUERIES["cross_run_hll"] = q_cross_run_hll
+
+# union of the two runs' registers == registers of all events, so the
+# oracle is the single-pass integer HLL over the whole table
+ORACLE_SQL["cross_run_hll"] = ORACLE_SQL["approx_distinct"]
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training: the first 6 merge rules
+    learned over the documents corpus (corpus touched once for word
+    counts; every round runs over the distinct-word vocab)."""
+    from .ops.text import bpe_train
+    return bpe_train(_docs(sf_dir, ["text"]), n_merges=6)
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+
+
+def _bpe_round_sql(k: int) -> str:
+    """CTEs for BPE round ``k``: pair counts over R{k-1}, winning pair
+    M{k}, greedy islands rewrite into R{k} — the SQL twin of
+    ``ops.text._bpe_merge_batch``."""
+    p = k - 1
+    return f"""
+    P{k} AS (SELECT s.sym AS l, s.nxt AS r2,
+                    CAST(SUM(w.cnt) AS BIGINT) AS n
+             FROM (SELECT word, pos, sym, LEAD(sym) OVER
+                       (PARTITION BY word ORDER BY pos) AS nxt
+                   FROM R{p}) s
+             JOIN WC w USING (word)
+             WHERE s.nxt IS NOT NULL GROUP BY 1, 2),
+    M{k} AS (SELECT l, r2, n FROM P{k}
+             ORDER BY n DESC, l ASC, r2 ASC LIMIT 1),
+    X{k} AS (SELECT r.word, r.pos, r.sym,
+                    CASE WHEN r.sym = m.l AND r.nxt = m.r2
+                         THEN 1 ELSE 0 END AS mt
+             FROM (SELECT word, pos, sym, LEAD(sym) OVER
+                       (PARTITION BY word ORDER BY pos) AS nxt
+                   FROM R{p}) r CROSS JOIN M{k} m),
+    T{k} AS (SELECT word, pos, sym, mt,
+                    CASE WHEN mt = 1 AND (pos - MIN(pos) OVER
+                        (PARTITION BY word, mt, isl)) % 2 = 0
+                    THEN 1 ELSE 0 END AS tk
+             FROM (SELECT word, pos, sym, mt,
+                          pos - ROW_NUMBER() OVER
+                              (PARTITION BY word, mt ORDER BY pos) AS isl
+                   FROM X{k})),
+    R{k} AS (SELECT word,
+                    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+                        AS pos,
+                    CASE WHEN tk = 1 THEN sym || nxt ELSE sym END AS sym
+             FROM (SELECT word, pos, sym, tk,
+                          LEAD(sym) OVER (PARTITION BY word
+                                          ORDER BY pos) AS nxt,
+                          LAG(tk) OVER (PARTITION BY word
+                                        ORDER BY pos) AS ptk
+                   FROM T{k})
+             WHERE COALESCE(ptk, 0) = 0)"""
+
+
+def _bpe_sql(n_merges: int) -> str:
+    rounds = ",".join(_bpe_round_sql(k) for k in range(1, n_merges + 1))
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS sym_a, r2 AS sym_b, n FROM M{k}"
+        for k in range(1, n_merges + 1))
+    return f"""
+    WITH WC AS (SELECT tk AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest({_TOKENS}) AS tk FROM documents)
+                GROUP BY tk),
+    R0 AS (SELECT word, CAST(i AS BIGINT) AS pos, word[i] AS sym
+           FROM WC, LATERAL (SELECT unnest(range(1, length(word) + 1))
+                             AS i)),
+    {rounds}
+    SELECT CAST(merge_rank AS BIGINT) AS merge_rank, sym_a, sym_b, n
+    FROM ({finals})
+"""
+
+
+ORACLE_SQL["bpe_merges"] = _bpe_sql(6)

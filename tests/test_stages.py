@@ -3351,3 +3351,74 @@ def test_pq_knn_reference(ray_session):
         ref += [(qi, int(v), r + 1) for r, v in enumerate(order)]
     got = list(map(tuple, out[["query_id", "vec_id", "rank"]].values))
     assert got == ref
+
+
+def test_bpe_train_reference(ray_session):
+    """Learned merges equal a sequential reference BPE (overlapping
+    pair counts, greedy even-offset merge in equal-symbol runs, ties
+    (left, right) asc); partitioning never changes the rules."""
+    import ray.data as rd
+    from collections import Counter
+    from log2seq_ray.ops.text import bpe_train
+    texts = ["low low low lower lowest", "newer newer wider",
+             "aaaa aaaa banana", "low newer"]
+    t = pa.table({"text": texts})
+
+    def ref_bpe(n_merges):
+        wc = Counter(w for s in texts for w in s.split())
+        vocab = {w: list(w) for w in wc}
+        out = []
+        for k in range(n_merges):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += wc[w]
+            if not pairs:
+                break
+            (a, b), n = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            out.append((k + 1, a, b, n))
+            for w, syms in vocab.items():
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a \
+                            and syms[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                vocab[w] = new
+        return out
+
+    ref = ref_bpe(5)
+    for parts in (1, 3):
+        out = bpe_train(rd.from_arrow(t).repartition(parts), n_merges=5)
+        got = list(map(tuple, out[["merge_rank", "sym_a", "sym_b",
+                                   "n"]].values))
+        assert got == ref
+
+
+def test_ingest_hll_run_union(ray_session, tmp_path):
+    """Three-run HLL ingest: the estimate after run N equals a
+    single-pass HLL over the union of runs 1..N (register max-merge ≡
+    set union); a re-ingested duplicate run never changes it."""
+    import ray.data as rd
+    from log2seq_ray.ops.sketch import ingest_hll_run
+    from log2seq_ray.ops.sketch import approx_distinct
+    rng = np.random.default_rng(31)
+    frames = [pd.DataFrame({
+        "event_type": rng.choice(["a", "b"], 200),
+        "user_id": rng.integers(i * 50, i * 50 + 300, 200)})
+        for i in range(3)]
+    state = str(tmp_path / "hll")
+    for i in range(3):
+        out = ingest_hll_run(rd.from_pandas(frames[i]).repartition(3),
+                             state, "event_type", "user_id", p=5)
+        full = approx_distinct(
+            rd.from_pandas(pd.concat(frames[:i + 1])),
+            "event_type", "user_id", p=5, estimator="int")
+        assert out.values.tolist() == full.values.tolist()
+    again = ingest_hll_run(rd.from_pandas(frames[2]), state,
+                           "event_type", "user_id", p=5)
+    assert again.values.tolist() == out.values.tolist()
