@@ -374,6 +374,10 @@ def run_benchmarks() -> dict:
               lambda: Q.q_value_ranks_by_type(SF_DIR).count())
         timed("cross_run_hll", lambda: Q.q_cross_run_hll(SF_DIR))
         timed("bpe_merges", lambda: Q.q_bpe_merges(SF_DIR))
+        timed("cross_run_hist", lambda: Q.q_cross_run_hist(SF_DIR))
+        timed("late_events", lambda: Q.q_late_events(SF_DIR).count())
+        timed("dup_graph_stats",
+              lambda: Q.q_dup_graph_stats(SF_DIR).to_pandas())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

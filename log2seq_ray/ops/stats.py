@@ -807,3 +807,61 @@ def group_value_rank(ds, group_col: str, val_col: str, id_col: str,
         batch_format="pyarrow")
     return hash_exchange(narrow, group_col, _rank_partition, num_parts,
                          fn_args=(group_col, val_col, id_col))
+
+
+def ingest_hist_run(ds, state_dir: str, value_col: str, q: float = 0.5,
+                    scale: int = 100):
+    """Incremental cross-RUN quantile — the persisted-histogram member
+    of the ingest family: each run commits its integer-binned value
+    histogram (``floor(value * scale)``, the ``histogram_quantile``
+    contract) under ``state_dir``; the returned quantile covers ALL
+    committed runs plus this one. Bin counts merge by ADDITION, so N
+    runs estimate their union's quantile in O(range × scale) without
+    re-reading history; error ≤ the bin width. NaN/inf/null excluded.
+    Commit = temp+rename. Returns (bin, n_total) as a one-row pandas
+    frame."""
+    import os
+    import uuid
+
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    os.makedirs(state_dir, exist_ok=True)
+    runs = sorted(d for d in os.listdir(state_dir) if d.startswith("run_"))
+
+    def counts(b: pa.Table) -> pa.Table:
+        col = b.column(value_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        col = col.filter(_finite_mask(col))
+        bins = np.floor(np.asarray(col.to_numpy(zero_copy_only=False),
+                                   dtype=np.float64)
+                        * scale).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(u), "n_part": pa.array(c)})
+
+    mine = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n_part", alias_name="n")) \
+        .materialize()
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    os.makedirs(tmp, exist_ok=True)
+    mine.write_parquet(tmp)
+    os.rename(tmp, f"{state_dir}/run_{len(runs):05d}")
+
+    files = [f"{state_dir}/run_{i:05d}/{f}"
+             for i in range(len(runs) + 1)
+             if os.path.isdir(f"{state_dir}/run_{i:05d}")
+             for f in sorted(os.listdir(f"{state_dir}/run_{i:05d}"))
+             if f.endswith(".parquet")]
+    vc = rd.read_parquet(files).groupby("bin") \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if len(vc) == 0:
+        raise ValueError("ingest_hist_run: no finite values in history")
+    vc = vc.sort_values("bin")
+    n = int(vc["n"].sum())
+    idx = int(_disc_index(n, q))
+    pos = int(np.searchsorted(vc["n"].cumsum().to_numpy(), idx,
+                              side="right"))
+    return pd.DataFrame({"bin": [int(vc["bin"].iloc[pos])],
+                         "n_total": [n]})

@@ -872,3 +872,58 @@ def trailing_zscore_outliers(ds, key: str = "user_id", ts_col: str = "ts",
     return hash_exchange(narrow, key, _zscore_partition, num_parts,
                          fn_args=(key, ts_col, id_col, val_col,
                                   int(window), int(min_n), int(z)))
+
+
+def _late_partition(key: str, ts_col: str, id_col: str, tol_sec: int,
+                    pieces) -> pa.Table:
+    """One key partition of :func:`late_events`: per-key running max of
+    ts over PRIOR arrivals (id order), late iff it leads the event's
+    own ts by more than ``tol_sec``."""
+    import pandas as pd
+    from .exchange import concat_typed
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "is_late": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, ts_col, id_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    valid = pc.is_valid(t.column(ts_col))
+    if not pc.all(valid).as_py():
+        t = t.filter(valid)
+    if t.num_rows == 0:
+        return empty
+    ts = np.asarray(pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                            pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    ids = np.asarray(pc.cast(t.column(id_col), pa.int64())
+                     .to_numpy(zero_copy_only=False), dtype=np.int64)
+    kcol = t.column(key).combine_chunks() \
+        if isinstance(t.column(key), pa.ChunkedArray) else t.column(key)
+    codes = np.asarray(pc.dictionary_encode(kcol).indices, dtype=np.int64)
+    order = np.lexsort((ids, codes))
+    k, s_ids, s_ts = codes[order], ids[order], ts[order]
+    seg = np.cumsum(np.concatenate([[True], k[1:] != k[:-1]])) - 1
+    s = pd.Series(s_ts)
+    prev_max = s.groupby(seg).cummax().groupby(seg).shift()
+    late = (prev_max - s > tol_sec * 1_000_000).fillna(False)
+    return pa.table({
+        id_col: pa.array(s_ids),
+        "is_late": pa.array(late.to_numpy().astype(np.int64))})
+
+
+def late_events(ds, key: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", tol_sec: int = 3600,
+                num_parts: int = 16):
+    """Watermark-style late-arrival flags: in ARRIVAL order (ascending
+    id) per key, an event is late when the max event-time already seen
+    for its key exceeds its own timestamp by more than ``tol_sec`` —
+    the out-of-order accounting a streaming ingest needs to size its
+    watermark delay. First arrival per key is never late; null
+    timestamps drop.
+
+    Scale shape: one narrow (key, ts, id) exchange; per partition one
+    lexsort + a segmented running max (vectorized cummax + shift)."""
+    from .exchange import hash_exchange
+    narrow = ds.map_batches(lambda b: b.select([key, ts_col, id_col]),
+                            batch_format="pyarrow")
+    return hash_exchange(narrow, key, _late_partition, num_parts,
+                         fn_args=(key, ts_col, id_col, int(tol_sec)))

@@ -5036,3 +5036,118 @@ def _bpe_sql(n_merges: int) -> str:
 
 
 ORACLE_SQL["bpe_merges"] = _bpe_sql(6)
+
+
+def q_cross_run_hist(sf_dir: str):
+    """Two-run incremental median: run A (even events) commits its
+    binned value histogram, run B (odd events) merges — bin counts add,
+    so the union quantile equals a single-pass histogram_quantile over
+    all events (the oracle)."""
+    import os
+    import shutil
+
+    from .ops.stats import ingest_hist_run
+
+    state = f"/tmp/l2sr_hist_ingest_{os.getpid()}"
+    shutil.rmtree(state, ignore_errors=True)
+    ev = _events(sf_dir, ["event_id", "value"])
+    run_a = ev.map_batches(lambda b: parity_half(b, 0, "event_id"),
+                           batch_format="pyarrow")
+    run_b = ev.map_batches(lambda b: parity_half(b, 1, "event_id"),
+                           batch_format="pyarrow")
+    ingest_hist_run(run_a, state, "value", q=0.5, scale=100)
+    out = ingest_hist_run(run_b, state, "value", q=0.5, scale=100)
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
+QUERIES["cross_run_hist"] = q_cross_run_hist
+
+ORACLE_SQL["cross_run_hist"] = """
+    WITH B AS (SELECT CAST(floor(value * 100) AS BIGINT) AS bin
+               FROM events WHERE value IS NOT NULL)
+    SELECT quantile_disc(bin, 0.5) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_total FROM B
+"""
+
+
+def q_late_events(sf_dir: str):
+    """Watermark sizing: events arriving (by id) more than 1h behind
+    their user's max seen event-time — the out-of-order accounting for
+    a streaming ingest."""
+    from .ops.windows import late_events
+    return late_events(_events(sf_dir, ["event_id", "user_id", "ts"]),
+                       tol_sec=3600)
+
+
+QUERIES["late_events"] = q_late_events
+
+ORACLE_SQL["late_events"] = """
+    WITH V AS (SELECT event_id, user_id, ts FROM events
+               WHERE ts IS NOT NULL),
+    W AS (SELECT event_id,
+                 MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pm,
+                 ts
+          FROM V)
+    SELECT event_id,
+           CAST(CASE WHEN pm IS NOT NULL
+                          AND pm - ts > INTERVAL 3600 SECOND
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_late
+    FROM W
+"""
+
+
+def q_dup_graph_stats(sf_dir: str):
+    """Near-dup cluster graph report: per cluster, node count, verified
+    edge count, and integer density (2·10^6·edges // (n·(n−1))) — the
+    health metric that separates tight mirror-farms from loose chains.
+    Composition: verified pairs hash-join the cluster map on id_a
+    (every verified pair is within one cluster), count partials, then
+    a cluster-keyed join of the two small aggregates."""
+    from ray.data.aggregate import Count, Sum
+
+    from .ops.join import hash_join
+
+    clusters = q_minhash_clusters(sf_dir)
+    pairs = q_minhash_dedup(sf_dir)
+    edges = hash_join(pairs, clusters, "id_a", "doc_id",
+                      left_cols=["id_a"],
+                      right_cols=["doc_id", "cluster_id"]) \
+        .groupby("cluster_id").aggregate(Count(alias_name="n_edges"))
+    nodes = clusters.groupby("cluster_id") \
+        .aggregate(Count(alias_name="n_nodes"))
+    joined = hash_join(nodes, edges, "cluster_id", "cluster_id",
+                       left_cols=["cluster_id", "n_nodes"],
+                       right_cols=["cluster_id", "n_edges"])
+
+    def density(b: pa.Table) -> pa.Table:
+        n = np.asarray(pc.cast(b.column("n_nodes"), pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+        e = np.asarray(pc.cast(b.column("n_edges"), pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({
+            "cluster_id": pc.cast(b.column("cluster_id"), pa.int64()),
+            "n_nodes": pa.array(n, type=pa.int64()),
+            "n_edges": pa.array(e, type=pa.int64()),
+            "density_ppm": pa.array(2_000_000 * e // (n * (n - 1)),
+                                    type=pa.int64())})
+
+    return joined.map_batches(density, batch_format="pyarrow")
+
+
+QUERIES["dup_graph_stats"] = q_dup_graph_stats
+
+ORACLE_SQL["dup_graph_stats"] = f"""
+    WITH C AS ({ORACLE_SQL["minhash_clusters"]}),
+    P AS ({ORACLE_SQL["minhash_dedup"]}),
+    E AS (SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+          FROM P p JOIN C c ON c.doc_id = p.id_a GROUP BY 1),
+    N AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM C GROUP BY 1)
+    SELECT n.cluster_id, n.n_nodes, e.n_edges,
+           CAST((2000000 * e.n_edges) // (n.n_nodes * (n.n_nodes - 1))
+                AS BIGINT) AS density_ppm
+    FROM N n JOIN E e USING (cluster_id)
+"""

@@ -3422,3 +3422,51 @@ def test_ingest_hll_run_union(ray_session, tmp_path):
     again = ingest_hll_run(rd.from_pandas(frames[2]), state,
                            "event_type", "user_id", p=5)
     assert again.values.tolist() == out.values.tolist()
+
+
+def test_late_events_reference(ray_session):
+    """Late flags equal the pandas reference (per-key running max over
+    prior ids); first arrival never late; a planted 2h-backdated event
+    flags; num_parts-independent."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import late_events
+    rng = np.random.default_rng(41)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 8, n),
+        "ts": pd.Timestamp("2025-06-01")
+        + pd.to_timedelta(rng.integers(0, 3600, n), unit="s")})
+    df.loc[df.index[-1], ["user_id", "ts"]] = \
+        [0, pd.Timestamp("2025-05-31 00:00")]      # 2h+ behind
+    df.loc[::47, "ts"] = pd.NaT
+    d = df.dropna(subset=["ts"]).sort_values(["user_id", "event_id"])
+    pm = d.groupby("user_id")["ts"].cummax() \
+        .groupby(d["user_id"]).shift()
+    ref = dict(zip(d["event_id"],
+                   ((pm - d["ts"]) > pd.Timedelta(hours=1))
+                   .fillna(False).astype(int)))
+    for parts in (1, 4):
+        out = late_events(rd.from_pandas(df).repartition(5),
+                          tol_sec=3600, num_parts=parts).to_pandas()
+        assert dict(zip(out["event_id"], out["is_late"])) == ref
+    assert ref[n - 1] == 1
+
+
+def test_ingest_hist_run_union(ray_session, tmp_path):
+    """Persisted-histogram quantile after run N equals a single-pass
+    histogram_quantile over runs 1..N (bin counts add)."""
+    import ray.data as rd
+    from log2seq_ray.ops.stats import histogram_quantile, ingest_hist_run
+    rng = np.random.default_rng(43)
+    frames = [pd.DataFrame({"value": rng.normal(50 + 10 * i, 5, 400)})
+              for i in range(3)]
+    state = str(tmp_path / "hist")
+    for i in range(3):
+        out = ingest_hist_run(rd.from_pandas(frames[i]).repartition(3),
+                              state, "value", q=0.5, scale=100)
+        full = histogram_quantile(
+            rd.from_pandas(pd.concat(frames[:i + 1])), "value",
+            q=0.5, scale=100)
+        assert int(out["bin"].iloc[0]) == full
+        assert int(out["n_total"].iloc[0]) == 400 * (i + 1)
