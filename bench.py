@@ -378,6 +378,8 @@ def run_benchmarks() -> dict:
         timed("late_events", lambda: Q.q_late_events(SF_DIR).count())
         timed("dup_graph_stats",
               lambda: Q.q_dup_graph_stats(SF_DIR).to_pandas())
+        timed("media_neardup",
+              lambda: Q.q_media_neardup(SF_DIR).count())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

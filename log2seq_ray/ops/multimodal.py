@@ -370,3 +370,77 @@ def frame_pipeline(sf_dir: str, n_frames: int = 4):
         VideoFrameSampleStage,
         fn_constructor_kwargs=dict(n_frames=n_frames, backend="fake"),
         batch_format="pyarrow", batch_size=128, concurrency=actor_pool())
+
+
+class MediaSimHashStage:
+    """60-bit SimHash per media payload over NON-OVERLAPPING 8-byte
+    blocks (weights = block frequency) — byte-level near-dup hashing
+    for binary media columns (truncated re-encodes and suffix-metadata
+    variants share almost all blocks, so their hashes land within a few
+    Hamming bits). Block hash = first 15 hex chars of md5, cached per
+    actor (payload blocks repeat heavily across near-copies)."""
+
+    BITS = 60
+
+    def __init__(self, id_col: str = "media_id", col: str = "payload"):
+        self.id_col, self.col = id_col, col
+        self._bit = np.array([1 << i for i in range(self.BITS)],
+                             dtype=np.uint64)
+        self._cache: dict[bytes, int] = {}
+
+    def _blk_hash(self, blk: bytes) -> int:
+        h = self._cache.get(blk)
+        if h is None:
+            from .hashutil import cache_put
+            h = cache_put(self._cache, blk,
+                          int(hashlib.md5(blk).hexdigest()[:15], 16))
+        return h
+
+    def simhash(self, payload: bytes) -> int:
+        if not payload:
+            return 0
+        from collections import Counter
+        blocks = Counter(payload[i:i + 8]
+                         for i in range(0, len(payload), 8))
+        acc = np.zeros(self.BITS, dtype=np.int64)
+        for blk, w in blocks.items():
+            bits = (np.uint64(self._blk_hash(blk)) & self._bit) != 0
+            acc += np.where(bits, w, -w)
+        return int(((acc > 0).astype(np.uint64) * self._bit).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        hashes = [self.simhash(p or b"") for p in col.to_pylist()]
+        arr = np.array(hashes, dtype=np.int64)
+        import pyarrow.compute as pc
+        return pa.table({
+            # _simhash_bucket_pairs keys on 'doc_id' — emit that name
+            "doc_id": pc.cast(batch.column(self.id_col), pa.int64()),
+            "simhash": pa.array(arr),
+            "simhash_bucket": pa.array(arr >> 44),
+        })
+
+
+def media_simhash_dups(media, max_hamming: int = 12,
+                       id_col: str = "media_id", col: str = "payload",
+                       num_parts: int = 16):
+    """Near-duplicate media pairs by payload-block SimHash: pairs whose
+    60-bit hashes differ by ≤ ``max_hamming`` bits WITHIN a bucket (the
+    high 16 bits — the same bucket contract as text ``simhash_dups``).
+    Returns (id_a, id_b, hamming) as a Dataset.
+
+    Scale shape: one (media_id, simhash, bucket) row per payload — 24
+    bytes regardless of media size — through ONE bucket-keyed exchange;
+    payloads never shuffle; pair scans are vectorized XOR + LUT
+    popcount (reusing the text dedup kernel)."""
+    from .dedup import _simhash_bucket_pairs
+    from .exchange import hash_exchange
+    sims = media.map_batches(
+        MediaSimHashStage,
+        fn_constructor_kwargs=dict(id_col=id_col, col=col),
+        batch_format="pyarrow", batch_size=256,
+        concurrency=actor_pool())
+    return hash_exchange(sims, "simhash_bucket", _simhash_bucket_pairs,
+                         num_parts, fn_args=(max_hamming,))

@@ -5151,3 +5151,77 @@ ORACLE_SQL["dup_graph_stats"] = f"""
                 AS BIGINT) AS density_ppm
     FROM N n JOIN E e USING (cluster_id)
 """
+
+
+def _media_variants(b: pa.Table) -> pa.Table:
+    """Synthetic media corpus with PLANTED near-duplicates: every
+    ``doc_id % 5 == 4`` row reuses the previous id's seed (same content,
+    its own truncation length) — a truncated re-encode of its base."""
+    import hashlib
+    rows = {"media_id": [], "payload": []}
+    for did in b.column("doc_id").to_pylist():
+        did = int(did)
+        base = did - 1 if did % 5 == 4 else did
+        seed = hashlib.md5(str(base).encode()).hexdigest()
+        own = hashlib.md5(str(did).encode()).hexdigest()
+        n_bytes = 256 + int(own[:8], 16) % 3840
+        rows["media_id"].append(did)
+        rows["payload"].append((seed * 128)[:n_bytes].encode("ascii"))
+    return pa.table({"media_id": pa.array(rows["media_id"],
+                                          type=pa.int64()),
+                     "payload": pa.array(rows["payload"],
+                                         type=pa.binary())})
+
+
+def q_media_neardup(sf_dir: str):
+    """Byte-level media near-dup pairs: payload-block SimHash, Hamming
+    ≤ 12 within the high-16-bit bucket — truncated re-encodes planted
+    at doc_id % 5 == 4 must pair with their base."""
+    from .ops.multimodal import media_simhash_dups
+    media = _docs(sf_dir, ["doc_id"]).map_batches(
+        _media_variants, batch_format="pyarrow", batch_size=512)
+    return media_simhash_dups(media, max_hamming=12)
+
+
+QUERIES["media_neardup"] = q_media_neardup
+
+# payload reconstruction + non-overlapping 8-byte blocks + the simhash
+# bit arithmetic of the text oracle + within-bucket Hamming pairs
+ORACLE_SQL["media_neardup"] = """
+    WITH M AS (SELECT doc_id AS media_id,
+                      md5(CAST(doc_id - (CASE WHEN doc_id % 5 = 4
+                                               THEN 1 ELSE 0 END)
+                               AS VARCHAR)) AS seed,
+                      256 + CAST(('0x' || substr(md5(CAST(doc_id
+                                       AS VARCHAR)), 1, 8)) AS BIGINT)
+                          % 3840 AS nb
+               FROM documents),
+    P AS (SELECT media_id,
+                 substr(repeat(seed, 128), 1, CAST(nb AS INT)) AS pay
+          FROM M),
+    BL AS (SELECT media_id,
+                  substr(pay, CAST(j * 8 + 1 AS INT), 8) AS blk
+           FROM P, LATERAL (SELECT unnest(range(0,
+               CAST(ceil(length(pay) / 8.0) AS BIGINT))) AS j)),
+    tc AS (SELECT media_id, blk, CAST(COUNT(*) AS BIGINT) AS w
+           FROM BL GROUP BY 1, 2),
+    th AS (SELECT media_id,
+                  CAST(('0x' || substr(md5(blk), 1, 15)) AS BIGINT) AS h,
+                  w
+           FROM tc),
+    bits AS (SELECT media_id, b,
+                    SUM(CASE WHEN ((h >> b) & 1) = 1
+                             THEN w ELSE -w END) AS s
+             FROM th, (SELECT unnest(range(0, 60)) AS b)
+             GROUP BY media_id, b),
+    agg AS (SELECT media_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY media_id),
+    S AS (SELECT media_id, simhash, simhash >> 44 AS bkt FROM agg)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+               AS hamming
+    FROM S a JOIN S b ON a.bkt = b.bkt AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+"""

@@ -3470,3 +3470,30 @@ def test_ingest_hist_run_union(ray_session, tmp_path):
             q=0.5, scale=100)
         assert int(out["bin"].iloc[0]) == full
         assert int(out["n_total"].iloc[0]) == 400 * (i + 1)
+
+
+def test_media_simhash_dups_planted(ray_session):
+    """Payload-block SimHash: identical payloads pair at Hamming 0, a
+    truncated copy pairs with its base within the bucket, an unrelated
+    payload never pairs."""
+    import hashlib
+    import ray.data as rd
+    from log2seq_ray.ops.multimodal import media_simhash_dups
+    base = "".join(hashlib.md5(str(i).encode()).hexdigest()
+                   for i in range(100))        # 3200 chars, ~400 blocks
+    other = "".join(hashlib.md5(f"x{i}".encode()).hexdigest()
+                    for i in range(100))
+    payloads = [base, base,                                 # exact dup
+                base[:2880],                                # truncation
+                other]                                      # unrelated
+    t = pa.table({"media_id": pa.array(range(4), type=pa.int64()),
+                  "payload": pa.array([p.encode() for p in payloads],
+                                      type=pa.binary())})
+    out = media_simhash_dups(rd.from_arrow(t).repartition(2),
+                             max_hamming=12, num_parts=2).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert (0, 1) in pairs
+    assert int(out.set_index(["id_a", "id_b"])
+               .loc[(0, 1), "hamming"]) == 0
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
