@@ -380,6 +380,9 @@ def run_benchmarks() -> dict:
               lambda: Q.q_dup_graph_stats(SF_DIR).to_pandas())
         timed("media_neardup",
               lambda: Q.q_media_neardup(SF_DIR).count())
+        timed("ivf_pq_knn", lambda: Q.q_ivf_pq_knn(SF_DIR))
+        timed("corpus_datasheet",
+              lambda: Q.q_corpus_datasheet(SF_DIR))
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -1052,3 +1052,87 @@ def pq_knn(ds, queries, m: int = 2, k_code: int = 4, iters: int = 1,
     pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
     pdf = pdf[pdf["rank"] <= k].reset_index(drop=True)
     return pdf[["query_id", id_col, "rank"]]
+
+
+def ivf_pq_knn(ds, queries, n_cells: int = 8, n_probe: int = 2,
+               m: int = 2, k_code: int = 4, iters: int = 1, k: int = 10,
+               id_col: str = "vec_id", col: str = "embedding"):
+    """The full IVF-PQ read path (Jégou et al.): a spherical-k-means
+    COARSE quantizer routes every vector to one of ``n_cells`` cells
+    (the ``kmeans_assign`` contract — id%k init + ``iters`` Lloyd,
+    cosine argmax, ties low); each query probes its ``n_probe`` nearest
+    cells and scans ONLY those vectors by PQ asymmetric distance.
+    Ties (ad asc, id asc). Returns pandas (query_id, vec_id, rank).
+
+    Scale shape: coarse centroids + codebooks + per-query (probed
+    cells, distance tables) all broadcast once; one streaming pass
+    assigns cell + codes per vector and emits per-query local top-k
+    among the probed subset — no shuffle, candidates only."""
+    import pandas as pd
+    import ray
+    q_ids, Q = queries
+    Q = np.asarray(Q, dtype=np.float64)
+    cids, C = kmeans_centroids(ds, n_cells, iters, id_col, col)
+    books = pq_codebooks(ds, m, k_code, iters, id_col, col)
+    d = Q.shape[1]
+    sub_of = _pq_subdims(d, m)
+    DT = [((Q[:, np.flatnonzero(sub_of == s)][:, None, :]
+            - Cs[None]) ** 2).sum(axis=2)
+          for s, (_, Cs) in enumerate(books)]
+    Qn = _normalize(Q)
+    sims = Qn @ C.T                       # (n_q, n_cells)
+    a = min(n_probe, sims.shape[1])
+    # probed cells per query: cosine desc, cell id asc on ties
+    order = np.lexsort((np.broadcast_to(cids, sims.shape), -sims),
+                       axis=1)[:, :a]
+    probe = [set(cids[order[qi]].tolist()) for qi in range(len(q_ids))]
+    payload = (np.asarray(q_ids, dtype=np.int64), (cids, C), books,
+               DT, probe)
+    ref = ray.put(payload)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        qids, (ccids, CC), bks, dts, prb = _ray.get(ref) \
+            if not isinstance(ref, tuple) else ref
+        X = _to_matrix(batch.column(col))
+        n, dd = X.shape
+        if n == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "ad": pa.array([], type=pa.float64())})
+        cell = ccids[np.argmax(_normalize(X) @ CC.T, axis=1)]
+        so = _pq_subdims(dd, len(bks))
+        ids = np.asarray(pc.cast(batch.column(id_col), pa.int64())
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        ad = np.zeros((len(qids), n), dtype=np.float64)
+        for s, (scids, Cs) in enumerate(bks):
+            Xs = X[:, np.flatnonzero(so == s)]
+            d2 = ((Xs[:, None, :] - Cs[None]) ** 2).sum(axis=2)
+            ad += dts[s][:, np.argmin(d2, axis=1)]
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(cell, list(prb[qi]))
+            if not mask.any():
+                continue
+            cand_ids, cand_ad = ids[mask], ad[qi][mask]
+            kk = min(k, len(cand_ids))
+            part = np.lexsort((cand_ids, cand_ad))[:kk]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_v.append(cand_ids[part])
+            out_d.append(cand_ad[part])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "ad": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            id_col: pa.array(np.concatenate(out_v), type=pa.int64()),
+            "ad": pa.array(np.concatenate(out_d), type=pa.float64())})
+
+    pdf = ds.map_batches(scan, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    pdf = pdf.sort_values(["query_id", "ad", id_col],
+                          ascending=[True, True, True])
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    pdf = pdf[pdf["rank"] <= k].reset_index(drop=True)
+    return pdf[["query_id", id_col, "rank"]]

@@ -5225,3 +5225,189 @@ ORACLE_SQL["media_neardup"] = """
     FROM S a JOIN S b ON a.bkt = b.bkt AND a.media_id < b.media_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
 """
+
+
+def q_ivf_pq_knn(sf_dir: str):
+    """Full IVF-PQ read path for the first 5 vectors: spherical-kmeans
+    coarse cells (8, probe 2) + PQ asymmetric-distance scan of the
+    probed cells only — top-10 per query."""
+    import ray.data as rd
+
+    from .ops.similarity import ivf_pq_knn, queries_from_dataset
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return ivf_pq_knn(emb, queries_from_dataset(emb, n_queries=5),
+                      n_cells=8, n_probe=2, m=2, k_code=4, iters=1,
+                      k=10)
+
+
+QUERIES["ivf_pq_knn"] = q_ivf_pq_knn
+
+# the kmeans_clusters CTE stack (coarse cells + probe) composed with
+# the pq_knn CTE stack (codes + query distance tables), candidates
+# filtered to the probed cells
+ORACLE_SQL["ivf_pq_knn"] = """
+    WITH E AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                      CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                          - 1 AS dim,
+                      CAST(len(embedding) AS BIGINT) AS d
+               FROM embeddings),
+    N AS (SELECT vec_id, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nn
+          FROM E GROUP BY vec_id),
+    XN AS (SELECT e.vec_id, e.dim, e.v / n.nn AS x
+           FROM E e JOIN N n USING (vec_id)),
+    K0 AS (SELECT vec_id % 8 AS c, dim, AVG(x) AS m
+           FROM XN GROUP BY 1, 2),
+    K0N AS (SELECT c, dim, m / GREATEST(SQRT(SUM(m * m)
+                OVER (PARTITION BY c)), 1e-12) AS cv FROM K0),
+    KS1 AS (SELECT x.vec_id, k.c, SUM(x.x * k.cv) AS dot
+            FROM XN x JOIN K0N k USING (dim) GROUP BY 1, 2),
+    KA1 AS (SELECT vec_id, c FROM (
+              SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY dot DESC, c ASC) AS rn FROM KS1)
+            WHERE rn = 1),
+    K1 AS (SELECT a.c, x.dim, AVG(x.x) AS m
+           FROM XN x JOIN KA1 a USING (vec_id) GROUP BY 1, 2),
+    K1N AS (SELECT c, dim, m / GREATEST(SQRT(SUM(m * m)
+                OVER (PARTITION BY c)), 1e-12) AS cv FROM K1),
+    KS2 AS (SELECT x.vec_id, k.c, SUM(x.x * k.cv) AS dot
+            FROM XN x JOIN K1N k USING (dim) GROUP BY 1, 2),
+    CELL AS (SELECT vec_id, c AS cell FROM (
+               SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dot DESC, c ASC) AS rn FROM KS2)
+             WHERE rn = 1),
+    PRB AS (SELECT qid, c FROM (
+              SELECT vec_id AS qid, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
+              FROM KS2 WHERE vec_id < 5) WHERE rn <= 2),
+    XS AS (SELECT vec_id, v, dim, (dim * 2) // d AS sub FROM E),
+    P0 AS (SELECT sub, vec_id % 4 AS c, dim, AVG(v) AS mv
+           FROM XS GROUP BY 1, 2, 3),
+    PS1 AS (SELECT x.vec_id, x.sub, p0.c,
+                   SUM(power(x.v - p0.mv, 2)) AS d2
+            FROM XS x JOIN P0 p0 ON p0.sub = x.sub AND p0.dim = x.dim
+            GROUP BY 1, 2, 3),
+    PA1 AS (SELECT vec_id, sub, c FROM (
+              SELECT vec_id, sub, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
+              FROM PS1) WHERE rn = 1),
+    P1 AS (SELECT x.sub, a.c, x.dim, AVG(x.v) AS mv
+           FROM XS x JOIN PA1 a ON a.vec_id = x.vec_id
+                                AND a.sub = x.sub
+           GROUP BY 1, 2, 3),
+    PS2 AS (SELECT x.vec_id, x.sub, p1.c,
+                   SUM(power(x.v - p1.mv, 2)) AS d2
+            FROM XS x JOIN P1 p1 ON p1.sub = x.sub AND p1.dim = x.dim
+            GROUP BY 1, 2, 3),
+    CODES AS (SELECT vec_id, sub, c FROM (
+        SELECT vec_id, sub, c, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, sub ORDER BY d2 ASC, c ASC) AS rn
+        FROM PS2) WHERE rn = 1),
+    QD AS (SELECT x.vec_id AS qid, x.sub, p1.c,
+                  SUM(power(x.v - p1.mv, 2)) AS d2
+           FROM XS x JOIN P1 p1 ON p1.sub = x.sub AND p1.dim = x.dim
+           WHERE x.vec_id < 5 GROUP BY 1, 2, 3),
+    AD AS (SELECT q.qid, cd.vec_id, SUM(q.d2) AS ad
+           FROM CODES cd JOIN QD q ON q.sub = cd.sub AND q.c = cd.c
+           GROUP BY 1, 2),
+    CAND AS (SELECT a.qid, a.vec_id, a.ad
+             FROM AD a JOIN CELL ce ON ce.vec_id = a.vec_id
+                       JOIN PRB p ON p.qid = a.qid AND p.c = ce.cell)
+    SELECT qid AS query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY ad ASC, vec_id ASC) AS rnk
+        FROM CAND) WHERE rnk <= 10
+"""
+
+
+def q_corpus_datasheet(sf_dir: str):
+    """One-call corpus datasheet (the 'data card' numbers a training-
+    data release publishes): doc/token/char totals, vocabulary size,
+    exact-dup doc count, language count, median doc length — every
+    metric an exact integer from streaming partial passes; the corpus
+    is read a bounded number of times, rows never collect."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .ops.stats import global_quantile_disc
+    from .ops.text import _token_lists
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def base_partial(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column("text"))
+        n_tok = int(pc.sum(pc.list_value_length(toks)).as_py() or 0)
+        return pa.table({
+            "n_docs_p": pa.array([len(b)], type=pa.int64()),
+            "n_tokens_p": pa.array([n_tok], type=pa.int64()),
+            "n_chars_p": pa.array(
+                [int(pc.sum(b.column("n_chars")).as_py() or 0)],
+                type=pa.int64())})
+
+    base = base_partial  # per-batch scalar partials, summed below
+    agg = docs.map_batches(base, batch_format="pyarrow").sum(
+        ["n_docs_p", "n_tokens_p", "n_chars_p"])
+    n_docs = int(agg["sum(n_docs_p)"])
+    n_tokens = int(agg["sum(n_tokens_p)"])
+    n_chars = int(agg["sum(n_chars_p)"])
+
+    # distinct content hashes / vocabulary / languages: narrow groupbys
+    dup = docs.map_batches(
+        lambda b: pa.table({"h": pa.array(
+            [hashlib.md5((t or "").encode()).hexdigest()
+             for t in b.column("text").to_pylist()])}),
+        batch_format="pyarrow").groupby("h") \
+        .aggregate(Count(alias_name="n")).count()
+    vocab = docs.map_batches(
+        lambda b: pa.table({"tk": pc.unique(
+            pc.list_flatten(_token_lists(b.column("text"))))}),
+        batch_format="pyarrow").groupby("tk") \
+        .aggregate(Count(alias_name="n")).count()
+    langs = docs.map_batches(
+        lambda b: pa.table({"lang": pc.unique(b.column("lang"))}),
+        batch_format="pyarrow").groupby("lang") \
+        .aggregate(Count(alias_name="n")).count()
+    tok_counts = docs.map_batches(
+        lambda b: pa.table({"n_tok": pa.array(np.diff(np.asarray(
+            _token_lists(b.column("text")).offsets, dtype=np.int64)),
+            type=pa.int64())}),
+        batch_format="pyarrow")
+    med = int(global_quantile_disc(tok_counts, "n_tok", q=0.5))
+
+    rows = [("median_doc_tokens", med),
+            ("n_chars", n_chars),
+            ("n_distinct_tokens", int(vocab)),
+            ("n_docs", n_docs),
+            ("n_exact_dup_docs", n_docs - int(dup)),
+            ("n_langs", int(langs)),
+            ("n_tokens", n_tokens)]
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+QUERIES["corpus_datasheet"] = q_corpus_datasheet
+
+ORACLE_SQL["corpus_datasheet"] = f"""
+    SELECT 'median_doc_tokens' AS metric,
+           CAST(quantile_disc(len({_TOKENS}), 0.5) AS BIGINT) AS value
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_distinct_tokens', CAST(COUNT(DISTINCT tk) AS BIGINT)
+    FROM (SELECT unnest({_TOKENS}) AS tk FROM documents)
+    UNION ALL
+    SELECT 'n_docs', CAST(COUNT(*) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_exact_dup_docs',
+           CAST(COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, '')))
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_tokens', CAST(SUM(len({_TOKENS})) AS BIGINT)
+    FROM documents
+"""

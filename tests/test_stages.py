@@ -3497,3 +3497,50 @@ def test_media_simhash_dups_planted(ray_session):
                .loc[(0, 1), "hamming"]) == 0
     assert (0, 2) in pairs and (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_ivf_pq_knn_recall_vs_brute(ray_session):
+    """IVF-PQ results come only from the probed cells, ADC-ranked:
+    parity with a numpy reference wiring the same coarse assign +
+    codebooks; and probing ALL cells reduces to plain PQ ADC."""
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import (ivf_pq_knn, pq_knn,
+                                            _pq_subdims, pq_codebooks,
+                                            kmeans_centroids, _normalize)
+    rng = np.random.default_rng(51)
+    n, d = 160, 8
+    X = (rng.normal(size=(n, d))
+         + rng.integers(0, 4, n)[:, None] * 5.0).astype(np.float64)
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": [r.tolist() for r in X]})
+    ds = rd.from_arrow(t).repartition(4)
+    q_ids, Q = np.arange(3, dtype=np.int64), X[:3]
+    out = ivf_pq_knn(ds, (q_ids, Q), n_cells=4, n_probe=2, m=2,
+                     k_code=3, iters=1, k=5)
+    # reference: same trained pieces
+    cids, C = kmeans_centroids(ds, 4, 1)
+    books = pq_codebooks(ds, 2, 3, 1)
+    sub_of = _pq_subdims(d, 2)
+    cell = cids[np.argmax(_normalize(X) @ C.T, axis=1)]
+    ad = np.zeros((3, n))
+    for s, (scids, Cs) in enumerate(books):
+        Xs = X[:, sub_of == s]
+        codes = np.argmin(((Xs[:, None, :] - Cs[None]) ** 2).sum(2),
+                          axis=1)
+        DT = ((Q[:, sub_of == s][:, None, :] - Cs[None]) ** 2).sum(2)
+        ad += DT[:, codes]
+    sims = _normalize(Q) @ C.T
+    ref = []
+    for qi in range(3):
+        probe = set(cids[np.lexsort((cids, -sims[qi]))[:2]].tolist())
+        mask = np.isin(cell, list(probe))
+        cand = np.flatnonzero(mask)
+        order = cand[np.lexsort((cand, ad[qi][cand]))][:5]
+        ref += [(qi, int(v), r + 1) for r, v in enumerate(order)]
+    got = list(map(tuple, out[["query_id", "vec_id", "rank"]].values))
+    assert got == ref
+    # probe == n_cells degenerates to plain PQ ADC
+    full = ivf_pq_knn(ds, (q_ids, Q), n_cells=4, n_probe=4, m=2,
+                      k_code=3, iters=1, k=5)
+    plain = pq_knn(ds, (q_ids, Q), m=2, k_code=3, iters=1, k=5)
+    assert full.values.tolist() == plain.values.tolist()
