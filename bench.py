@@ -383,6 +383,11 @@ def run_benchmarks() -> dict:
         timed("ivf_pq_knn", lambda: Q.q_ivf_pq_knn(SF_DIR))
         timed("corpus_datasheet",
               lambda: Q.q_corpus_datasheet(SF_DIR))
+        timed("attribution_pairs",
+              lambda: Q.q_attribution_pairs(SF_DIR).count())
+        timed("vec_dim_stats",
+              lambda: Q.q_vec_dim_stats(SF_DIR).to_pandas())
+        timed("bpe_encoded", lambda: Q.q_bpe_encoded(SF_DIR).count())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -535,3 +535,102 @@ def range_lookup_join(ds, bands, value_col: str, out_col: str = "band",
             out_col, labels_.take(pa.array(np.where(ok, safe, miss))))
 
     return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def _interval_pairs_partition(key: str, left_ts: str, right_ts: str,
+                              lo_us: int, hi_us: int, left_id: str,
+                              right_id: str, l_pieces, r_pieces):
+    """One co-partition of :func:`interval_pairs_join`: the counting
+    kernel's rank-composite searchsorted gives each left row its
+    [lo, hi) span in the (key, ts)-sorted right rows; pairs expand via
+    the arange-minus-offsets trick — O(output pairs), no per-key
+    Python."""
+    from .exchange import resolve_all_pieces
+    empty = pa.table({left_id: pa.array([], type=pa.int64()),
+                      right_id: pa.array([], type=pa.int64()),
+                      "n_matches": pa.array([], type=pa.int64())})
+    lp = [t for t in resolve_all_pieces(l_pieces) if t.num_columns]
+    rp = [t for t in resolve_all_pieces(r_pieces) if t.num_columns]
+    if not lp or not rp:
+        return empty
+    lt = pa.concat_tables(lp, promote_options="permissive")
+    rt = pa.concat_tables(rp, promote_options="permissive")
+    if lt.num_rows == 0 or rt.num_rows == 0:
+        return empty
+    lt = lt.filter(pc.is_valid(lt.column(left_ts)))
+    rt = rt.filter(pc.is_valid(rt.column(right_ts)))
+    if lt.num_rows == 0 or rt.num_rows == 0:
+        return empty
+    l_ids = np.asarray(pc.cast(lt.column(left_id), pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+    r_ids = np.asarray(pc.cast(rt.column(right_id), pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+    lts = np.asarray(pc.cast(pc.cast(
+        lt.column(left_ts), pa.timestamp("us")), pa.int64())
+        .to_numpy(zero_copy_only=False), dtype=np.int64)
+    rts = np.asarray(pc.cast(pc.cast(
+        rt.column(right_ts), pa.timestamp("us")), pa.int64())
+        .to_numpy(zero_copy_only=False), dtype=np.int64)
+    n_l = lt.num_rows
+    both = pa.chunked_array([
+        lt.column(key).combine_chunks()
+        if isinstance(lt.column(key), pa.ChunkedArray)
+        else lt.column(key),
+        rt.column(key).combine_chunks()
+        if isinstance(rt.column(key), pa.ChunkedArray)
+        else rt.column(key)]).combine_chunks()
+    codes = np.asarray(both.dictionary_encode().indices, dtype=np.int64)
+    l_codes, r_codes = codes[:n_l], codes[n_l:]
+    uts = np.unique(rts)
+    M = np.int64(len(uts) + 1)
+    comp = r_codes * M + np.searchsorted(uts, rts)
+    ridx = np.argsort(comp, kind="stable")
+    K = comp[ridx]
+    lo = np.searchsorted(K, l_codes * M
+                         + np.searchsorted(uts, lts + np.int64(lo_us),
+                                           side="right"), side="left")
+    hi = np.searchsorted(K, l_codes * M
+                         + np.searchsorted(uts, lts + np.int64(hi_us),
+                                           side="right"), side="left")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    left_of = np.repeat(np.arange(n_l, dtype=np.int64), counts)
+    cum_before = np.concatenate([[np.int64(0)],
+                                 np.cumsum(counts)[:-1]])
+    r_pos = np.repeat(lo, counts) \
+        + (np.arange(total, dtype=np.int64)
+           - np.repeat(cum_before, counts))
+    return pa.table({
+        left_id: pa.array(l_ids[left_of]),
+        right_id: pa.array(r_ids[ridx[r_pos]]),
+        "n_matches": pa.array(counts[left_of], type=pa.int64())})
+
+
+def interval_pairs_join(left, right, key: str, left_ts: str = "ts",
+                        right_ts: str = "ts", lo_us: int = 0,
+                        hi_us: int = 600_000_000,
+                        left_id: str = "event_id",
+                        right_id: str = "event_id", num_parts: int = 16):
+    """PAIR-emitting windowed stream-stream join: for every left row,
+    every right row of the same ``key`` whose ts lies in the half-open
+    ``(left_ts + lo_us, left_ts + hi_us]`` — the multi-touch
+    attribution / co-session join, where the aggregate form
+    (``interval_count_join``) isn't enough because downstream needs the
+    matched rows themselves. Each output pair carries its left row's
+    total match count ``n_matches`` (the denominator an equal-split
+    attribution divides by). Null timestamps on either side drop.
+
+    Scale shape: ONE two-sided co-partitioned exchange of narrow rows;
+    per partition the counting kernel's searchsorted spans expand via
+    arange-minus-offsets — cost is O(pairs emitted), bounded by the
+    window width, never |L|×|R|."""
+    from .exchange import hash_exchange2
+    if left_id == right_id:
+        raise ValueError("interval_pairs_join: left_id and right_id "
+                         "must differ (rename one side upstream)")
+    return hash_exchange2(left, right, key, key,
+                          _interval_pairs_partition, num_parts,
+                          fn_args=(key, left_ts, right_ts, int(lo_us),
+                                   int(hi_us), left_id, right_id))

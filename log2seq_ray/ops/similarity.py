@@ -1136,3 +1136,40 @@ def ivf_pq_knn(ds, queries, n_cells: int = 8, n_probe: int = 2,
     pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
     pdf = pdf[pdf["rank"] <= k].reset_index(drop=True)
     return pdf[["query_id", id_col, "rank"]]
+
+
+def vec_dim_stats(ds, id_col: str = "vec_id", col: str = "embedding"):
+    """Per-DIMENSION corpus statistics of an embedding column — n, min,
+    max, sum in integer micro-units (``floor(v * 1e6)``) — the feature-
+    scaling / drift-monitoring table computed before normalization or
+    quantization. Integer micro-units make the sums additive and
+    order-independent, so merges are engine-exact at any parallelism
+    (the ``group_value_stats`` convention applied dim-wise).
+
+    Scale shape: d rows of already-reduced partials per batch through
+    one tiny groupby; vectors never shuffle. Returns a Dataset of
+    (dim 1-based, n, mn_micro, mx_micro, sum_micro)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"dim": pa.array([], type=pa.int64()),
+                             "n_p": pa.array([], type=pa.int64()),
+                             "mn_p": pa.array([], type=pa.int64()),
+                             "mx_p": pa.array([], type=pa.int64()),
+                             "s_p": pa.array([], type=pa.int64())})
+        X = np.floor(_to_matrix(b.column(col)) * 1e6).astype(np.int64)
+        n, d = X.shape
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1), type=pa.int64()),
+            "n_p": pa.array(np.full(d, n, dtype=np.int64)),
+            "mn_p": pa.array(X.min(axis=0)),
+            "mx_p": pa.array(X.max(axis=0)),
+            "s_p": pa.array(X.sum(axis=0))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(
+            Sum("n_p", alias_name="n"),
+            Min("mn_p", alias_name="mn_micro"),
+            Max("mx_p", alias_name="mx_micro"),
+            Sum("s_p", alias_name="sum_micro"))

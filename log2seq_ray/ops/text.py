@@ -1253,7 +1253,8 @@ def _bpe_merge_batch(b: pa.Table, a: str, c: str) -> pa.Table:
                      "syms": new_syms})
 
 
-def bpe_train(ds, n_merges: int = 6, col: str = "text"):
+def bpe_train(ds, n_merges: int = 6, col: str = "text",
+              return_vocab: bool = False):
     """Distributed BPE vocabulary training (Sennrich et al., ACL 2016):
     learn ``n_merges`` merge rules over the corpus — each round picks
     the adjacent symbol pair with the highest corpus-weighted count
@@ -1305,5 +1306,64 @@ def bpe_train(ds, n_merges: int = 6, col: str = "text"):
         vocab = vocab.map_batches(
             lambda b, a=best["l"], c=best["r"]: _bpe_merge_batch(b, a, c),
             batch_format="pyarrow").materialize()
-    return pd.DataFrame(merges,
-                        columns=["merge_rank", "sym_a", "sym_b", "n"])
+    table = pd.DataFrame(merges,
+                         columns=["merge_rank", "sym_a", "sym_b", "n"])
+    return (table, vocab) if return_vocab else table
+
+
+def bpe_encode(ds, n_merges: int = 6, col: str = "text",
+               id_col: str = "doc_id"):
+    """Tokenize the corpus with a freshly-trained BPE vocabulary: train
+    ``n_merges`` rules (:func:`bpe_train`), then every document's
+    tokens hash-join the final (word → symbols) vocab and explode to
+    (id, tok_pos, sub_pos, sym) subword rows — the train-then-encode
+    round trip of a tokenizer build.
+
+    Scale shape: encoding never re-runs merges per document — each
+    distinct word was rewritten once during training; the corpus-sized
+    side is one narrow (id, tok_pos, word) explode that joins the
+    vocab through the distributed ``hash_join`` (vocab may exceed
+    driver RAM; it never collects)."""
+    from .join import hash_join
+
+    _, vocab = bpe_train(ds, n_merges=n_merges, col=col,
+                         return_vocab=True)
+
+    def explode_tokens(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        ids = np.repeat(
+            np.asarray(pc.cast(b.column(id_col), pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64),
+            counts)
+        pos = (np.arange(int(counts.sum()), dtype=np.int64)
+               - np.repeat(np.concatenate(
+                   [[np.int64(0)], np.cumsum(counts)[:-1]]), counts) + 1)
+        return pa.table({id_col: pa.array(ids),
+                         "tok_pos": pa.array(pos),
+                         "word": pc.list_flatten(toks)})
+
+    def explode_vocab(b: pa.Table) -> pa.Table:
+        # flat (word, sub_pos, sym) rows: Acero joins can't carry list
+        # payloads, and join multiplicity does the per-token explosion
+        syms = b.column("syms")
+        syms = syms.combine_chunks() \
+            if isinstance(syms, pa.ChunkedArray) else syms
+        counts = np.asarray(pc.list_value_length(syms), dtype=np.int64)
+        total = int(counts.sum())
+        rep = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        sub = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.concatenate(
+                   [[np.int64(0)], np.cumsum(counts)[:-1]]), counts) + 1)
+        w = b.column("word")
+        w = w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
+        return pa.table({"word": w.take(pa.array(rep)),
+                         "sub_pos": pa.array(sub),
+                         "sym": pc.list_flatten(syms)})
+
+    tok = ds.map_batches(explode_tokens, batch_format="pyarrow")
+    vrows = vocab.map_batches(explode_vocab, batch_format="pyarrow")
+    joined = hash_join(tok, vrows, "word", "word")
+    return joined.map_batches(
+        lambda b: b.select([id_col, "tok_pos", "sub_pos", "sym"]),
+        batch_format="pyarrow")

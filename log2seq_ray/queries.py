@@ -5411,3 +5411,115 @@ ORACLE_SQL["corpus_datasheet"] = f"""
     SELECT 'n_tokens', CAST(SUM(len({_TOKENS})) AS BIGINT)
     FROM documents
 """
+
+
+def q_attribution_pairs(sf_dir: str):
+    """Multi-touch purchase attribution: every (purchase, click) pair
+    of the same user with the click in the 24h before (inclusive of)
+    the purchase, plus the equal-split integer weight
+    ``10^6 // n_matches`` — the pair-emitting windowed stream-stream
+    join the aggregate interval join can't express."""
+    from .ops.join import interval_pairs_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .map_batches(lambda b: pa.table({
+            "purchase_id": pc.cast(b.column("event_id"), pa.int64()),
+            "user_id": b.column("user_id"), "ts": b.column("ts")}),
+            batch_format="pyarrow")
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .map_batches(lambda b: pa.table({
+            "click_id": pc.cast(b.column("event_id"), pa.int64()),
+            "user_id": b.column("user_id"), "ts": b.column("ts")}),
+            batch_format="pyarrow")
+    pairs = interval_pairs_join(
+        purchases, clicks, "user_id", lo_us=-86_400_000_000, hi_us=0,
+        left_id="purchase_id", right_id="click_id")
+
+    def weight(b: pa.Table) -> pa.Table:
+        n = np.asarray(pc.cast(b.column("n_matches"), pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+        return b.append_column(
+            "w_ppm", pa.array(1_000_000 // n, type=pa.int64()))
+
+    return pairs.map_batches(weight, batch_format="pyarrow")
+
+
+QUERIES["attribution_pairs"] = q_attribution_pairs
+
+ORACLE_SQL["attribution_pairs"] = """
+    WITH P AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+               WHERE event_type = 'purchase' AND ts IS NOT NULL),
+    C AS (SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click' AND ts IS NOT NULL),
+    J AS (SELECT p.purchase_id, c.click_id
+          FROM P p JOIN C c ON c.user_id = p.user_id
+          WHERE c.ts > p.ts - INTERVAL 86400 SECOND AND c.ts <= p.ts),
+    N AS (SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+          FROM J GROUP BY 1)
+    SELECT j.purchase_id, j.click_id, n.n_matches,
+           CAST(1000000 // n.n_matches AS BIGINT) AS w_ppm
+    FROM J j JOIN N n USING (purchase_id)
+"""
+
+
+def q_vec_dim_stats(sf_dir: str):
+    """Per-dimension embedding stats table (n/min/max/sum in exact
+    integer micro-units) — the scaling table before normalization, and
+    the drift monitor between corpus snapshots."""
+    import ray.data as rd
+
+    from .ops.similarity import vec_dim_stats
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return vec_dim_stats(emb)
+
+
+QUERIES["vec_dim_stats"] = q_vec_dim_stats
+
+ORACLE_SQL["vec_dim_stats"] = """
+    WITH E AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                          AS dim,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                 * 1000000) AS BIGINT) AS v
+               FROM embeddings)
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v) AS BIGINT) AS mn_micro,
+           CAST(MAX(v) AS BIGINT) AS mx_micro,
+           CAST(SUM(v) AS BIGINT) AS sum_micro
+    FROM E GROUP BY dim
+"""
+
+
+def q_bpe_encoded(sf_dir: str):
+    """BPE train-then-encode round trip: the corpus tokenized with its
+    own 6-rule vocabulary, exploded to (doc, tok_pos, sub_pos, sym)
+    subword rows."""
+    from .ops.text import bpe_encode
+    return bpe_encode(_docs(sf_dir, ["doc_id", "text"]), n_merges=6)
+
+
+QUERIES["bpe_encoded"] = q_bpe_encoded
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    rounds = ",".join(_bpe_round_sql(k) for k in range(1, n_merges + 1))
+    return f"""
+    WITH WC AS (SELECT tk AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest({_TOKENS}) AS tk FROM documents)
+                GROUP BY tk),
+    R0 AS (SELECT word, CAST(i AS BIGINT) AS pos, word[i] AS sym
+           FROM WC, LATERAL (SELECT unnest(range(1, length(word) + 1))
+                             AS i)),
+    {rounds},
+    TOK AS (SELECT doc_id,
+                   CAST(generate_subscripts(t, 1) AS BIGINT) AS tok_pos,
+                   unnest(t) AS word
+            FROM (SELECT doc_id, {_TOKENS} AS t FROM documents))
+    SELECT tok.doc_id, tok.tok_pos, CAST(r.pos AS BIGINT) AS sub_pos,
+           r.sym
+    FROM TOK tok JOIN R{n_merges} r USING (word)
+"""
+
+
+ORACLE_SQL["bpe_encoded"] = _bpe_encode_sql(6)

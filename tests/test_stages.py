@@ -3544,3 +3544,77 @@ def test_ivf_pq_knn_recall_vs_brute(ray_session):
                       k_code=3, iters=1, k=5)
     plain = pq_knn(ds, (q_ids, Q), m=2, k_code=3, iters=1, k=5)
     assert full.values.tolist() == plain.values.tolist()
+
+
+def test_interval_pairs_join_reference(ray_session):
+    """Pair-emitting interval join equals the pandas merge reference
+    ((l.ts + lo, l.ts + hi] window, per-left n_matches); null ts drop;
+    zero-match left rows emit nothing."""
+    import ray.data as rd
+    from log2seq_ray.ops.join import interval_pairs_join
+    rng = np.random.default_rng(61)
+    n = 200
+    base = pd.Timestamp("2025-06-01")
+    L = pd.DataFrame({
+        "purchase_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 10, n),
+        "ts": base + pd.to_timedelta(rng.integers(0, 7200, n), unit="s")})
+    R = pd.DataFrame({
+        "click_id": np.arange(1000, 1000 + n, dtype=np.int64),
+        "user_id": rng.integers(0, 10, n),
+        "ts": base + pd.to_timedelta(rng.integers(0, 7200, n), unit="s")})
+    L.loc[::31, "ts"] = pd.NaT
+    R.loc[::29, "ts"] = pd.NaT
+    out = interval_pairs_join(
+        rd.from_pandas(L).repartition(4), rd.from_pandas(R).repartition(3),
+        "user_id", lo_us=-600_000_000, hi_us=0,
+        left_id="purchase_id", right_id="click_id",
+        num_parts=4).to_pandas()
+    m = L.dropna(subset=["ts"]).merge(R.dropna(subset=["ts"]),
+                                      on="user_id", suffixes=("_l", "_r"))
+    m = m[(m["ts_r"] > m["ts_l"] - pd.Timedelta(seconds=600))
+          & (m["ts_r"] <= m["ts_l"])]
+    ref = set(zip(m["purchase_id"], m["click_id"]))
+    assert set(zip(out["purchase_id"], out["click_id"])) == ref
+    nm = m.groupby("purchase_id").size()
+    got_nm = out.drop_duplicates("purchase_id") \
+        .set_index("purchase_id")["n_matches"]
+    assert got_nm.to_dict() == nm.to_dict()
+
+
+def test_vec_dim_stats_reference(ray_session):
+    """Per-dim micro-unit stats equal numpy on floor(v*1e6);
+    partitioning never changes sums."""
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import vec_dim_stats
+    rng = np.random.default_rng(67)
+    X = rng.normal(size=(90, 5)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(90), type=pa.int64()),
+                  "embedding": [r.tolist() for r in X]})
+    M = np.floor(X.astype(np.float64) * 1e6).astype(np.int64)
+    for parts in (1, 4):
+        out = vec_dim_stats(rd.from_arrow(t).repartition(parts)) \
+            .to_pandas().sort_values("dim")
+        assert (out["n"] == 90).all()
+        assert (out["mn_micro"].to_numpy() == M.min(axis=0)).all()
+        assert (out["mx_micro"].to_numpy() == M.max(axis=0)).all()
+        assert (out["sum_micro"].to_numpy() == M.sum(axis=0)).all()
+
+
+def test_bpe_encode_roundtrip(ray_session):
+    """Encoded subwords concatenate back to the original token at
+    every (doc, tok_pos); sub positions are dense 1..k."""
+    import ray.data as rd
+    from log2seq_ray.ops.text import bpe_encode
+    texts = ["low lower lowest", "newer wider low", "aaaa banana"]
+    t = pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
+                  "text": texts})
+    out = bpe_encode(rd.from_arrow(t).repartition(2), n_merges=4) \
+        .to_pandas().sort_values(["doc_id", "tok_pos", "sub_pos"])
+    for (did, tp), sub in out.groupby(["doc_id", "tok_pos"]):
+        word = texts[did].split()[tp - 1]
+        assert "".join(sub["sym"]) == word
+        assert sub["sub_pos"].tolist() == list(range(1, len(sub) + 1))
+    # every token of every doc is present
+    n_tokens = sum(len(s.split()) for s in texts)
+    assert out.groupby(["doc_id", "tok_pos"]).ngroups == n_tokens
