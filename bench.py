@@ -388,6 +388,7 @@ def run_benchmarks() -> dict:
         timed("vec_dim_stats",
               lambda: Q.q_vec_dim_stats(SF_DIR).to_pandas())
         timed("bpe_encoded", lambda: Q.q_bpe_encoded(SF_DIR).count())
+        timed("vec_gram", lambda: Q.q_vec_gram(SF_DIR).count())
 
         # dedup stress corpus: 8 near-dup replicas per document (40k docs
         # at sf0.1) — the dedup ops at a scale where fixed costs stop

@@ -1173,3 +1173,39 @@ def vec_dim_stats(ds, id_col: str = "vec_id", col: str = "embedding"):
             Min("mn_p", alias_name="mn_micro"),
             Max("mx_p", alias_name="mx_micro"),
             Sum("s_p", alias_name="sum_micro"))
+
+
+def vec_gram_sums(ds, col: str = "embedding", scale: int = 1000):
+    """Exact integer gram-matrix accumulation — the distributed
+    linear-algebra primitive under PCA / whitening / covariance: for
+    every dim pair (a ≤ b), ``n`` and ``Σ q_a·q_b`` where ``q =
+    floor(v·scale)`` (milli-units by default — products of two
+    milli-quantized coordinates summed over 10^9 rows stay far inside
+    int64, where micro-units would overflow). Quantize-then-multiply
+    makes the sums additive and order-independent, so merges are
+    engine-exact at any parallelism and SQL-reproducible.
+
+    Scale shape: each batch ships ONE d(d+1)/2-row partial (an integer
+    X^T X computed as a single matmul); vectors never shuffle; the
+    final groupby merges O(d² × n_batches) tiny rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"dim_a": pa.array([], type=pa.int64()),
+                             "dim_b": pa.array([], type=pa.int64()),
+                             "n_p": pa.array([], type=pa.int64()),
+                             "s_p": pa.array([], type=pa.int64())})
+        Q = np.floor(_to_matrix(b.column(col)) * scale).astype(np.int64)
+        n, d = Q.shape
+        G = Q.T @ Q                       # (d, d) int64, exact
+        ia, ib = np.triu_indices(d)
+        return pa.table({
+            "dim_a": pa.array(ia + 1, type=pa.int64()),
+            "dim_b": pa.array(ib + 1, type=pa.int64()),
+            "n_p": pa.array(np.full(len(ia), n, dtype=np.int64)),
+            "s_p": pa.array(G[ia, ib])})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["dim_a", "dim_b"]).aggregate(
+            Sum("n_p", alias_name="n"), Sum("s_p", alias_name="s"))

@@ -5523,3 +5523,32 @@ def _bpe_encode_sql(n_merges: int) -> str:
 
 
 ORACLE_SQL["bpe_encoded"] = _bpe_encode_sql(6)
+
+
+def q_vec_gram(sf_dir: str):
+    """Integer gram-matrix sums over the embeddings (dim pairs a ≤ b,
+    milli-quantized products) — the exact distributed X^T X under
+    PCA/whitening; one d(d+1)/2-row partial per batch."""
+    import ray.data as rd
+
+    from .ops.similarity import vec_gram_sums
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+    return vec_gram_sums(emb, scale=1000)
+
+
+QUERIES["vec_gram"] = q_vec_gram
+
+ORACLE_SQL["vec_gram"] = """
+    WITH E AS (SELECT vec_id,
+                      CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                          AS dim,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                 * 1000) AS BIGINT) AS q
+               FROM embeddings)
+    SELECT a.dim AS dim_a, b.dim AS dim_b,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a.q * b.q) AS BIGINT) AS s
+    FROM E a JOIN E b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY 1, 2
+"""

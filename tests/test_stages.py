@@ -3618,3 +3618,24 @@ def test_bpe_encode_roundtrip(ray_session):
     # every token of every doc is present
     n_tokens = sum(len(s.split()) for s in texts)
     assert out.groupby(["doc_id", "tok_pos"]).ngroups == n_tokens
+
+
+def test_vec_gram_sums_reference(ray_session):
+    """Integer gram sums equal numpy Q^T Q on milli-quantized coords;
+    partitioning never changes sums (additive integer merges)."""
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import vec_gram_sums
+    rng = np.random.default_rng(71)
+    X = rng.normal(size=(70, 6)).astype(np.float32)
+    t = pa.table({"embedding": [r.tolist() for r in X]})
+    Q = np.floor(X.astype(np.float64) * 1000).astype(np.int64)
+    G = Q.T @ Q
+    ia, ib = np.triu_indices(6)
+    ref = {(int(a) + 1, int(b) + 1): int(G[a, b])
+           for a, b in zip(ia, ib)}
+    for parts in (1, 4):
+        out = vec_gram_sums(rd.from_arrow(t).repartition(parts),
+                            scale=1000).to_pandas()
+        assert (out["n"] == 70).all()
+        got = {(r.dim_a, r.dim_b): r.s for r in out.itertuples()}
+        assert got == ref
