@@ -776,9 +776,17 @@ def minhash_clusters(ds, threshold: float = 0.8, method: str = "auto",
     verified pairs exceed driver memory); 'auto' picks union-find below
     1M pairs. Both produce identical output (min-id components), both
     return a Dataset."""
+    return clusters_from_pairs(minhash_dedup(ds, threshold=threshold,
+                                             **kw), method=method)
+
+
+def clusters_from_pairs(pairs_ds, method: str = "auto"):
+    """Connected components of an (id_a, id_b) pair Dataset →
+    (doc_id, cluster_id = min id of component). The reusable back half
+    of :func:`minhash_clusters` for callers that already hold the pair
+    set (so the pair pipeline runs once, not once per consumer)."""
     import pandas as pd
     import ray.data as rd
-    pairs_ds = minhash_dedup(ds, threshold=threshold, **kw)
     if method == "labelprop" \
             or (method == "auto" and pairs_ds.count() > 1_000_000):
         return label_propagation_clusters(pairs_ds)
@@ -791,7 +799,8 @@ def minhash_clusters(ds, threshold: float = 0.8, method: str = "auto",
             x = parent[x]
         return x
 
-    for a, b, _ in pairs.itertuples(index=False):
+    for t in pairs.itertuples(index=False):
+        a, b = t.id_a, t.id_b
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)

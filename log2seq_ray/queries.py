@@ -5108,10 +5108,14 @@ def q_dup_graph_stats(sf_dir: str):
     a cluster-keyed join of the two small aggregates."""
     from ray.data.aggregate import Count, Sum
 
+    from .ops.dedup import clusters_from_pairs
     from .ops.join import hash_join
 
-    clusters = q_minhash_clusters(sf_dir)
-    pairs = q_minhash_dedup(sf_dir)
+    # the pair set feeds BOTH the edge counts and the clustering —
+    # materialize once so the MinHash pipeline (shingle → bucket →
+    # verify) runs once, not twice
+    pairs = q_minhash_dedup(sf_dir).materialize()
+    clusters = clusters_from_pairs(pairs)
     edges = hash_join(pairs, clusters, "id_a", "doc_id",
                       left_cols=["id_a"],
                       right_cols=["doc_id", "cluster_id"]) \
