@@ -523,6 +523,9 @@ def ingest_hll_run(ds, state_dir: str, group_col: str, value_col: str,
              if os.path.isdir(f"{state_dir}/run_{i:05d}")
              for f in sorted(os.listdir(f"{state_dir}/run_{i:05d}"))
              if f.endswith(".parquet")]
+    if not files:   # every run so far was empty
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n_approx": pd.Series([], dtype="int64")})
     merged = rd.read_parquet(files) \
         .groupby([group_col, "register"]) \
         .aggregate(Max("rho", alias_name="rho")).to_pandas()

@@ -854,6 +854,8 @@ def ingest_hist_run(ds, state_dir: str, value_col: str, q: float = 0.5,
              if os.path.isdir(f"{state_dir}/run_{i:05d}")
              for f in sorted(os.listdir(f"{state_dir}/run_{i:05d}"))
              if f.endswith(".parquet")]
+    if not files:   # every run so far was empty
+        raise ValueError("ingest_hist_run: no finite values in history")
     vc = rd.read_parquet(files).groupby("bin") \
         .aggregate(Sum("n", alias_name="n")).to_pandas()
     if len(vc) == 0:

@@ -1058,6 +1058,8 @@ def bm25_search(ds, terms, k: int = 20, id_col: str = "doc_id",
     stats = ds.map_batches(df_partial, batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("df_part", alias_name="df")) \
         .to_pandas()
+    if stats.empty or "term" not in stats.columns:
+        stats = stats.reindex(columns=["term", "df"])
     lookup = dict(zip(stats["term"], stats["df"]))
     n_docs = int(lookup.pop(_N, 0))
     tot_len = int(lookup.pop(_LEN, 0))
@@ -1189,6 +1191,14 @@ def collocation_pairs(ds, min_count: int = 5, k: int = 25,
         return t.take(idx.slice(0, k))
 
     pdf = j2.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    if pdf.empty or "score" not in pdf.columns:
+        # zero surviving bigrams: the join's typed-empty blocks pass
+        # through map_batches untouched, so the score columns never form
+        import pandas as pd
+        return pd.DataFrame({"token_a": pd.Series([], dtype=object),
+                             "token_b": pd.Series([], dtype=object),
+                             "c_ab": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
     return pdf.sort_values(["score", "token_a", "token_b"],
                            ascending=[False, True, True]).head(k) \
         .reset_index(drop=True)

@@ -3639,3 +3639,32 @@ def test_vec_gram_sums_reference(ray_session):
         assert (out["n"] == 70).all()
         got = {(r.dim_a, r.dim_b): r.s for r in out.itertuples()}
         assert got == ref
+
+
+def test_new_ops_empty_inputs(ray_session, tmp_path):
+    """Empty-input edges of this session's ops: no surviving bigrams,
+    all-empty ingest runs, empty budget groups."""
+    import ray.data as rd
+    from log2seq_ray.ops.curation import token_budget_sample
+    from log2seq_ray.ops.sketch import ingest_hll_run
+    from log2seq_ray.ops.text import bm25_search, collocation_pairs
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": ["unique words only here", "all different"],
+                  "lang": ["en", "de"]})
+    ds = rd.from_arrow(t)
+    out = collocation_pairs(ds, min_count=5, k=3)
+    assert len(out) == 0 and list(out.columns) == [
+        "token_a", "token_b", "c_ab", "score"]
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string())}))
+    assert len(bm25_search(empty, ["x"], k=3)) == 0
+    out = ingest_hll_run(empty.map_batches(
+        lambda b: pa.table({"event_type": b.column("lang"),
+                            "user_id": b.column("doc_id")}),
+        batch_format="pyarrow"), str(tmp_path / "h"),
+        "event_type", "user_id", p=5)
+    assert len(out) == 0
+    out = token_budget_sample(ds, budget=1, group_col="lang")
+    assert out.count() == 2    # crossing doc kept per group
