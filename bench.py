@@ -261,6 +261,10 @@ def run_benchmarks() -> dict:
               lambda: Q.q_minhash_clusters_lp(SF_DIR).to_pandas())
         timed("ngram_jaccard",
               lambda: Q.q_ngram_jaccard(SF_DIR).to_pandas())
+        timed("containment_dups",
+              lambda: Q.q_containment_dups(SF_DIR).to_pandas())
+        timed("vocab_growth",
+              lambda: Q.q_vocab_growth(SF_DIR).to_pandas())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

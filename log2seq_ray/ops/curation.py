@@ -230,16 +230,26 @@ def _agg_stage2(id_col: str, pair_pieces, size_pieces):
                      "sz_a": pa.array(sz_a.astype(np.int64))}), sizes_out
 
 
-def _final_stage3(tau_num: int, tau_den: int, sizes: pa.Table, pieces):
+def _final_stage3(tau_num: int, tau_den: int, sizes: pa.Table, pieces,
+                  mode: str = "jaccard"):
     """Exchange-3 partition (keyed by hash(id_b)): attach sz_b from the
-    co-located sizes table and apply the exact integer threshold."""
+    co-located sizes table and apply the exact integer threshold.
+
+    ``mode="jaccard"``: keep ``inter/(sz_a+sz_b-inter) >= tau`` →
+    ``inter*(tau_den+tau_num) >= tau_num*(sz_a+sz_b)``; output
+    (id_a, id_b, inter, union_n). ``mode="containment"``: keep
+    ``inter/min(sz_a, sz_b) >= tau`` → ``inter*tau_den >=
+    tau_num*min(sz_a, sz_b)``; output (id_a, id_b, inter, min_sz) —
+    the set-containment self-join (a short doc whose shingles are a
+    subset of a long doc's has containment 1 but Jaccard |A|/|B|)."""
     import ray
     if pieces and isinstance(pieces[0], ray.ObjectRef):
         pieces = ray.get(list(pieces))
+    last = "min_sz" if mode == "containment" else "union_n"
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64()),
                       "inter": pa.array([], type=pa.int64()),
-                      "union_n": pa.array([], type=pa.int64())})
+                      last: pa.array([], type=pa.int64())})
     pieces = [t for t in pieces if t.num_rows]
     if not pieces:
         return empty
@@ -249,11 +259,18 @@ def _final_stage3(tau_num: int, tau_den: int, sizes: pa.Table, pieces):
     b = t.column("id_b").to_numpy()
     sz_b = usz[np.searchsorted(uid, b)]
     inter = t.column("inter").to_numpy()
-    s = t.column("sz_a").to_numpy() + sz_b
-    keep = inter * (tau_den + tau_num) >= tau_num * s
+    sz_a = t.column("sz_a").to_numpy()
+    if mode == "containment":
+        msz = np.minimum(sz_a, sz_b)
+        keep = inter * tau_den >= tau_num * msz
+        extra = msz.astype(np.int64)
+    else:
+        s = sz_a + sz_b
+        keep = inter * (tau_den + tau_num) >= tau_num * s
+        extra = (s - inter).astype(np.int64)
     out = pa.table({"id_a": t.column("id_a"), "id_b": t.column("id_b"),
                     "inter": pa.array(inter, type=pa.int64()),
-                    "union_n": pa.array((s - inter).astype(np.int64))})
+                    last: pa.array(extra)})
     return out.filter(pa.array(keep))
 
 
@@ -302,7 +319,7 @@ def ngram_jaccard_dups(ds, window: int = 4, tau_num: int = 1,
 
 
 def _pairs_finalize(pair_refs, size_refs, tau_num, tau_den, id_col,
-                    num_parts):
+                    num_parts, mode: str = "jaccard"):
     """Exchanges 2+3 of the set-similarity join, shared by
     :func:`ngram_jaccard_dups` and :func:`ingest_neardup_run`.
 
@@ -335,9 +352,203 @@ def _pairs_finalize(pair_refs, size_refs, tau_num, tau_den, id_col,
     pair3 = fan_out_pieces(split_by_key, agg_refs, np2,
                            args=("id_b", np2))
     stage3 = ray.remote(_final_stage3)
-    out = [stage3.remote(tau_num, tau_den, szloc, pieces)
+    out = [stage3.remote(tau_num, tau_den, szloc, pieces, mode)
            for szloc, pieces in zip(szloc_refs, pair3)]
     return rd.from_arrow_refs(out)
+
+
+def containment_dups(ds, window: int = 4, tau_num: int = 9,
+                     tau_den: int = 10, max_df=None, num_parts=None,
+                     id_col: str = "doc_id", col: str = "text"):
+    """Exact n-gram set-CONTAINMENT near-dup pairs: pairs with
+    ``|A∩B| / min(|A|, |B|) >= tau_num/tau_den`` over the (optionally
+    df-capped) distinct ``window``-token shingle-hash sets. Catches the
+    short-doc-inside-long-doc duplicates that a Jaccard threshold
+    structurally misses: a prefix/excerpt of a large page has
+    containment 1.0 but Jaccard |A|/|B| → 0 as the host page grows.
+    Threshold decided in exact integer arithmetic (``inter*tau_den >=
+    tau_num*min(sz_a, sz_b)``) so SQL reproduces every decision.
+
+    Same three-exchange inverted-index plan as
+    :func:`ngram_jaccard_dups` (stage A shingle rows → df-cap + i<j
+    multiplicity partials → per-pair finalize keyed on id_a → threshold
+    keyed on id_b); only the stage-3 predicate differs.
+
+    Returns a Dataset of (id_a, id_b, inter, min_sz)."""
+    import ray
+    from .dedup import _auto_parts
+    from .exchange import (fan_out_pieces, split_by_key,
+                           stream_block_refs)
+
+    num_parts = _auto_parts(num_parts)
+    shingles = ds.map_batches(
+        lambda b: _shingle_rows(b, window, id_col, col),
+        batch_format="pyarrow")
+    work = ray.remote(num_returns=2)(_jacc_partition)
+    per_part = fan_out_pieces(split_by_key, stream_block_refs(shingles),
+                              num_parts, args=("g", num_parts))
+    pair_refs, size_refs = [], []
+    for pieces in per_part:
+        pr, sr = work.remote(id_col, max_df, pieces)
+        pair_refs.append(pr)
+        size_refs.append(sr)
+    return _pairs_finalize(pair_refs, size_refs, tau_num, tau_den,
+                           id_col, num_parts, mode="containment")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth (Heaps-law curve)
+# ---------------------------------------------------------------------------
+
+def _vocab_rows(batch: pa.Table, bucket_size: int, id_col: str,
+                col: str) -> pa.Table:
+    """Stage A: two partial kinds stacked in one (k, v, kind) table —
+    kind 0 rows are (token md5-60 hash, batch-local min doc_id), kind 1
+    rows are (doc_id bucket, token-count partial). Both route by ``k``
+    in the same exchange: a token's rows share its hash, a bucket's
+    count partials share the bucket int, so each key finalizes in
+    exactly one partition."""
+    toks = _token_lists(batch.column(col))
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    ids = batch.column(id_col).to_numpy()
+    empty = pa.table({"k": pa.array([], type=pa.int64()),
+                      "v": pa.array([], type=pa.int64()),
+                      "kind": pa.array([], type=pa.int8())})
+    if not len(ids) or not counts.sum():
+        return empty
+    svals = pc.list_flatten(toks).to_pylist()
+    uniq, inv = np.unique(np.array(svals, dtype=object),
+                          return_inverse=True)
+    h_uniq = np.fromiter((_md5_60(s) for s in uniq), dtype=np.int64,
+                         count=len(uniq))
+    h = h_uniq[inv]
+    doc_of = ids[np.repeat(np.arange(len(ids), dtype=np.int64), counts)]
+    order = np.lexsort((doc_of, h))
+    hh, dd = h[order], doc_of[order]
+    first = np.ones(len(hh), dtype=bool)
+    first[1:] = hh[1:] != hh[:-1]
+    k0, v0 = hh[first], dd[first]
+    ub, binv = np.unique(ids // bucket_size, return_inverse=True)
+    tok = np.bincount(binv, weights=counts).astype(np.int64)
+    nz = tok > 0  # a bucket whose docs are all empty has no SQL rows
+    k = np.concatenate([k0, ub[nz]])
+    v = np.concatenate([v0, tok[nz]])
+    kind = np.concatenate([np.zeros(len(k0), dtype=np.int8),
+                           np.ones(int(nz.sum()), dtype=np.int8)])
+    return pa.table({"k": pa.array(k, type=pa.int64()),
+                     "v": pa.array(v, type=pa.int64()),
+                     "kind": pa.array(kind, type=pa.int8())})
+
+
+def _vocab_partition(bucket_size: int, pieces):
+    """One exchange partition: finalize min-doc per token hash, bucket
+    the first occurrences, and sum this partition's complete bucket
+    token counts. Output is tiny — O(buckets) rows."""
+    import ray
+    if pieces and isinstance(pieces[0], ray.ObjectRef):
+        pieces = ray.get(list(pieces))
+    empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                      "new_types": pa.array([], type=pa.int64()),
+                      "bucket_tokens": pa.array([], type=pa.int64())})
+    pieces = [t for t in pieces if t.num_rows]
+    if not pieces:
+        return empty
+    t = pa.concat_tables(pieces)
+    kind = t.column("kind").to_numpy()
+    k = t.column("k").to_numpy()
+    v = t.column("v").to_numpy()
+    k0, v0 = k[kind == 0], v[kind == 0]
+    rows = {}
+    if len(k0):
+        order = np.lexsort((v0, k0))
+        hh, dd = k0[order], v0[order]
+        first = np.ones(len(hh), dtype=bool)
+        first[1:] = hh[1:] != hh[:-1]
+        fb = dd[first] // bucket_size
+        ub, cnt = np.unique(fb, return_counts=True)
+        for b, c in zip(ub.tolist(), cnt.tolist()):
+            rows.setdefault(b, [0, 0])[0] += c
+    k1, v1 = k[kind == 1], v[kind == 1]
+    if len(k1):
+        ub, binv = np.unique(k1, return_inverse=True)
+        tok = np.bincount(binv, weights=v1).astype(np.int64)
+        for b, c in zip(ub.tolist(), tok.tolist()):
+            rows.setdefault(b, [0, 0])[1] += c
+    bs = sorted(rows)
+    return pa.table({
+        "bucket": pa.array(bs, type=pa.int64()),
+        "new_types": pa.array([rows[b][0] for b in bs], type=pa.int64()),
+        "bucket_tokens": pa.array([rows[b][1] for b in bs],
+                                  type=pa.int64())})
+
+
+def _vocab_final(parts):
+    """Last reduce (one task, O(buckets) rows in): merge the partition
+    partials and attach the running vocabulary / token cumsums."""
+    import ray
+    if parts and isinstance(parts[0], ray.ObjectRef):
+        parts = ray.get(list(parts))
+    parts = [t for t in parts if t.num_rows]
+    empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                      "bucket_tokens": pa.array([], type=pa.int64()),
+                      "new_types": pa.array([], type=pa.int64()),
+                      "vocab": pa.array([], type=pa.int64()),
+                      "tokens_cum": pa.array([], type=pa.int64())})
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    b = t.column("bucket").to_numpy()
+    nt = t.column("new_types").to_numpy()
+    tok = t.column("bucket_tokens").to_numpy()
+    ub, binv = np.unique(b, return_inverse=True)
+    nts = np.bincount(binv, weights=nt).astype(np.int64)
+    toks = np.bincount(binv, weights=tok).astype(np.int64)
+    return pa.table({"bucket": pa.array(ub, type=pa.int64()),
+                     "bucket_tokens": pa.array(toks),
+                     "new_types": pa.array(nts),
+                     "vocab": pa.array(np.cumsum(nts).astype(np.int64)),
+                     "tokens_cum": pa.array(
+                         np.cumsum(toks).astype(np.int64))})
+
+
+def vocab_growth(ds, bucket_size: int = 100, num_parts=None,
+                 id_col: str = "doc_id", col: str = "text"):
+    """Heaps-law vocabulary-growth curve: for each ``bucket_size``-doc
+    id range, the bucket's token count, the number of token types whose
+    corpus-first occurrence (min doc_id) falls in the bucket, and the
+    running totals (``vocab`` = distinct types seen so far,
+    ``tokens_cum`` = tokens seen so far). The standard corpus-scaling
+    diagnostic: V(n) ≈ K·nᵝ says how fast new vocabulary arrives as the
+    crawl grows — a flattening curve means marginal data is mostly
+    repeats. Type identity is the shared md5-60 token hash, so DuckDB
+    reproduces every count.
+
+    One narrow (hash, doc_id) exchange; per-batch partial min per type
+    collapses in-batch repeats before the shuffle, first occurrences
+    finalize per-partition, and only O(buckets) rows reach the final
+    single-task cumsum. Rows for empty-token docs are dropped (no token
+    evidence), matching the SQL's unnest semantics.
+
+    Returns a Dataset of
+    (bucket, bucket_tokens, new_types, vocab, tokens_cum)."""
+    import ray
+    import ray.data as rd
+    from .dedup import _auto_parts
+    from .exchange import (fan_out_pieces, split_by_key,
+                           stream_block_refs)
+
+    num_parts = _auto_parts(num_parts)
+    rows = ds.map_batches(
+        lambda t: _vocab_rows(t, bucket_size, id_col, col),
+        batch_format="pyarrow")
+    per_part = fan_out_pieces(split_by_key, stream_block_refs(rows),
+                              num_parts, args=("k", num_parts))
+    work = ray.remote(_vocab_partition)
+    part_refs = [work.remote(bucket_size, pieces)
+                 for pieces in per_part]
+    final = ray.remote(_vocab_final)
+    return rd.from_arrow_refs([final.remote(part_refs)])
 
 
 # ---------------------------------------------------------------------------

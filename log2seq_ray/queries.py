@@ -5556,3 +5556,103 @@ ORACLE_SQL["vec_gram"] = """
     FROM E a JOIN E b ON a.vec_id = b.vec_id AND a.dim <= b.dim
     GROUP BY 1, 2
 """
+
+
+def q_containment_dups(sf_dir: str):
+    """Exact 4-gram set-CONTAINMENT pairs (|A∩B| ≥ 0.9·min(|A|,|B|),
+    df≤64 cap): the short-doc-inside-long-doc duplicates Jaccard
+    structurally misses. Every doc contributes a synthetic half-prefix
+    variant (doc_id + 1,000,000, first ⌈n/2⌉ tokens) so full-containment
+    hits are guaranteed and hash-gated. Same three-exchange
+    inverted-index plan as ngram_jaccard (ops/curation.py:containment_dups)."""
+    from .ops.curation import containment_dups
+    from .ops.text import _token_lists
+
+    def aug(b: pa.Table) -> pa.Table:
+        import numpy as np
+        toks = _token_lists(b.column("text"))
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        counts = np.diff(offsets)
+        keep_n = (counts + 1) // 2
+        new_off = np.concatenate([[0], np.cumsum(keep_n)])
+        idx = (np.repeat(offsets[:-1], keep_n)
+               + np.arange(int(keep_n.sum()), dtype=np.int64)
+               - np.repeat(new_off[:-1], keep_n))
+        pref = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()), toks.values.take(idx))
+        ids = b.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [ids, pc.add(ids, pa.scalar(1000000,
+                                            type=ids.type))]),
+            "text": pa.concat_arrays(
+                [text, pc.binary_join(pref, " ")])})
+
+    return containment_dups(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            aug, batch_format="pyarrow"),
+        window=4, tau_num=9, tau_den=10, max_df=64)
+
+
+QUERIES["containment_dups"] = q_containment_dups
+
+ORACLE_SQL["containment_dups"] = f"""
+    WITH T0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    T AS (SELECT doc_id, t FROM T0
+          UNION ALL
+          SELECT doc_id + 1000000, t[1:(len(t)+1)//2] FROM T0),
+    SH AS (SELECT doc_id, list_distinct(list_transform(
+              CASE WHEN len(t) = 0 THEN ['']
+                   WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                   ELSE list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' ')) END,
+              s -> {_H60.format(s='s')})) AS gs
+           FROM T),
+    EX0 AS (SELECT doc_id, unnest(gs) AS g FROM SH),
+    DF AS (SELECT g, COUNT(*) AS df FROM EX0 GROUP BY g),
+    EX AS (SELECT e.doc_id, e.g FROM EX0 e JOIN DF USING (g)
+           WHERE df <= 64),
+    SZ AS (SELECT doc_id, COUNT(*) AS sz FROM EX GROUP BY doc_id),
+    I AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+          FROM EX a JOIN EX b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+           CAST(least(sa.sz, sb.sz) AS BIGINT) AS min_sz
+    FROM I JOIN SZ sa ON sa.doc_id = ia JOIN SZ sb ON sb.doc_id = ib
+    WHERE inter * 10 >= 9 * least(sa.sz, sb.sz)
+"""
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-growth curve in 100-doc id buckets: bucket
+    token counts, first-occurrence new types, and running vocab/token
+    cumsums (ops/curation.py:vocab_growth)."""
+    from .ops.curation import vocab_growth
+    return vocab_growth(_docs(sf_dir, ["doc_id", "text"]),
+                        bucket_size=100)
+
+
+QUERIES["vocab_growth"] = q_vocab_growth
+
+ORACLE_SQL["vocab_growth"] = f"""
+    WITH H AS (SELECT doc_id, {_H60.format(s='tok')} AS h
+               FROM (SELECT doc_id, unnest({_TOKENS}) AS tok
+                     FROM documents)),
+    F AS (SELECT h, MIN(doc_id) AS fd FROM H GROUP BY h),
+    NT AS (SELECT fd // 100 AS bucket, CAST(COUNT(*) AS BIGINT)
+               AS new_types FROM F GROUP BY 1),
+    TK AS (SELECT doc_id // 100 AS bucket, CAST(COUNT(*) AS BIGINT)
+               AS bucket_tokens FROM H GROUP BY 1)
+    SELECT bucket, bucket_tokens,
+           CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types,
+           CAST(SUM(COALESCE(new_types, 0))
+                OVER (ORDER BY bucket) AS BIGINT) AS vocab,
+           CAST(SUM(bucket_tokens)
+                OVER (ORDER BY bucket) AS BIGINT) AS tokens_cum
+    FROM TK LEFT JOIN NT USING (bucket)
+"""

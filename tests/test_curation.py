@@ -437,3 +437,119 @@ def test_novelty_scores_reference(ray_session):
         sh = shingles(s)
         assert out.loc[i, "n_grams"] == len(sh)
         assert out.loc[i, "n_novel"] == sum(df[g] == 1 for g in sh)
+
+
+def _brute_containment(rows, k, tau_num, tau_den, max_df):
+    sets = {i: _sh_set(t, k) for i, t in rows}
+    if max_df is not None:
+        df = {}
+        for s in sets.values():
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        sets = {i: {g for g in s if df[g] <= max_df}
+                for i, s in sets.items()}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            msz = min(len(sets[a]), len(sets[b]))
+            if inter * tau_den >= tau_num * msz:
+                out.add((a, b, inter, msz))
+    return out
+
+
+def test_containment_matches_brute_force(ray_session):
+    from log2seq_ray.ops.curation import containment_dups
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "a b c d e f"),               # prefix of 1: containment 1.0
+        (3, "c d e f g h"),               # infix of 1: containment 1.0
+        (4, "p q r s t u v w"),
+        (5, "p q r s t u zz ww"),         # partial overlap
+        (6, ""),                          # empty
+        (7, "one two"),                   # short row
+        (8, "completely different text body here"),
+    ]
+    got = containment_dups(_ds(rows), window=3, tau_num=9, tau_den=10,
+                           num_parts=4).to_pandas()
+    got_set = {tuple(r) for r in
+               got[["id_a", "id_b", "inter", "min_sz"]].itertuples(
+                   index=False)}
+    expect = _brute_containment(rows, 3, 9, 10, None)
+    assert got_set == expect
+    # the prefix/infix docs must be caught — that's the op's point
+    assert (1, 2, 4, 4) in expect and (1, 3, 4, 4) in expect
+    # ...and a Jaccard 1/2 run on the same corpus must MISS them
+    jac = _brute_jaccard(rows, 3, 1, 2, None)
+    assert not any(p[:2] == (1, 2) for p in jac)
+
+
+def test_containment_max_df_and_single_part(ray_session):
+    from log2seq_ray.ops.curation import containment_dups
+    rows = [
+        (1, "x y z x y z x y z a b c"),
+        (2, "x y z a b c"),
+        (3, "m n o p q r s t"),
+    ]
+    for np_ in (1, 3):
+        got = containment_dups(_ds(rows), window=3, tau_num=4,
+                               tau_den=5, num_parts=np_,
+                               max_df=2).to_pandas()
+        got_set = {tuple(r) for r in
+                   got[["id_a", "id_b", "inter", "min_sz"]].itertuples(
+                       index=False)}
+        assert got_set == _brute_containment(rows, 3, 4, 5, 2)
+
+
+def _brute_vocab(rows, bucket_size):
+    first, toks_per_bucket = {}, {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        b = doc_id // bucket_size
+        if toks:
+            toks_per_bucket[b] = toks_per_bucket.get(b, 0) + len(toks)
+        for t in toks:
+            h = _md5_60(t)
+            if h not in first or doc_id < first[h]:
+                first[h] = doc_id
+    new_types = {}
+    for h, d in first.items():
+        new_types[d // bucket_size] = new_types.get(d // bucket_size,
+                                                    0) + 1
+    out, vocab, cum = [], 0, 0
+    for b in sorted(toks_per_bucket):
+        nt = new_types.get(b, 0)
+        vocab += nt
+        cum += toks_per_bucket[b]
+        out.append((b, toks_per_bucket[b], nt, vocab, cum))
+    return out
+
+
+def test_vocab_growth_matches_brute_force(ray_session):
+    from log2seq_ray.ops.curation import vocab_growth
+    rows = [
+        (0, "a b c a"),
+        (1, "a b d"),
+        (5, "e f"),
+        (7, ""),                          # empty doc: no token evidence
+        (10, "a e g h"),
+        (13, "g g g"),
+        (21, "i"),
+    ]
+    for np_ in (1, 4):
+        got = vocab_growth(_ds(rows), bucket_size=5,
+                           num_parts=np_).to_pandas()
+        got_rows = [tuple(int(v) for v in r) for r in got[
+            ["bucket", "bucket_tokens", "new_types", "vocab",
+             "tokens_cum"]].itertuples(index=False)]
+        assert got_rows == _brute_vocab(rows, 5)
+
+
+def test_vocab_growth_empty_input(ray_session):
+    from log2seq_ray.ops.curation import vocab_growth
+    got = vocab_growth(_ds([]), bucket_size=5)
+    assert got.count() == 0
+    assert got.schema().names == ["bucket", "bucket_tokens", "new_types",
+                                  "vocab", "tokens_cum"]
