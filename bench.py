@@ -265,6 +265,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_containment_dups(SF_DIR).to_pandas())
         timed("vocab_growth",
               lambda: Q.q_vocab_growth(SF_DIR).to_pandas())
+        timed("token_coverage",
+              lambda: Q.q_token_coverage(SF_DIR).to_pandas())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -552,6 +552,134 @@ def vocab_growth(ds, bucket_size: int = 100, num_parts=None,
 
 
 # ---------------------------------------------------------------------------
+# vocabulary coverage curve (top-K type coverage / OOV budget)
+# ---------------------------------------------------------------------------
+
+def _tok_count_rows(batch: pa.Table, col: str) -> pa.Table:
+    """Per-batch (token md5-60 hash, occurrence count) partials."""
+    toks = _token_lists(batch.column(col))
+    svals = pc.list_flatten(toks).to_pylist()
+    if not svals:
+        return pa.table({"h": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64())})
+    uniq, cnt = np.unique(np.array(svals, dtype=object),
+                          return_counts=True)
+    h = np.fromiter((_md5_60(s) for s in uniq), dtype=np.int64,
+                    count=len(uniq))
+    return pa.table({"h": pa.array(h, type=pa.int64()),
+                     "n": pa.array(cnt.astype(np.int64))})
+
+
+def _coverage_block(bucket_size: int, rank_off: int, occ_off: int,
+                    tbl: pa.Table) -> pa.Table:
+    """Per sorted block: global ranks from the scan offsets, bucket the
+    types, emit (bucket, types, occ, occ_cum_at_bucket_end) partials —
+    occ_cum is exact because the bucket's running total is this block's
+    local cumsum plus the block's exclusive occurrence offset."""
+    empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                      "types": pa.array([], type=pa.int64()),
+                      "occ": pa.array([], type=pa.int64()),
+                      "occ_cum": pa.array([], type=pa.int64())})
+    if "cnt" not in tbl.column_names:  # empty upstream loses the schema
+        return empty
+    cnt = tbl.column("cnt").to_numpy()
+    if not len(cnt):
+        return empty
+    rank = rank_off + np.arange(len(cnt), dtype=np.int64)  # 0-based
+    bucket = rank // bucket_size
+    run = occ_off + np.cumsum(cnt).astype(np.int64)
+    ub, binv = np.unique(bucket, return_inverse=True)
+    types = np.bincount(binv).astype(np.int64)
+    occ = np.bincount(binv, weights=cnt).astype(np.int64)
+    # last running total inside each bucket segment (ranks are sorted,
+    # so a bucket's rows are contiguous)
+    last = np.cumsum(types) - 1
+    return pa.table({"bucket": pa.array(ub, type=pa.int64()),
+                     "types": pa.array(types),
+                     "occ": pa.array(occ),
+                     "occ_cum": pa.array(run[last])})
+
+
+def _coverage_final(total_occ: int, parts):
+    """Merge block partials: a bucket split across two blocks keeps the
+    LATER block's occ_cum (the true running total at bucket end)."""
+    import ray
+    if parts and isinstance(parts[0], ray.ObjectRef):
+        parts = ray.get(list(parts))
+    parts = [t for t in parts if t.num_rows]
+    empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                      "types": pa.array([], type=pa.int64()),
+                      "occ": pa.array([], type=pa.int64()),
+                      "occ_cum": pa.array([], type=pa.int64()),
+                      "coverage_ppm": pa.array([], type=pa.int64())})
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    b = t.column("bucket").to_numpy()
+    ty = t.column("types").to_numpy()
+    oc = t.column("occ").to_numpy()
+    cum = t.column("occ_cum").to_numpy()
+    ub, binv = np.unique(b, return_inverse=True)
+    types = np.bincount(binv, weights=ty).astype(np.int64)
+    occ = np.bincount(binv, weights=oc).astype(np.int64)
+    occ_cum = np.zeros(len(ub), dtype=np.int64)
+    np.maximum.at(occ_cum, binv, cum)
+    ppm = occ_cum * 1_000_000 // max(total_occ, 1)
+    return pa.table({"bucket": pa.array(ub, type=pa.int64()),
+                     "types": pa.array(types),
+                     "occ": pa.array(occ),
+                     "occ_cum": pa.array(occ_cum),
+                     "coverage_ppm": pa.array(ppm)})
+
+
+def token_coverage(ds, bucket_size: int = 1000, col: str = "text"):
+    """Vocabulary coverage curve: token types ranked by corpus frequency
+    (count desc, hash asc — deterministic), grouped into
+    ``bucket_size``-type rank buckets, with each bucket's type count,
+    occurrence mass, running occurrence total, and integer coverage
+    ppm (``occ_cum * 1e6 // total``). Answers the tokenizer/vocab-budget
+    question directly: "how much of the corpus do the top K types
+    cover, and where does OOV mass start?".
+
+    Scale shape: per-batch (hash, count) partials → one Ray groupby sum
+    over V type rows (≪ corpus) → range-partitioned sort by (cnt desc,
+    h) → the O(n_blocks) scan-offset pattern from ops/scan.py for both
+    global ranks and running occurrence totals; only O(buckets) rows
+    reach the final merge task. Type identity is the shared md5-60
+    hash, so DuckDB reproduces every rank tie-break and count.
+
+    Returns a Dataset of (bucket, types, occ, occ_cum, coverage_ppm)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(
+        lambda t: _tok_count_rows(t, col),
+        batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="cnt")) \
+        .sort(["cnt", "h"], descending=[True, False])
+    refs = counts.to_arrow_refs()
+
+    def _block_stats(tbl: pa.Table):
+        if "cnt" not in tbl.column_names:  # empty-upstream schema loss
+            return 0, 0
+        s = pc.sum(tbl.column("cnt")).as_py()
+        return tbl.num_rows, int(s) if s is not None else 0
+
+    stats = ray.get([ray.remote(_block_stats).remote(r) for r in refs])
+    rows = np.array([s[0] for s in stats], dtype=np.int64)
+    occs = np.array([s[1] for s in stats], dtype=np.int64)
+    rank_offs = np.concatenate([[0], np.cumsum(rows)[:-1]])
+    occ_offs = np.concatenate([[0], np.cumsum(occs)[:-1]])
+    total_occ = int(occs.sum())
+    work = ray.remote(_coverage_block)
+    parts = [work.remote(bucket_size, int(ro), int(oo), r)
+             for ro, oo, r in zip(rank_offs, occ_offs, refs)]
+    final = ray.remote(_coverage_final)
+    return rd.from_arrow_refs([final.remote(total_occ, parts)])
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 

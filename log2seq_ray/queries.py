@@ -5656,3 +5656,33 @@ ORACLE_SQL["vocab_growth"] = f"""
                 OVER (ORDER BY bucket) AS BIGINT) AS tokens_cum
     FROM TK LEFT JOIN NT USING (bucket)
 """
+
+
+def q_token_coverage(sf_dir: str):
+    """Vocabulary coverage curve: 8-type rank buckets (count desc,
+    hash asc — the synthetic corpus has a ~31-type vocabulary, so 8
+    exercises multiple buckets), occurrence mass + running coverage ppm
+    — the tokenizer/vocab-budget diagnostic
+    (ops/curation.py:token_coverage)."""
+    from .ops.curation import token_coverage
+    return token_coverage(_docs(sf_dir, ["text"]), bucket_size=8)
+
+
+QUERIES["token_coverage"] = q_token_coverage
+
+ORACLE_SQL["token_coverage"] = f"""
+    WITH H AS (SELECT {_H60.format(s='tok')} AS h
+               FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)),
+    C AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM H GROUP BY h),
+    R AS (SELECT cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, h ASC) - 1 AS rn
+          FROM C),
+    B AS (SELECT rn // 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS types,
+                 CAST(SUM(cnt) AS BIGINT) AS occ
+          FROM R GROUP BY 1)
+    SELECT bucket, types, occ,
+           CAST(SUM(occ) OVER (ORDER BY bucket) AS BIGINT) AS occ_cum,
+           CAST(SUM(occ) OVER (ORDER BY bucket) * 1000000
+                // (SELECT SUM(cnt) FROM C) AS BIGINT) AS coverage_ppm
+    FROM B
+"""

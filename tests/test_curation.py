@@ -553,3 +553,46 @@ def test_vocab_growth_empty_input(ray_session):
     assert got.count() == 0
     assert got.schema().names == ["bucket", "bucket_tokens", "new_types",
                                   "vocab", "tokens_cum"]
+
+
+def _brute_coverage(rows, bucket_size):
+    from collections import Counter
+    c = Counter()
+    for _, text in rows:
+        for t in text.split(" "):
+            if t:
+                c[_md5_60(t)] += 1
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    out, cum = {}, 0
+    for rn, (h, n) in enumerate(ranked):
+        b = rn // bucket_size
+        cum += n
+        ty, oc, _ = out.get(b, (0, 0, 0))
+        out[b] = (ty + 1, oc + n, cum)
+    return [(b, *out[b], out[b][2] * 1_000_000 // total)
+            for b in sorted(out)]
+
+
+def test_token_coverage_matches_brute_force(ray_session):
+    from log2seq_ray.ops.curation import token_coverage
+    rows = [
+        (1, "the the the quick brown fox the"),
+        (2, "the quick red fox jumps high"),
+        (3, "a b c d e f g h i j k"),
+        (4, ""),
+        (5, "the a b"),
+    ]
+    got = token_coverage(_ds(rows), bucket_size=4).to_pandas()
+    got_rows = [tuple(int(v) for v in r) for r in got[
+        ["bucket", "types", "occ", "occ_cum",
+         "coverage_ppm"]].itertuples(index=False)]
+    assert got_rows == _brute_coverage(rows, 4)
+
+
+def test_token_coverage_empty_input(ray_session):
+    from log2seq_ray.ops.curation import token_coverage
+    got = token_coverage(_ds([]), bucket_size=4)
+    assert got.count() == 0
+    assert got.schema().names == ["bucket", "types", "occ", "occ_cum",
+                                  "coverage_ppm"]
