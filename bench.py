@@ -267,6 +267,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_vocab_growth(SF_DIR).to_pandas())
         timed("token_coverage",
               lambda: Q.q_token_coverage(SF_DIR).to_pandas())
+        timed("remove_dup_spans",
+              lambda: Q.q_remove_dup_spans(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

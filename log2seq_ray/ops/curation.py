@@ -1209,6 +1209,82 @@ def dup_spans(ds, window: int = 8, num_parts=None,
                          fn_args=(window,))
 
 
+def _excise_partition(id_col: str, col: str, l_pieces, r_pieces):
+    """Co-partitioned (docs, spans) rewrite: excise every duplicated
+    token span with one diff-array pass over the partition's flattened
+    tokens — O(tokens + spans), no per-doc Python loop."""
+    from .exchange import resolve_pieces
+    docs = resolve_pieces(l_pieces)
+    spans = resolve_pieces(r_pieces)
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "text_clean": pa.array([], type=pa.string()),
+                      "n_removed": pa.array([], type=pa.int64())})
+    if not docs:
+        return empty
+    d = pa.concat_tables(docs)
+    ids = d.column(id_col).to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    text = d.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = _token_lists(text.take(pa.array(order, type=pa.int64())))
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    total = int(counts.sum())
+    covered = np.zeros(total, dtype=bool)
+    if spans and total:
+        s = pa.concat_tables(spans)
+        srow = np.searchsorted(ids, s.column(id_col).to_numpy())
+        start = s.column("span_start").to_numpy()
+        ln = s.column("span_len").to_numpy()
+        lo = offsets[srow] + start
+        hi = np.minimum(offsets[srow] + start + ln, offsets[srow + 1])
+        diff = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(diff, lo, 1)
+        np.add.at(diff, hi, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+    keep = ~covered
+    flat = pc.list_flatten(toks)
+    kept_counts = np.bincount(
+        np.repeat(np.arange(len(ids), dtype=np.int64), counts)[keep],
+        minlength=len(ids)).astype(np.int64) if total else \
+        np.zeros(len(ids), dtype=np.int64)
+    new_off = np.concatenate([[0], np.cumsum(kept_counts)])
+    la = pa.ListArray.from_arrays(
+        pa.array(new_off, type=pa.int32()),
+        flat.filter(pa.array(keep)) if total else flat)
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "text_clean": pc.binary_join(la, " "),
+        "n_removed": pa.array((counts - kept_counts).astype(np.int64))})
+
+
+def remove_dup_spans(ds, window: int = 8, num_parts=None,
+                     id_col: str = "doc_id", col: str = "text"):
+    """The rewrite half of suffix-array-style substring dedup (Lee et
+    al., arXiv:2107.06499 §4): detect maximal duplicated token spans
+    with :func:`dup_spans`, then EXCISE them from the corpus — output
+    (doc_id, text_clean, n_removed) for every document, with text
+    rebuilt from the kept tokens (single-space joined, the engine's
+    token normal form). Removes every occurrence of a duplicated span,
+    the conservative memorization-scrubbing contract.
+
+    Scale shape: the span-detection passes ship only int64 hash rows;
+    the rewrite is a second streaming scan of the text co-partitioned
+    with its (tiny) span set by doc_id — document text crosses the
+    exchange once, and the excision is one diff-array cumsum over the
+    partition's flattened tokens, no per-doc loop."""
+    from .dedup import _auto_parts
+    from .exchange import hash_exchange2
+
+    num_parts = _auto_parts(num_parts)
+    spans = dup_spans(ds, window=window, num_parts=num_parts,
+                      id_col=id_col, col=col)
+    return hash_exchange2(ds, spans, id_col, id_col, _excise_partition,
+                          num_parts, fn_args=(id_col, col))
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style hashed importance weights
 # ---------------------------------------------------------------------------

@@ -5686,3 +5686,50 @@ ORACLE_SQL["token_coverage"] = f"""
                 // (SELECT SUM(cnt) FROM C) AS BIGINT) AS coverage_ppm
     FROM B
 """
+
+
+def q_remove_dup_spans(sf_dir: str):
+    """Substring-dedup REWRITE: every duplicated 8-token span excised
+    from the corpus, text rebuilt from kept tokens
+    (ops/curation.py:remove_dup_spans — the Lee et al. cut step)."""
+    from .ops.curation import remove_dup_spans
+    return remove_dup_spans(_docs(sf_dir, ["doc_id", "text"]), window=8)
+
+
+QUERIES["remove_dup_spans"] = q_remove_dup_spans
+
+ORACLE_SQL["remove_dup_spans"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    E AS (SELECT doc_id,
+                 CAST(generate_subscripts(ws, 1) AS BIGINT) - 1 AS pos,
+                 unnest(ws) AS s
+          FROM (SELECT doc_id, list_transform(range(1, len(t) - 6),
+                    i -> array_to_string(t[i:i+7], ' ')) AS ws
+                FROM T WHERE len(t) >= 8)),
+    H AS (SELECT doc_id, pos, {_H60.format(s='s')} AS h FROM E),
+    DUP AS (SELECT doc_id, pos FROM H
+            WHERE h IN (SELECT h FROM H GROUP BY h HAVING COUNT(*) >= 2)),
+    B AS (SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (
+                          PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk
+          FROM DUP),
+    S AS (SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM B),
+    SP AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) - MIN(pos) + 8 AS l
+           FROM S GROUP BY doc_id, gid),
+    COV AS (SELECT doc_id, unnest(range(s, s + l)) AS pos FROM SP),
+    P AS (SELECT doc_id,
+                 CAST(generate_subscripts(t, 1) AS BIGINT) - 1 AS pos,
+                 unnest(t) AS tok
+          FROM T),
+    K AS (SELECT doc_id, pos, tok FROM P
+          ANTI JOIN COV USING (doc_id, pos)),
+    A AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM K GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(a.txt, '') AS text_clean,
+           CAST(len(t.t) - COALESCE(a.n, 0) AS BIGINT) AS n_removed
+    FROM T t LEFT JOIN A a USING (doc_id)
+"""

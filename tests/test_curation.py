@@ -596,3 +596,38 @@ def test_token_coverage_empty_input(ray_session):
     assert got.count() == 0
     assert got.schema().names == ["bucket", "types", "occ", "occ_cum",
                                   "coverage_ppm"]
+
+
+def _brute_clean(rows, w):
+    spans = _brute_spans(rows, w)
+    out = []
+    for i, txt in rows:
+        ts = [t for t in txt.split(" ") if t]
+        cov = set()
+        for d, s, ln in spans:
+            if d == i:
+                cov.update(range(s, s + ln))
+        kept = [t for p, t in enumerate(ts) if p not in cov]
+        out.append((i, " ".join(kept), len(ts) - len(kept)))
+    return sorted(out)
+
+
+def test_remove_dup_spans_excises_every_occurrence(ray_session):
+    from log2seq_ray.ops.curation import remove_dup_spans
+    rows = [
+        (1, "a b c d e f x y z q"),       # shares a..f with 2
+        (2, "p p a b c d e f p p"),
+        (3, "r r r r r r r r r r r r"),   # within-doc repeat: fully cut
+        (4, "one two three"),             # shorter than window: untouched
+        (5, ""),                          # empty doc
+        (6, "a b c d e f x y z q"),       # exact dup of 1: fully cut
+    ]
+    for w in (3, 4):
+        got = remove_dup_spans(_ds(rows), window=w,
+                               num_parts=3).to_pandas()
+        got_rows = sorted((int(r.doc_id), r.text_clean, int(r.n_removed))
+                          for r in got.itertuples())
+        assert got_rows == _brute_clean(rows, w)
+    # every doc appears exactly once even when fully excised
+    assert sorted(got["doc_id"]) == [1, 2, 3, 4, 5, 6]
+    assert got.set_index("doc_id").loc[3, "text_clean"] == ""
