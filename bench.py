@@ -269,6 +269,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_token_coverage(SF_DIR).to_pandas())
         timed("remove_dup_spans",
               lambda: Q.q_remove_dup_spans(SF_DIR).count())
+        timed("cross_run_search",
+              lambda: Q.q_cross_run_search(SF_DIR))
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

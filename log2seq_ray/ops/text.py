@@ -11,6 +11,7 @@ separator class) expressed with Arrow kernels.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1377,3 +1378,152 @@ def bpe_encode(ds, n_merges: int = 6, col: str = "text",
     return joined.map_batches(
         lambda b: b.select([id_col, "tok_pos", "sub_pos", "sym"]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-run incremental inverted index (postings store + pruned search)
+# ---------------------------------------------------------------------------
+
+def _posting_rows(batch: pa.Table, buckets: int, id_col: str,
+                  col: str) -> pa.Table:
+    """Per-batch COMPLETE (token, id, tf, bucket) posting rows — a doc
+    lives in one batch, so its term frequencies finalize locally; no
+    exchange is needed to build the postings, only to anti-filter
+    already-committed doc ids."""
+    from .curation import _md5_60
+    toks = _token_lists(batch.column(col))
+    parents = pc.list_parent_indices(toks)
+    t = pa.table({"token": pc.list_flatten(toks),
+                  id_col: batch.column(id_col).take(parents)})
+    g = t.group_by(["token", id_col]).aggregate([([], "count_all")])
+    svals = g.column("token").to_pylist()
+    b = np.fromiter((_md5_60(s) % buckets for s in svals),
+                    dtype=np.int64, count=len(svals))
+    return pa.table({"token": g.column("token"),
+                     id_col: pc.cast(g.column(id_col), pa.int64()),
+                     "tf": pc.cast(g.column("count_all"), pa.int64()),
+                     "bucket": pa.array(b)})
+
+
+def ingest_search_run(ds, state_dir: str, buckets: int = 64,
+                      id_col: str = "doc_id", col: str = "text"):
+    """Incremental cross-RUN inverted-index maintenance — the recurring-
+    crawl search shape: build this run's postings per batch (tf is
+    batch-local-complete), anti-join them against the committed doc-id
+    index (narrow int64 rows only — document text never enters a
+    shuffle), and commit the new postings as hive-partitioned parquet
+    (``postings/bucket=NN/``) plus the new doc ids, write-to-temp +
+    rename. Returns the newly-committed (id) Dataset.
+
+    100 TB shape: the index grows by one directory per run; a query
+    later reads ONLY the buckets its terms hash to (see
+    :func:`search_index`) — query cost is O(terms' postings), not
+    O(corpus). Zero-token docs carry no postings and are re-examined
+    next run (a no-op, documented contract).
+
+    The bucket count is fixed at index creation (``meta.json``);
+    later runs inherit it."""
+    import json
+    import os
+    import uuid
+
+    import ray.data as rd
+
+    from .join import hash_join
+
+    os.makedirs(state_dir, exist_ok=True)
+    meta_p = f"{state_dir}/meta.json"
+    if os.path.exists(meta_p):
+        buckets = json.load(open(meta_p))["buckets"]
+    else:
+        with open(meta_p, "w") as f:
+            json.dump({"buckets": buckets}, f)
+    runs = sorted(d for d in os.listdir(state_dir)
+                  if d.startswith("run_"))
+
+    post = ds.map_batches(
+        lambda b: _posting_rows(b, buckets, id_col, col),
+        batch_format="pyarrow")
+    id_files = [f"{state_dir}/{r}/ids/{f}" for r in runs
+                if os.path.isdir(f"{state_dir}/{r}/ids")
+                for f in sorted(os.listdir(f"{state_dir}/{r}/ids"))
+                if f.endswith(".parquet")]
+    if id_files:
+        idx = rd.read_parquet(id_files, columns=[id_col])
+        post = hash_join(post, idx, id_col, id_col, how="anti")
+    post = post.materialize()
+    new_ids = post.groupby(id_col).count().map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow")
+
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    os.makedirs(f"{tmp}/postings", exist_ok=True)
+    os.makedirs(f"{tmp}/ids", exist_ok=True)
+    if post.count():
+        post.write_parquet(f"{tmp}/postings", partition_cols=["bucket"])
+        new_ids.write_parquet(f"{tmp}/ids")
+    os.rename(tmp, f"{state_dir}/run_{len(runs):05d}")
+    if post.count() == 0:
+        return rd.from_arrow(pa.table({id_col: pa.array(
+            [], type=pa.int64())}))
+    return new_ids
+
+
+def search_index(state_dir: str, terms, k: int = 20,
+                 id_col: str = "doc_id"):
+    """Query the committed cross-run index: integer-idf scoring
+    (``score(d) = Σ_t tf(t, d) * (10^6 // df(t))``, exactly
+    :func:`keyword_search`'s contract) evaluated from the PERSISTED
+    postings — the read path touches only the hive buckets the query
+    terms hash to, across every committed run. df is global because
+    committed doc ids are disjoint across runs (the ingest anti-join).
+    Returns a pandas frame of (id, score), ties to the lower id."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from .curation import _md5_60
+
+    term_list = sorted(set(terms))
+    meta_p = f"{state_dir}/meta.json"
+    out_empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="int64")})
+    if not os.path.exists(meta_p) or not term_list:
+        return out_empty
+    buckets = json.load(open(meta_p))["buckets"]
+    runs = sorted(d for d in os.listdir(state_dir)
+                  if d.startswith("run_"))
+    need = sorted({_md5_60(t) % buckets for t in term_list})
+    # a LIST of paths must name files, not directories
+    paths = [f"{p}/{f}" for r in runs for b in need
+             if os.path.isdir(p := f"{state_dir}/{r}/postings/bucket={b}")
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not paths:
+        return out_empty
+    tset = pa.array(term_list, type=pa.string())
+
+    def only_terms(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("token"), value_set=tset))
+
+    post = rd.read_parquet(paths, columns=["token", id_col, "tf"]) \
+        .map_batches(only_terms, batch_format="pyarrow").materialize()
+    df = post.groupby("token").count().to_pandas()
+    if not len(df):
+        return out_empty
+    w = {t: 1_000_000 // int(n) for t, n in
+         zip(df["token"], df["count()"])}
+    warr = np.array([w.get(t, 0) for t in term_list], dtype=np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        ti = np.asarray(pc.index_in(b.column("token"), value_set=tset),
+                        dtype=np.int64)
+        s = b.column("tf").to_numpy() * warr[ti]
+        return pa.table({id_col: b.column(id_col),
+                         "part": pa.array(s, type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+    scores = post.map_batches(score, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Sum("part", alias_name="score")) \
+        .sort(["score", id_col], descending=[True, False]).limit(k)
+    out = scores.to_pandas()
+    return out[out["score"] > 0].reset_index(drop=True)

@@ -5733,3 +5733,42 @@ ORACLE_SQL["remove_dup_spans"] = f"""
            CAST(len(t.t) - COALESCE(a.n, 0) AS BIGINT) AS n_removed
     FROM T t LEFT JOIN A a USING (doc_id)
 """
+
+
+def q_cross_run_search(sf_dir: str):
+    """Two-run incremental inverted-index ingest + pruned search: run A
+    commits even docs' postings (hive-partitioned by token-hash bucket),
+    run B ingests the full corpus (odds are new; evens anti-join away),
+    then the keyword query reads ONLY the buckets its terms hash to
+    across both runs. Scoring is keyword_search's exact integer idf
+    (ops/text.py:ingest_search_run, search_index)."""
+    import os
+    import shutil
+
+    from .ops.text import ingest_search_run, search_index
+
+    state = f"/tmp/l2sr_srch_ingest_{os.getpid()}"
+    shutil.rmtree(state, ignore_errors=True)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    run_a = docs.map_batches(lambda b: parity_half(b, 0),
+                             batch_format="pyarrow")
+    ingest_search_run(run_a, state, buckets=16)
+    ingest_search_run(docs, state, buckets=16)
+    return search_index(state, ["join", "hash", "customer", "slow"],
+                        k=20)
+
+
+QUERIES["cross_run_search"] = q_cross_run_search
+
+ORACLE_SQL["cross_run_search"] = f"""
+    WITH TF AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest({_TOKENS}) AS token
+                      FROM documents)
+                WHERE token IN ('join', 'hash', 'customer', 'slow')
+                GROUP BY doc_id, token),
+    W AS (SELECT token, 1000000 // COUNT(*) AS w FROM TF GROUP BY token),
+    S AS (SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS score
+          FROM TF JOIN W USING (token) GROUP BY doc_id)
+    SELECT doc_id, score FROM S WHERE score > 0
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+"""

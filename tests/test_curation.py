@@ -631,3 +631,25 @@ def test_remove_dup_spans_excises_every_occurrence(ray_session):
     # every doc appears exactly once even when fully excised
     assert sorted(got["doc_id"]) == [1, 2, 3, 4, 5, 6]
     assert got.set_index("doc_id").loc[3, "text_clean"] == ""
+
+
+def test_cross_run_search_index(ray_session, tmp_path):
+    """Two-run ingest: run 2's re-sent docs anti-join away (no df or tf
+    double count), new docs extend the index, and the pruned-bucket read
+    path scores identically to keyword_search over the union corpus."""
+    from log2seq_ray.ops.text import (ingest_search_run, keyword_search,
+                                      search_index)
+    state = str(tmp_path / "srch")
+    run1 = [(1, "apple banana apple"), (2, "cherry banana")]
+    run2 = [(1, "apple banana apple"),       # resend: must not recount
+            (3, "apple apple apple durian"), (4, "")]
+    new1 = ingest_search_run(_ds(run1), state, buckets=4).to_pandas()
+    assert sorted(new1["doc_id"]) == [1, 2]
+    new2 = ingest_search_run(_ds(run2), state, buckets=4).to_pandas()
+    assert sorted(new2["doc_id"]) == [3]     # 1 committed; 4 empty
+    got = search_index(state, ["apple", "banana"], k=10)
+    union = run1 + [(3, "apple apple apple durian"), (4, "")]
+    expect = keyword_search(_ds(union), ["apple", "banana"], k=10)
+    assert got.values.tolist() == expect.values.tolist()
+    # pruned read: a term hashing to an absent bucket scores nothing
+    assert len(search_index(state, ["zzz_not_there"], k=5)) == 0
