@@ -271,6 +271,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_remove_dup_spans(SF_DIR).count())
         timed("cross_run_search",
               lambda: Q.q_cross_run_search(SF_DIR))
+        timed("mixed_lang_docs",
+              lambda: Q.q_mixed_lang_docs(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

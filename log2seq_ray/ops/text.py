@@ -1527,3 +1527,97 @@ def search_index(state_dir: str, terms, k: int = 20,
         .sort(["score", id_col], descending=[True, False]).limit(k)
     out = scores.to_pandas()
     return out[out["score"] > 0].reset_index(drop=True)
+
+
+class MixedLangStage(LangIdStage):
+    """Per-PARAGRAPH language consistency, fused in one actor stage: a
+    document's fixed-size token paragraphs are materialized, language-ID'd
+    (the parent's vectorized kernel), and majority-aggregated WITHOUT
+    leaving the batch — a doc's paragraphs are batch-local by
+    construction, so the op needs no exchange at any corpus size. Emits
+    (id, n_paras, lang_major, n_major, mixed_ppm); majority ties break
+    to the lexicographically smaller language; zero-paragraph docs emit
+    ('unknown', 0, 0)."""
+
+    def __init__(self, para_tokens: int = 32, id_col: str = "doc_id",
+                 col: str = "text"):
+        super().__init__()
+        self.para_tokens = para_tokens
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pt = self.para_tokens
+        toks = _token_lists(batch.column(self.col))
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        counts = np.diff(offsets)
+        n = len(batch)
+        k = (counts + pt - 1) // pt
+        total = int(k.sum())
+        ids = pc.cast(batch.column(self.id_col), pa.int64())
+        if total == 0:
+            return pa.table({
+                self.id_col: ids,
+                "n_paras": pa.array(np.zeros(n, dtype=np.int64)),
+                "lang_major": pa.array(["unknown"] * n,
+                                       type=pa.string()),
+                "n_major": pa.array(np.zeros(n, dtype=np.int64)),
+                "mixed_ppm": pa.array(np.zeros(n, dtype=np.int64))})
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), k)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(k)[:-1]]), k)
+        plens = np.minimum(pt, counts[doc_of] - within * pt)
+        # consecutive paragraphs tile each doc's token span exactly, so
+        # the flattened tokens are already in paragraph order — only the
+        # cut points are new
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(plens)]),
+                     type=pa.int32()),
+            pc.list_flatten(toks))
+        paras = super().__call__(
+            pa.table({"text": pc.binary_join(la, " ")}))
+        pred = paras.column("lang_pred")
+        codes_arr = pc.dictionary_encode(
+            pred.combine_chunks() if isinstance(pred, pa.ChunkedArray)
+            else pred)
+        langs = np.asarray(codes_arr.dictionary)
+        codes = np.asarray(codes_arr.indices, dtype=np.int64)
+        # counts per (doc, lang code)
+        key = doc_of * (codes.max() + 1) + codes
+        ukey, cnt = np.unique(key, return_counts=True)
+        udoc = ukey // (codes.max() + 1)
+        ulang = langs[ukey % (codes.max() + 1)]
+        # majority: count desc, lang asc per doc
+        order = np.lexsort((ulang, -cnt, udoc))
+        udoc_s = udoc[order]
+        first = np.ones(len(udoc_s), dtype=bool)
+        first[1:] = udoc_s[1:] != udoc_s[:-1]
+        n_paras = np.zeros(n, dtype=np.int64)
+        np.add.at(n_paras, doc_of, 1)
+        major = np.full(n, "unknown", dtype=object)
+        nmaj = np.zeros(n, dtype=np.int64)
+        major[udoc_s[first]] = ulang[order][first]
+        nmaj[udoc_s[first]] = cnt[order][first]
+        ppm = np.zeros(n, dtype=np.int64)
+        nz = n_paras > 0
+        ppm[nz] = (n_paras[nz] - nmaj[nz]) * 1_000_000 // n_paras[nz]
+        return pa.table({
+            self.id_col: ids,
+            "n_paras": pa.array(n_paras),
+            "lang_major": pa.array(major.tolist(), type=pa.string()),
+            "n_major": pa.array(nmaj),
+            "mixed_ppm": pa.array(ppm)})
+
+
+def mixed_lang_docs(ds, para_tokens: int = 32, id_col: str = "doc_id",
+                    col: str = "text"):
+    """Mixed-language document detection: fixed-size token paragraphs
+    are language-ID'd independently and the per-doc majority + dissent
+    fraction reported — the standard crawl-quality signal for partially
+    translated / boilerplate-injected pages. One actor-pool pass, no
+    exchange (paragraphs are batch-local)."""
+    from .exchange import actor_pool
+    return ds.map_batches(
+        MixedLangStage,
+        fn_constructor_kwargs={"para_tokens": para_tokens,
+                               "id_col": id_col, "col": col},
+        batch_format="pyarrow", concurrency=actor_pool())

@@ -5772,3 +5772,77 @@ ORACLE_SQL["cross_run_search"] = f"""
     SELECT doc_id, score FROM S WHERE score > 0
     ORDER BY score DESC, doc_id ASC LIMIT 20
 """
+
+
+def q_mixed_lang_docs(sf_dir: str):
+    """Per-paragraph language consistency: 16-token paragraphs
+    language-ID'd independently, per-doc majority + dissent ppm — the
+    partially-translated / boilerplate-injection signal
+    (ops/text.py:mixed_lang_docs; one actor pass, no exchange)."""
+    from .ops.text import mixed_lang_docs
+    return mixed_lang_docs(_docs(sf_dir, ["doc_id", "text"]),
+                           para_tokens=16)
+
+
+QUERIES["mixed_lang_docs"] = q_mixed_lang_docs
+
+
+def _mixed_lang_sql(pt: int) -> str:
+    """Per-paragraph variant of the langid oracle, regenerated from the
+    engine's own profiles (same hit expressions, majority per doc)."""
+    from .ops.text import _LANG_PROFILES, _LANG_SUBSTRINGS
+    langs = sorted(set(_LANG_PROFILES) | set(_LANG_SUBSTRINGS))
+
+    def lst(lang):
+        return "[" + ", ".join(
+            f"'{w}'" for w in sorted(_LANG_PROFILES[lang])) + "]"
+
+    def h_expr(lg):
+        terms = []
+        if lg in _LANG_PROFILES:
+            terms.append(f"len(list_intersect(toks, {lst(lg)}))")
+        for g in sorted(_LANG_SUBSTRINGS.get(lg, ())):
+            terms.append(f"CASE WHEN contains(ns, '{g}') THEN 1 ELSE 0 "
+                         f"END")
+        return " + ".join(terms)
+
+    hits = ",\n               ".join(f"{h_expr(lg)} AS h_{lg}"
+                                     for lg in langs)
+    g = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN h_{lg} = {g} THEN '{lg}'" for lg in langs)
+    return f"""
+        WITH T0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        P AS (SELECT doc_id,
+                     array_to_string(t[i*{pt}+1 : i*{pt}+{pt}], ' ')
+                         AS ptext
+              FROM T0, LATERAL (SELECT unnest(range(0,
+                  CAST((len(t)+{pt}-1)//{pt} AS BIGINT))) AS i)),
+        TP AS (SELECT doc_id,
+                      list_distinct(string_split(ptext, ' ')) AS toks,
+                      replace(ptext, ' ', '') AS ns
+               FROM P),
+        H AS (SELECT doc_id,
+               {hits}
+              FROM TP),
+        PL AS (SELECT doc_id,
+               CASE WHEN {g} = 0 THEN 'unknown' {case} END AS lang
+               FROM H),
+        C AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS c
+              FROM PL GROUP BY 1, 2),
+        M AS (SELECT doc_id, lang, c,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, lang ASC) AS rn,
+                     SUM(c) OVER (PARTITION BY doc_id) AS np
+              FROM C)
+        SELECT t0.doc_id,
+               CAST(COALESCE(m.np, 0) AS BIGINT) AS n_paras,
+               COALESCE(m.lang, 'unknown') AS lang_major,
+               CAST(COALESCE(m.c, 0) AS BIGINT) AS n_major,
+               CAST(COALESCE((m.np - m.c) * 1000000 // m.np, 0)
+                    AS BIGINT) AS mixed_ppm
+        FROM T0 t0 LEFT JOIN (SELECT * FROM M WHERE rn = 1) m
+            USING (doc_id)
+    """
+
+
+ORACLE_SQL["mixed_lang_docs"] = _mixed_lang_sql(16)

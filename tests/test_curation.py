@@ -653,3 +653,23 @@ def test_cross_run_search_index(ray_session, tmp_path):
     assert got.values.tolist() == expect.values.tolist()
     # pruned read: a term hashing to an absent bucket scores nothing
     assert len(search_index(state, ["zzz_not_there"], k=5)) == 0
+
+
+def test_mixed_lang_docs_majority_and_dissent(ray_session):
+    from log2seq_ray.ops.text import mixed_lang_docs
+    rows = [
+        # 3 paragraphs of 4 tokens: en, en, de -> majority en, 1 dissent
+        (1, "the is of and " "the is of and " "der die das und"),
+        # uniformly en: 2 paragraphs, 0 dissent
+        (2, "the is of and the is of and"),
+        # zero tokens: no paragraphs
+        (3, ""),
+        # gibberish: 1 paragraph, majority unknown
+        (4, "zzz qqq xxx www"),
+    ]
+    got = mixed_lang_docs(_ds(rows), para_tokens=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert got.loc[1].tolist() == [3, "en", 2, 333333]
+    assert got.loc[2].tolist() == [2, "en", 2, 0]
+    assert got.loc[3].tolist() == [0, "unknown", 0, 0]
+    assert got.loc[4].tolist() == [1, "unknown", 1, 0]
