@@ -273,6 +273,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_cross_run_search(SF_DIR))
         timed("mixed_lang_docs",
               lambda: Q.q_mixed_lang_docs(SF_DIR).count())
+        timed("windowed_dedup",
+              lambda: Q.q_windowed_dedup(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",
@@ -438,6 +440,17 @@ def run_benchmarks() -> dict:
         extras["dup_spans_40k_spans"] = timed(
             "dup_spans_40k",
             lambda: dup_spans(rd.read_parquet(dd), window=8).count())
+        from log2seq_ray.ops.curation import (containment_dups,
+                                              remove_dup_spans)
+        cd = timed("containment_40k",
+                   lambda: containment_dups(rd.read_parquet(dd),
+                                            window=4, tau_num=9,
+                                            tau_den=10, max_df=64)
+                   .count())
+        extras["containment_40k_pairs"] = cd
+        timed("remove_dup_spans_40k",
+              lambda: remove_dup_spans(rd.read_parquet(dd),
+                                       window=8).count())
         # incremental near-dup ingest stress: run 1 commits half the
         # near-dup corpus, run 2's docs all near-dup committed families
         import shutil as _sh

@@ -927,3 +927,77 @@ def late_events(ds, key: str = "user_id", ts_col: str = "ts",
                             batch_format="pyarrow")
     return hash_exchange(narrow, key, _late_partition, num_parts,
                          fn_args=(key, ts_col, id_col, int(tol_sec)))
+
+
+# ---------------------------------------------------------------------------
+# windowed exact dedup (at-least-once delivery cleanup)
+# ---------------------------------------------------------------------------
+
+def _windowed_dedup_partition(key: str, sub_key: str, payload: str,
+                              ts_col: str, id_col: str, window_sec: int,
+                              pieces) -> pa.Table:
+    """One key partition: lexsort by (key, sub_key, payload, bucket,
+    ts, id) and keep each calendar-window group's first row, carrying
+    the group's duplicate count."""
+    from .exchange import concat_typed
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "n_dups": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, sub_key, payload, ts_col, id_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    t = t.filter(pc.is_valid(t.column(ts_col)))
+    if t.num_rows == 0:
+        return empty
+    ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                 pa.int64()).to_numpy()
+    ids = np.asarray(pc.cast(t.column(id_col), pa.int64()).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    bucket = ts // (window_sec * 1_000_000)
+
+    def _codes(col):
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        return np.asarray(pc.dictionary_encode(c).indices,
+                          dtype=np.int64)
+
+    kc = np.asarray(pc.cast(t.column(key), pa.int64()).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    sc, pcid = _codes(t.column(sub_key)), _codes(t.column(payload))
+    order = np.lexsort((ids, ts, bucket, pcid, sc, kc))
+    kc, sc, pcid, bucket = (kc[order], sc[order], pcid[order],
+                            bucket[order])
+    first = np.ones(len(kc), dtype=bool)
+    first[1:] = ((kc[1:] != kc[:-1]) | (sc[1:] != sc[:-1])
+                 | (pcid[1:] != pcid[:-1]) | (bucket[1:] != bucket[:-1]))
+    sidx = np.nonzero(first)[0]
+    n = np.diff(np.append(sidx, len(kc))).astype(np.int64)
+    return pa.table({id_col: pa.array(ids[order][sidx],
+                                      type=pa.int64()),
+                     "n_dups": pa.array(n - 1)})
+
+
+def windowed_dedup(ds, key: str = "user_id", sub_key: str = "event_type",
+                   payload: str = "props", ts_col: str = "ts",
+                   id_col: str = "event_id", window_sec: int = 3600,
+                   num_parts: int = 16):
+    """Exact windowed event dedup — the at-least-once-delivery cleanup:
+    within each fixed calendar window (``ts // window_sec``), identical
+    (key, sub_key, payload) events collapse to their first occurrence
+    (min ts, then min id), with the suppressed duplicate count carried
+    as ``n_dups``. Unlike :func:`debounce` (gap-based, payload-blind)
+    this is calendar-bucketed and payload-exact, so a client retrying
+    the same message twice in an hour dedups while a genuinely new
+    payload in the same window survives. Null timestamps drop.
+
+    Scale shape: one narrow (id, key, sub_key, payload, ts) hash
+    exchange keyed by ``key``; per-partition work is one lexsort + one
+    adjacent diff, no per-key Python. Output streams as a Dataset of
+    (id, n_dups)."""
+    from .exchange import hash_exchange
+    narrow = ds.map_batches(
+        lambda b: b.select([id_col, key, sub_key, payload, ts_col]),
+        batch_format="pyarrow")
+    return hash_exchange(narrow, key, _windowed_dedup_partition,
+                         num_parts,
+                         fn_args=(key, sub_key, payload, ts_col, id_col,
+                                  window_sec))

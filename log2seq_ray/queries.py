@@ -5846,3 +5846,61 @@ def _mixed_lang_sql(pt: int) -> str:
 
 
 ORACLE_SQL["mixed_lang_docs"] = _mixed_lang_sql(16)
+
+
+def q_windowed_dedup(sf_dir: str):
+    """Calendar-windowed exact event dedup (at-least-once delivery
+    cleanup): identical (user, type, props) events inside one hour
+    collapse to their first occurrence with the suppressed count. Every
+    5th event contributes a retry copy (+120 s, re-keyed id) so the
+    collapse is hash-gated (ops/windows.py:windowed_dedup)."""
+    from .ops.windows import windowed_dedup
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("event_id"), pa.int64())
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        keep = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 5), 5)), 0)
+        dup = b.filter(keep)
+        dts = pc.cast(pc.add(
+            pc.cast(pc.cast(dup.column("ts"), pa.timestamp("us")),
+                    pa.int64()),
+            pa.scalar(120_000_000, type=pa.int64())), pa.timestamp("us"))
+        did = pc.add(pc.cast(dup.column("event_id"), pa.int64()),
+                     pa.scalar(10_000_000, type=pa.int64()))
+        cols = {"event_id": did, "user_id": dup.column("user_id"),
+                "event_type": dup.column("event_type"),
+                "props": dup.column("props"), "ts": dts}
+        out = pa.table({n: b.column(n) for n in
+                        ("event_id", "user_id", "event_type", "props",
+                         "ts")})
+        return pa.concat_tables([out, pa.table(cols)]) \
+            .combine_chunks()
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "props",
+                          "ts"]).map_batches(aug, batch_format="pyarrow")
+    return windowed_dedup(ev, window_sec=3600)
+
+
+QUERIES["windowed_dedup"] = q_windowed_dedup
+
+ORACLE_SQL["windowed_dedup"] = """
+    WITH E0 AS (SELECT event_id, user_id, event_type, props, ts
+                FROM events),
+    E AS (SELECT * FROM E0
+          UNION ALL
+          SELECT event_id + 10000000, user_id, event_type, props,
+                 ts + INTERVAL 120 SECOND
+          FROM E0 WHERE event_id % 5 = 0),
+    F AS (SELECT *, epoch_us(ts) // 3600000000 AS bucket
+          FROM E WHERE ts IS NOT NULL),
+    R AS (SELECT event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                     props, bucket ORDER BY ts, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id, event_type,
+                     props, bucket) AS c
+          FROM F)
+    SELECT event_id, CAST(c - 1 AS BIGINT) AS n_dups
+    FROM R WHERE rn = 1
+"""

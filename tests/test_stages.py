@@ -3668,3 +3668,34 @@ def test_new_ops_empty_inputs(ray_session, tmp_path):
     assert len(out) == 0
     out = token_budget_sample(ds, budget=1, group_col="lang")
     assert out.count() == 2    # crossing doc kept per group
+
+
+def test_windowed_dedup_collapses_retries(ray_session):
+    """Identical (key, type, payload) events inside one calendar hour
+    collapse to the first (min ts, then min id) with the duplicate
+    count; a different payload in the same window survives; the same
+    payload in the NEXT window survives; null ts drops."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import windowed_dedup
+    base = pd.Timestamp("2025-06-01 10:00")
+    df = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 1, 1, 2, 1, 1], dtype=np.int64),
+        "event_type": ["buy"] * 8,
+        "props": ["x", "x", "x", "y", "x", "x", "x", "x"],
+        "ts": [base, base + pd.Timedelta(minutes=5),          # retries
+               base + pd.Timedelta(minutes=10),
+               base + pd.Timedelta(minutes=1),                # new payload
+               base + pd.Timedelta(hours=1, minutes=1),       # next window
+               base,                                          # other user
+               pd.NaT,                                        # dropped
+               base + pd.Timedelta(minutes=5)],               # retry of 0
+    })
+    out = windowed_dedup(rd.from_pandas(df).repartition(3),
+                         window_sec=3600, num_parts=4).to_pandas() \
+        .set_index("event_id").sort_index()
+    assert sorted(out.index) == [0, 3, 4, 5]
+    assert out.loc[0, "n_dups"] == 3      # ids 1, 2, 7 suppressed
+    assert out.loc[3, "n_dups"] == 0
+    assert out.loc[4, "n_dups"] == 0
+    assert out.loc[5, "n_dups"] == 0
