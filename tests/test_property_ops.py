@@ -436,3 +436,208 @@ def test_simhash_ingest_victims_equal_brute_force(seed):
         if wit:
             exp.add(int(ids[i]))
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# round-4 third-session kernels (pure per-partition functions, no Ray)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000), num_parts=st.integers(1, 5),
+       tau=st.sampled_from([(1, 2), (4, 5), (9, 10)]))
+def test_containment_pipeline_matches_brute_force(seed, num_parts, tau):
+    """The full containment join driven in-process: stage A shingle
+    rows → split_by_key → _jacc_partition → _agg_stage2 → _final_stage3
+    (containment mode) must equal the brute-force containment pair set
+    for any corpus, partitioning, and threshold."""
+    from log2seq_ray.ops.curation import (_agg_stage2, _final_stage3,
+                                          _jacc_partition, _md5_60,
+                                          _shingle_rows)
+    from log2seq_ray.ops.exchange import split_by_key
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 12))
+    alphabet = ["a", "b", "c", "d"]
+    rows = [(i, " ".join(rng.choice(alphabet,
+                                    size=int(rng.integers(0, 9)))))
+            for i in range(n)]
+    w = 3
+    batch = pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                         type=pa.int64()),
+                      "text": pa.array([r[1] for r in rows])})
+    shingles = _shingle_rows(batch, w, "doc_id", "text")
+    pieces = split_by_key(shingles, "g", num_parts)
+    pair_parts, size_parts = zip(*[
+        _jacc_partition("doc_id", None, [p]) for p in pieces])
+    np2 = max(1, num_parts // 2)
+    pair2 = [[] for _ in range(np2)]
+    size2 = [[] for _ in range(np2)]
+    for pp in pair_parts:
+        for j, piece in enumerate(split_by_key(pp, "id_a", np2)):
+            pair2[j].append(piece)
+    for sp in size_parts:
+        for j, piece in enumerate(split_by_key(sp, "doc_id", np2)):
+            size2[j].append(piece)
+    agg, szloc = zip(*[_agg_stage2("doc_id", pp, sp)
+                       for pp, sp in zip(pair2, size2)])
+    pair3 = [[] for _ in range(np2)]
+    for ap in agg:
+        for j, piece in enumerate(split_by_key(ap, "id_b", np2)):
+            pair3[j].append(piece)
+    tn, td = tau
+    outs = [_final_stage3(tn, td, sz, ps, "containment")
+            for sz, ps in zip(szloc, pair3)]
+    got = set()
+    for t in outs:
+        for r in t.to_pylist():
+            got.add((r["id_a"], r["id_b"], r["inter"], r["min_sz"]))
+
+    # brute force
+    def sh_set(text):
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            strs = [""]
+        elif len(toks) < w:
+            strs = [" ".join(toks)]
+        else:
+            strs = [" ".join(toks[i:i + w])
+                    for i in range(len(toks) - w + 1)]
+        return {_md5_60(s) for s in strs}
+
+    sets = {i: sh_set(t) for i, t in rows}
+    expect = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            inter = len(sets[a] & sets[b])
+            msz = min(len(sets[a]), len(sets[b]))
+            if inter * td >= tn * msz:
+                expect.add((a, b, inter, msz))
+    assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_windowed_dedup_partition_matches_pandas(seed):
+    """_windowed_dedup_partition equals the pandas ROW_NUMBER reference
+    on random events with ties, retries, and null timestamps."""
+    from log2seq_ray.ops.windows import _windowed_dedup_partition
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 60))
+    base = 1_700_000_000_000_000  # us epoch
+    ts_us = base + rng.integers(0, 4 * 3600, n) * 1_000_000
+    ts = pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us"))
+    null_mask = rng.random(n) < 0.1
+    ts = pa.array([None if m else v for m, v in
+                   zip(null_mask, ts.to_pylist())],
+                  type=pa.timestamp("us"))
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 4, n), type=pa.int64()),
+        "event_type": pa.array(rng.choice(["a", "b"], n)),
+        "props": pa.array(rng.choice(["x", "y"], n)),
+        "ts": ts})
+    W = 1800
+    got = _windowed_dedup_partition(
+        "user_id", "event_type", "props", "ts", "event_id", W, [t]) \
+        .to_pylist()
+    got = {(r["event_id"], r["n_dups"]) for r in got}
+    df = t.to_pandas().dropna(subset=["ts"])
+    if len(df):
+        us = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        df["bucket"] = us // (W * 1_000_000)
+        g = df.sort_values(["ts", "event_id"]).groupby(
+            ["user_id", "event_type", "props", "bucket"])
+        expect = {(int(gr["event_id"].iloc[0]), len(gr) - 1)
+                  for _, gr in g}
+    else:
+        expect = set()
+    assert got == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000), num_parts=st.integers(1, 4),
+       bs=st.integers(1, 7))
+def test_vocab_growth_partitions_match_brute(seed, num_parts, bs):
+    from log2seq_ray.ops.curation import (_md5_60, _vocab_final,
+                                          _vocab_partition, _vocab_rows)
+    from log2seq_ray.ops.exchange import split_by_key
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 15))
+    alphabet = ["a", "b", "c", "d", "e"]
+    rows = [(int(rng.integers(0, 40)),
+             " ".join(rng.choice(alphabet,
+                                 size=int(rng.integers(0, 6)))))
+            for _ in range(n)]
+    ids = {}
+    rows = [(i, t) for i, t in rows if ids.setdefault(i, t) is t]
+    batch = pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                         type=pa.int64()),
+                      "text": pa.array([r[1] for r in rows])})
+    a = _vocab_rows(batch, bs, "doc_id", "text")
+    parts = [_vocab_partition(bs, [p])
+             for p in split_by_key(a, "k", num_parts)]
+    got = [tuple(int(v) for v in r.values())
+           for r in _vocab_final(parts).to_pylist()]
+    first, toks_per_bucket = {}, {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        if toks:
+            toks_per_bucket[doc_id // bs] = \
+                toks_per_bucket.get(doc_id // bs, 0) + len(toks)
+        for t in toks:
+            h = _md5_60(t)
+            if h not in first or doc_id < first[h]:
+                first[h] = doc_id
+    new_types = {}
+    for h, d in first.items():
+        new_types[d // bs] = new_types.get(d // bs, 0) + 1
+    expect, vocab, cum = [], 0, 0
+    for b in sorted(toks_per_bucket):
+        nt = new_types.get(b, 0)
+        vocab += nt
+        cum += toks_per_bucket[b]
+        expect.append((b, toks_per_bucket[b], nt, vocab, cum))
+    assert got == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_excise_partition_matches_python(seed):
+    """_excise_partition equals a per-doc Python excision for arbitrary
+    docs and (possibly overlapping) spans."""
+    from log2seq_ray.ops.curation import _excise_partition
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 10))
+    rows = [(i, " ".join(f"t{int(v)}" for v in
+                         rng.integers(0, 5, int(rng.integers(0, 10)))))
+            for i in range(n)]
+    spans = []
+    for i, txt in rows:
+        L = len([t for t in txt.split(" ") if t])
+        for _ in range(int(rng.integers(0, 3))):
+            if L == 0:
+                continue
+            s = int(rng.integers(0, L))
+            ln = int(rng.integers(1, L - s + 1))
+            spans.append((i, s, ln))
+    docs = pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                        type=pa.int64()),
+                     "text": pa.array([r[1] for r in rows])})
+    sp = pa.table({"doc_id": pa.array([s[0] for s in spans],
+                                      type=pa.int64()),
+                   "span_start": pa.array([s[1] for s in spans],
+                                          type=pa.int64()),
+                   "span_len": pa.array([s[2] for s in spans],
+                                        type=pa.int64())})
+    got = {(r["doc_id"], r["text_clean"], r["n_removed"])
+           for r in _excise_partition("doc_id", "text",
+                                      [docs], [sp]).to_pylist()}
+    expect = set()
+    for i, txt in rows:
+        ts = [t for t in txt.split(" ") if t]
+        cov = set()
+        for d, s, ln in spans:
+            if d == i:
+                cov.update(range(s, s + ln))
+        kept = [t for p, t in enumerate(ts) if p not in cov]
+        expect.add((i, " ".join(kept), len(ts) - len(kept)))
+    assert got == expect
