@@ -275,6 +275,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_mixed_lang_docs(SF_DIR).count())
         timed("windowed_dedup",
               lambda: Q.q_windowed_dedup(SF_DIR).count())
+        timed("balanced_shards",
+              lambda: Q.q_balanced_shards(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -124,3 +124,51 @@ def shuffle_rank(ds, id_col: str = "doc_id"):
     out = [rank.remote(id_col, int(off), r)
            for off, r in zip(offsets, refs)]
     return rd.from_arrow_refs(out)
+
+
+def _shard_block(k_shards: int, id_col: str, offset: int,
+                 tbl: pa.Table) -> pa.Table:
+    n = tbl.num_rows
+    rank = offset + np.arange(n, dtype=np.int64)
+    return pa.table({
+        id_col: tbl.column(id_col),
+        "n_tokens": tbl.column("n_tokens"),
+        "shard": pa.array(rank % k_shards, type=pa.int64()),
+    })
+
+
+def balanced_shards(ds, k_shards: int = 16, id_col: str = "doc_id",
+                    col: str = "text"):
+    """Token-balanced output sharding: documents ranked by
+    (n_tokens desc, id asc) and dealt round-robin over ``k_shards`` —
+    the longest-processing-time heuristic's sorted round-robin, which
+    bounds any shard's token excess by one max-doc. Deterministic
+    across runs and partitionings (the resumable-output property), and
+    computable identically in SQL (ROW_NUMBER % k).
+
+    Same scale shape as :func:`shuffle_rank`: one narrow
+    (id, n_tokens) Ray range-partitioned sort + the O(n_blocks) offset
+    scan; rows never pass the driver. Returns
+    (id, n_tokens, shard)."""
+    import ray
+    import ray.data as rd
+    from .text import _token_lists
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+        })
+
+    srt = ds.map_batches(counts, batch_format="pyarrow") \
+        .sort(["n_tokens", id_col], descending=[True, False])
+    refs = _sorted_refs(srt)
+    count = ray.remote(_count_block)
+    totals = ray.get([count.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(
+        np.int64)
+    shard = ray.remote(_shard_block)
+    out = [shard.remote(k_shards, id_col, int(off), r)
+           for off, r in zip(offsets, refs)]
+    return rd.from_arrow_refs(out)

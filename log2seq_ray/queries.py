@@ -5904,3 +5904,25 @@ ORACLE_SQL["windowed_dedup"] = """
     SELECT event_id, CAST(c - 1 AS BIGINT) AS n_dups
     FROM R WHERE rn = 1
 """
+
+
+def q_balanced_shards(sf_dir: str):
+    """Token-balanced training-shard assignment: docs ranked by
+    (n_tokens desc, id) dealt round-robin over 8 shards
+    (ops/scan.py:balanced_shards — sorted-LPT layout, deterministic)."""
+    from .ops.scan import balanced_shards
+    return balanced_shards(_docs(sf_dir, ["doc_id", "text"]),
+                           k_shards=8)
+
+
+QUERIES["balanced_shards"] = q_balanced_shards
+
+ORACLE_SQL["balanced_shards"] = f"""
+    WITH T AS (SELECT doc_id,
+                      CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+               FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST((ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC)
+                 - 1) % 8 AS BIGINT) AS shard
+    FROM T
+"""

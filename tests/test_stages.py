@@ -3699,3 +3699,29 @@ def test_windowed_dedup_collapses_retries(ray_session):
     assert out.loc[3, "n_dups"] == 0
     assert out.loc[4, "n_dups"] == 0
     assert out.loc[5, "n_dups"] == 0
+
+
+def test_balanced_shards_lpt_balance(ray_session):
+    """Sorted round-robin: shard token totals differ by at most one
+    max-doc; assignment equals the ROW_NUMBER % k reference and is
+    independent of input partitioning."""
+    import ray.data as rd
+    from log2seq_ray.ops.scan import balanced_shards
+    rng = np.random.default_rng(7)
+    n, k = 200, 4
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join("w" for _ in range(int(rng.integers(0, 50))))
+                 for _ in range(n)]})
+    got = balanced_shards(rd.from_pandas(df).repartition(7),
+                          k_shards=k).to_pandas()
+    ref = df.copy()
+    ref["n_tokens"] = ref["text"].str.split().str.len()
+    ref = ref.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True]).reset_index()
+    ref["shard"] = np.arange(n, dtype=np.int64) % k
+    m = got.set_index("doc_id")["shard"]
+    assert (ref.set_index("doc_id")["shard"] == m).all()
+    totals = got.groupby("shard")["n_tokens"].sum()
+    assert len(totals) == k
+    assert totals.max() - totals.min() <= ref["n_tokens"].max()
