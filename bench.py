@@ -277,6 +277,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_windowed_dedup(SF_DIR).count())
         timed("balanced_shards",
               lambda: Q.q_balanced_shards(SF_DIR).count())
+        timed("oov_rates",
+              lambda: Q.q_oov_rates(SF_DIR).to_pandas())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -1977,3 +1977,94 @@ def token_budget_sample(ds, budget: int, group_col: str = "lang",
     rows = ds.map_batches(narrow, batch_format="pyarrow")
     return hash_exchange(rows, group_col, _budget_partition, num_parts,
                          fn_args=(group_col, id_col, int(budget)))
+
+
+# ---------------------------------------------------------------------------
+# OOV rates under a top-K vocabulary budget
+# ---------------------------------------------------------------------------
+
+def _oov_score_batch(top_ref, group_col: str, col: str,
+                     batch: pa.Table) -> pa.Table:
+    """Per-batch (group, tokens, oov) partials against the broadcast
+    sorted top-K hash array."""
+    import ray
+    top = ray.get(top_ref) if isinstance(top_ref, ray.ObjectRef) \
+        else top_ref
+    toks = _token_lists(batch.column(col))
+    svals = pc.list_flatten(toks).to_pylist()
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      "tokens": pa.array([], type=pa.int64()),
+                      "oov": pa.array([], type=pa.int64())})
+    if not svals:
+        return empty
+    uniq, inv = np.unique(np.array(svals, dtype=object),
+                          return_inverse=True)
+    h_uniq = np.fromiter((_md5_60(s) for s in uniq), dtype=np.int64,
+                         count=len(uniq))
+    h = h_uniq[inv]
+    if len(top):
+        pos = np.searchsorted(top, h)
+        pos_c = np.minimum(pos, len(top) - 1)
+        oov = top[pos_c] != h
+    else:
+        oov = np.ones(len(h), dtype=bool)
+    counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+    row_of = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    g = batch.column(group_col)
+    g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+    codes_arr = pc.dictionary_encode(g)
+    gc = np.asarray(codes_arr.indices, dtype=np.int64)[row_of]
+    k = int(gc.max()) + 1 if len(gc) else 0
+    tok_per_g = np.bincount(gc, minlength=k).astype(np.int64)
+    oov_per_g = np.bincount(gc, weights=oov, minlength=k).astype(
+        np.int64)
+    names = np.asarray(codes_arr.dictionary)
+    nz = tok_per_g > 0
+    return pa.table({group_col: pa.array(names[:k][nz].tolist(),
+                                         type=pa.string()),
+                     "tokens": pa.array(tok_per_g[nz]),
+                     "oov": pa.array(oov_per_g[nz])})
+
+
+def oov_rates(ds, vocab_k: int = 16, group_col: str = "lang",
+              col: str = "text"):
+    """Per-group OOV mass under a top-``vocab_k`` vocabulary budget:
+    rank token types by (count desc, hash asc), keep the top K as the
+    vocabulary, and report each group's token count, OOV occurrence
+    count, and integer ``oov_ppm`` — the "what breaks if we cap the
+    tokenizer here, and for whom" diagnostic that pairs with
+    :func:`token_coverage`.
+
+    Two streaming passes (the model-then-apply shape shared with DSIR /
+    decontaminate): pass 1 builds type counts with per-batch partials +
+    one groupby over V type rows, the top-K table (K rows) broadcasts
+    via plasma; pass 2 scores per batch vectorized (searchsorted
+    membership) and pre-aggregates per group before a tiny final
+    groupby. Returns (group, tokens, oov, oov_ppm)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(
+        lambda t: _tok_count_rows(t, col), batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="cnt")) \
+        .sort(["cnt", "h"], descending=[True, False]).limit(vocab_k)
+    tp = counts.to_pandas()
+    top = np.sort(tp["h"].to_numpy().astype(np.int64)) if len(tp) \
+        else np.empty(0, dtype=np.int64)
+    top_ref = ray.put(top)
+
+    partials = ds.map_batches(
+        lambda b: _oov_score_batch(top_ref, group_col, col, b),
+        batch_format="pyarrow")
+    agg = partials.groupby(group_col).aggregate(
+        Sum("tokens", alias_name="tokens"),
+        Sum("oov", alias_name="oov"))
+
+    def ppm(b: pa.Table) -> pa.Table:
+        t = b.column("tokens").to_numpy()
+        o = b.column("oov").to_numpy()
+        return b.append_column(
+            "oov_ppm", pa.array(o * 1_000_000 // np.maximum(t, 1),
+                                type=pa.int64()))
+
+    return agg.map_batches(ppm, batch_format="pyarrow")

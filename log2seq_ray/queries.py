@@ -5926,3 +5926,31 @@ ORACLE_SQL["balanced_shards"] = f"""
                  - 1) % 8 AS BIGINT) AS shard
     FROM T
 """
+
+
+def q_oov_rates(sf_dir: str):
+    """Per-language OOV mass under a top-16 vocabulary budget: tokens,
+    OOV occurrences, integer oov_ppm (ops/curation.py:oov_rates; the
+    tokenizer-cap diagnostic paired with token_coverage)."""
+    from .ops.curation import oov_rates
+    return oov_rates(_docs(sf_dir, ["lang", "text"]), vocab_k=16,
+                     group_col="lang")
+
+
+QUERIES["oov_rates"] = q_oov_rates
+
+ORACLE_SQL["oov_rates"] = f"""
+    WITH H AS (SELECT lang, {_H60.format(s='tok')} AS h
+               FROM (SELECT lang, unnest({_TOKENS}) AS tok
+                     FROM documents)),
+    C AS (SELECT h, COUNT(*) AS cnt FROM H GROUP BY h),
+    TOP AS (SELECT h FROM C ORDER BY cnt DESC, h ASC LIMIT 16),
+    S AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tokens,
+                 CAST(SUM(CASE WHEN t.h IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS oov
+          FROM H LEFT JOIN TOP t USING (h) GROUP BY lang)
+    SELECT lang, tokens, oov,
+           CAST(oov * 1000000 // greatest(tokens, 1) AS BIGINT)
+               AS oov_ppm
+    FROM S
+"""

@@ -673,3 +673,22 @@ def test_mixed_lang_docs_majority_and_dissent(ray_session):
     assert got.loc[2].tolist() == [2, "en", 2, 0]
     assert got.loc[3].tolist() == [0, "unknown", 0, 0]
     assert got.loc[4].tolist() == [1, "unknown", 1, 0]
+
+
+def test_oov_rates_budget_semantics(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.curation import oov_rates
+    t = pa.table({
+        "lang": pa.array(["en", "en", "de", "de"]),
+        "text": pa.array(["a a a b", "a b c", "a d d", ""])})
+    # counts: a=5, d=2, b=2, c=1 → top-2 by (cnt desc, hash asc) is
+    # {a} ∪ {b or d, hash-ordered}; with K=1 only "a" is in-vocab
+    got = oov_rates(rd.from_arrow(t), vocab_k=1, group_col="lang") \
+        .to_pandas().set_index("lang").sort_index()
+    assert got.loc["en", "tokens"] == 7 and got.loc["en", "oov"] == 3
+    assert got.loc["de", "tokens"] == 3 and got.loc["de", "oov"] == 2
+    assert got.loc["de", "oov_ppm"] == 2 * 1_000_000 // 3
+    # K large enough → zero OOV everywhere
+    got4 = oov_rates(rd.from_arrow(t), vocab_k=4, group_col="lang") \
+        .to_pandas()
+    assert (got4["oov"] == 0).all()
