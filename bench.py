@@ -279,6 +279,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_balanced_shards(SF_DIR).count())
         timed("oov_rates",
               lambda: Q.q_oov_rates(SF_DIR).to_pandas())
+        timed("cdc_chunks",
+              lambda: Q.q_cdc_chunks(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

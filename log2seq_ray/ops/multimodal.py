@@ -27,6 +27,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .exchange import actor_pool
 
@@ -444,3 +445,83 @@ def media_simhash_dups(media, max_hamming: int = 12,
         concurrency=actor_pool())
     return hash_exchange(sims, "simhash_bucket", _simhash_bucket_pairs,
                          num_parts, fn_args=(max_hamming,))
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (storage dedup for binary payloads)
+# ---------------------------------------------------------------------------
+
+def _cdc_batch(marker: bytes, id_col: str, payload_col: str,
+               batch: pa.Table) -> pa.Table:
+    """Per-batch marker-cut CDC: a chunk boundary opens after every
+    occurrence of ``marker`` in the payload (the SQL-analyzable core of
+    gear/Rabin CDC — real CDC adds min/max bounds, a documented
+    contract difference). Boundary detection is one vectorized byte
+    comparison over the batch's concatenated payloads; only the md5 of
+    each chunk is a (C-digest-bound) loop."""
+    import hashlib
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "chunk_ix": pa.array([], type=pa.int64()),
+                      "chunk_len": pa.array([], type=pa.int64()),
+                      "chunk_hash": pa.array([], type=pa.int64())})
+    if not len(batch):
+        return empty
+    col = batch.column(payload_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    payloads = col.to_pylist()
+    ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy()
+    lens = np.array([len(p) for p in payloads], dtype=np.int64)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    w = len(marker)
+    if len(buf) >= w:
+        m = np.ones(len(buf) - w + 1, dtype=bool)
+        for j, ch in enumerate(marker):
+            m &= buf[j:len(buf) - w + 1 + j] == ch
+        pos = np.nonzero(m)[0]
+        # a match must lie inside one payload
+        row = np.searchsorted(off[1:], pos, side="right")
+        pos = pos[pos + w <= off[row + 1]]
+    else:
+        pos = np.empty(0, dtype=np.int64)
+    row = np.searchsorted(off[1:], pos, side="right")
+    out_id, out_ix, out_len, out_h = [], [], [], []
+    cuts_by_row = {}
+    for p, r in zip(pos.tolist(), row.tolist()):
+        cuts_by_row.setdefault(r, []).append(p - off[r] + w)
+    for r, p_bytes in enumerate(payloads):
+        starts = [0] + cuts_by_row.get(r, [])
+        ends = starts[1:] + [len(p_bytes)]
+        for ix, (s, e) in enumerate(zip(starts, ends)):
+            if e <= s:
+                continue
+            chunk = p_bytes[s:e]
+            out_id.append(int(ids[r]))
+            out_ix.append(ix)
+            out_len.append(e - s)
+            out_h.append(int(hashlib.md5(chunk).hexdigest()[:15], 16))
+    return pa.table({id_col: pa.array(out_id, type=pa.int64()),
+                     "chunk_ix": pa.array(out_ix, type=pa.int64()),
+                     "chunk_len": pa.array(out_len, type=pa.int64()),
+                     "chunk_hash": pa.array(out_h, type=pa.int64())})
+
+
+def cdc_chunks(ds, marker: bytes = b"ab", id_col: str = "media_id",
+               payload_col: str = "payload"):
+    """Content-defined chunking over binary payloads: boundaries open
+    after every ``marker`` occurrence, so an insertion or truncation
+    only re-chunks its own neighborhood — shared chunk hashes between a
+    file and its re-encode survive, which whole-file hashing
+    structurally cannot do. Emits (id, chunk_ix, chunk_len, chunk_hash
+    = md5-60) rows; the storage-dedup measure is a groupby over
+    chunk_hash downstream.
+
+    Scale shape: embarrassingly parallel per batch (one vectorized byte
+    comparison over the batch's concatenated payloads, md5 per CHUNK
+    not per byte); no exchange. Real CDC adds min/max chunk bounds —
+    that sequential suppression is the documented contract difference
+    (it would break SQL reproducibility)."""
+    return ds.map_batches(
+        lambda b: _cdc_batch(marker, id_col, payload_col, b),
+        batch_format="pyarrow", batch_size=512)

@@ -5954,3 +5954,54 @@ ORACLE_SQL["oov_rates"] = f"""
                AS oov_ppm
     FROM S
 """
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking over the planted media corpus: marker
+    'ab' opens a boundary, so a truncated re-encode shares every chunk
+    of its base up to the cut — the storage-dedup property whole-file
+    hashing cannot give (ops/multimodal.py:cdc_chunks)."""
+    from .ops.multimodal import cdc_chunks
+    media = _docs(sf_dir, ["doc_id"]).map_batches(
+        _media_variants, batch_format="pyarrow", batch_size=512)
+    return cdc_chunks(media, marker=b"ab")
+
+
+QUERIES["cdc_chunks"] = q_cdc_chunks
+
+ORACLE_SQL["cdc_chunks"] = """
+    WITH M AS (SELECT doc_id AS media_id,
+                      md5(CAST(doc_id - (CASE WHEN doc_id % 5 = 4
+                                               THEN 1 ELSE 0 END)
+                               AS VARCHAR)) AS seed,
+                      256 + CAST(('0x' || substr(md5(CAST(doc_id
+                                       AS VARCHAR)), 1, 8)) AS BIGINT)
+                          % 3840 AS nb
+               FROM documents),
+    P AS (SELECT media_id,
+                 substr(repeat(seed, 128), 1, CAST(nb AS INT)) AS pay
+          FROM M),
+    S AS (SELECT media_id, 1 AS s FROM P
+          UNION ALL
+          SELECT media_id, i + 2 AS s
+          FROM P, LATERAL (SELECT unnest(range(1, length(pay)))
+                           AS i)
+          WHERE substr(pay, CAST(i AS INT), 2) = 'ab'),
+    S2 AS (SELECT media_id, s,
+                  ROW_NUMBER() OVER (PARTITION BY media_id
+                                     ORDER BY s) - 1 AS chunk_ix,
+                  LEAD(s) OVER (PARTITION BY media_id
+                                ORDER BY s) AS nxt
+           FROM S),
+    C AS (SELECT p.media_id, s2.chunk_ix,
+                 CAST(COALESCE(s2.nxt, length(p.pay) + 1) - s2.s
+                      AS BIGINT) AS chunk_len,
+                 substr(p.pay, CAST(s2.s AS INT),
+                        CAST(COALESCE(s2.nxt, length(p.pay) + 1)
+                             - s2.s AS INT)) AS chunk
+          FROM S2 JOIN P p USING (media_id))
+    SELECT media_id, CAST(chunk_ix AS BIGINT) AS chunk_ix, chunk_len,
+           CAST(('0x' || substr(md5(chunk), 1, 15)) AS BIGINT)
+               AS chunk_hash
+    FROM C WHERE chunk_len > 0
+"""

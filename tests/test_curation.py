@@ -692,3 +692,31 @@ def test_oov_rates_budget_semantics(ray_session):
     got4 = oov_rates(rd.from_arrow(t), vocab_k=4, group_col="lang") \
         .to_pandas()
     assert (got4["oov"] == 0).all()
+
+
+def test_cdc_chunks_share_across_truncated_reencode(ray_session):
+    """The CDC property: a truncated copy shares every full chunk of
+    its base before the cut (whole-file hashes would share nothing);
+    boundaries open exactly after each marker; payloads without the
+    marker are one chunk."""
+    import ray.data as rd
+    from log2seq_ray.ops.multimodal import cdc_chunks
+    base = b"xxabyyyyabzzzzzab" + b"q" * 40
+    trunc = base[:30]
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array([1, 2, 3], type=pa.int64()),
+        "payload": pa.array([base, trunc, b"nomarkerhere"],
+                            type=pa.binary())}))
+    got = cdc_chunks(media, marker=b"ab").to_pandas()
+    g1 = got[got.media_id == 1].sort_values("chunk_ix")
+    g2 = got[got.media_id == 2].sort_values("chunk_ix")
+    # base chunks: xxab | yyyyab | zzzzzab | qqq...; trunc cuts inside
+    # the final chunk -> first three chunk hashes identical
+    assert g1["chunk_len"].tolist()[:3] == [4, 6, 7]
+    assert g1["chunk_hash"].tolist()[:3] == g2["chunk_hash"].tolist()[:3]
+    assert g1["chunk_hash"].iloc[3] != g2["chunk_hash"].iloc[3]
+    g3 = got[got.media_id == 3]
+    assert len(g3) == 1 and g3["chunk_len"].iloc[0] == 12
+    # chunks tile each payload exactly
+    assert g1["chunk_len"].sum() == len(base)
+    assert g2["chunk_len"].sum() == len(trunc)
