@@ -281,6 +281,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_oov_rates(SF_DIR).to_pandas())
         timed("cdc_chunks",
               lambda: Q.q_cdc_chunks(SF_DIR).count())
+        timed("jl_project",
+              lambda: Q.q_jl_project(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -1209,3 +1209,63 @@ def vec_gram_sums(ds, col: str = "embedding", scale: int = 1000):
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["dim_a", "dim_b"]).aggregate(
             Sum("n_p", alias_name="n"), Sum("s_p", alias_name="s"))
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (exact-integer contract)
+# ---------------------------------------------------------------------------
+
+def _jl_signs(d_in: int, d_out: int) -> np.ndarray:
+    """Deterministic ±1 projection matrix: sign(i, j) from the parity
+    of md5(f"{i}:{j}")'s first hex digit — reproducible by any engine,
+    no RNG state to ship."""
+    import hashlib
+    R = np.empty((d_in, d_out), dtype=np.int64)
+    for i in range(d_in):
+        for j in range(d_out):
+            h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+            R[i, j] = 1 if int(h[0], 16) % 2 == 0 else -1
+    return R
+
+
+def jl_project(ds, d_out: int = 4, col: str = "embedding",
+               id_col: str = "vec_id", scale: int = 1000):
+    """Sparse-free JL random projection with the engine's exact-integer
+    discipline: coordinates milli-quantize (``floor(v*scale)``, the
+    vec_gram convention) and project through a deterministic ±1 matrix
+    — ``out[j] = Σ_i q_i · sign(i, j)`` is an exact int64 sum, so any
+    partitioning (and SQL) reproduces every output bit. The standard
+    cheap dimensionality-reduction front-end before LSH / clustering
+    at scale (Achlioptas-style ±1 projections preserve distances in
+    expectation; the 1/√d_out rescale is left to the consumer to keep
+    integers exact).
+
+    Scale shape: embarrassingly parallel — the (d_in × d_out) sign
+    matrix builds once per actor, each batch is one int64 matmul;
+    no exchange. Returns exploded (id, out_dim 1-based, value) rows."""
+    class _JL:
+        def __init__(self):
+            self.R = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                              "out_dim": pa.array([], type=pa.int64()),
+                              "value": pa.array([], type=pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            Q = np.floor(_to_matrix(b.column(col)) * scale).astype(
+                np.int64)
+            if self.R is None or self.R.shape[0] != Q.shape[1]:
+                self.R = _jl_signs(Q.shape[1], d_out)
+            Y = Q @ self.R                      # (n, d_out) exact int64
+            n = Q.shape[0]
+            ids = pc.cast(b.column(id_col), pa.int64()).to_numpy()
+            return pa.table({
+                id_col: pa.array(np.repeat(ids, d_out)),
+                "out_dim": pa.array(np.tile(
+                    np.arange(1, d_out + 1, dtype=np.int64), n)),
+                "value": pa.array(Y.reshape(-1))})
+
+    from .exchange import actor_pool
+    return ds.map_batches(_JL, batch_format="pyarrow",
+                          concurrency=actor_pool())

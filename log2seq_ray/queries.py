@@ -6005,3 +6005,36 @@ ORACLE_SQL["cdc_chunks"] = """
                AS chunk_hash
     FROM C WHERE chunk_len > 0
 """
+
+
+def q_jl_project(sf_dir: str):
+    """Exact-integer JL ±1 random projection of the embeddings to 4
+    dims (md5-parity sign matrix, milli-quantized inputs — every output
+    bit SQL-reproducible; ops/similarity.py:jl_project)."""
+    import ray.data as rd
+    from .ops.similarity import jl_project
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return jl_project(emb, d_out=4)
+
+
+QUERIES["jl_project"] = q_jl_project
+
+ORACLE_SQL["jl_project"] = """
+    WITH E AS (SELECT vec_id,
+                      CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                          - 1 AS i,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                 * 1000) AS BIGINT) AS q
+               FROM embeddings),
+    D AS (SELECT MAX(i) + 1 AS d_in FROM E),
+    R AS (SELECT i, j,
+                 CASE WHEN CAST(('0x' || substr(md5(i || ':' || j), 1, 1))
+                           AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(range(0, (SELECT d_in FROM D))) AS i),
+               (SELECT unnest(range(0, 4)) AS j))
+    SELECT e.vec_id, CAST(r.j + 1 AS BIGINT) AS out_dim,
+           CAST(SUM(e.q * r.s) AS BIGINT) AS value
+    FROM E e JOIN R r USING (i)
+    GROUP BY 1, 2
+"""

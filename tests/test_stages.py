@@ -3725,3 +3725,27 @@ def test_balanced_shards_lpt_balance(ray_session):
     totals = got.groupby("shard")["n_tokens"].sum()
     assert len(totals) == k
     assert totals.max() - totals.min() <= ref["n_tokens"].max()
+
+
+def test_jl_project_exact_integer_matmul(ray_session):
+    """jl_project equals the numpy reference (quantize → ±1 matmul) and
+    is partition-invariant."""
+    import hashlib
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import jl_project
+    rng = np.random.default_rng(3)
+    n, d_in, d_out = 40, 6, 3
+    X = rng.normal(size=(n, d_in))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(X.astype(np.float64)),
+                                        type=pa.list_(pa.float64()))})
+    got = jl_project(rd.from_arrow(t).repartition(5), d_out=d_out) \
+        .to_pandas().pivot(index="vec_id", columns="out_dim",
+                           values="value").to_numpy()
+    Q = np.floor(X * 1000).astype(np.int64)
+    R = np.empty((d_in, d_out), dtype=np.int64)
+    for i in range(d_in):
+        for j in range(d_out):
+            h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+            R[i, j] = 1 if int(h[0], 16) % 2 == 0 else -1
+    assert (got == Q @ R).all()
