@@ -283,6 +283,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_cdc_chunks(SF_DIR).count())
         timed("jl_project",
               lambda: Q.q_jl_project(SF_DIR).count())
+        timed("hard_negatives",
+              lambda: Q.q_hard_negatives(SF_DIR))
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

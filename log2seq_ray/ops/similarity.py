@@ -1269,3 +1269,96 @@ def jl_project(ds, d_out: int = 4, col: str = "embedding",
     from .exchange import actor_pool
     return ds.map_batches(_JL, batch_format="pyarrow",
                           concurrency=actor_pool())
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (label-constrained top-k)
+# ---------------------------------------------------------------------------
+
+class _HardNegStage(_TopKStage):
+    """Per-batch local top-k constrained to candidates whose label
+    differs from the query's — contrastive-training hard-negative
+    mining. Same broadcast/local-top-k/driver-merge shape as knn."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, col: str,
+                 label_col: str):
+        import ray
+        q = queries_ref if isinstance(queries_ref, tuple) \
+            else ray.get(queries_ref)
+        self.q_ids, self.Q, self.q_labels = q
+        self.k, self.id_col, self.col = k, id_col, col
+        self.label_col = label_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize(_to_matrix(batch.column(self.col)))
+        ids = np.asarray(batch.column(self.id_col)
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        labels = np.asarray(batch.column(self.label_col)
+                            .to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        sims = self.Q @ X.T
+        # same-label candidates (and the query itself) are ineligible
+        sims[self.q_labels[:, None] == labels[None, :]] = -np.inf
+        for qi, qid in enumerate(self.q_ids):
+            sims[qi, ids == qid] = -np.inf
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            cand = part[qi][np.isfinite(sims[qi, part[qi]])]
+            out_q.extend([qid] * len(cand))
+            out_v.extend(ids[cand])
+            out_s.extend(sims[qi, cand])
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "cosine": pa.array(np.array(out_s, dtype=np.float64)),
+        })
+
+
+def labeled_queries_from_dataset(ds, n_queries: int, id_col="vec_id",
+                                 col="embedding", label_col="label"):
+    """First n vectors (by id) with their labels as the query set."""
+    small = ds.filter(expr=f"{id_col} < {n_queries}")
+    batches = list(small.iter_batches(batch_size=4096,
+                                      batch_format="pyarrow"))
+    if not batches:
+        raise ValueError("labeled_queries_from_dataset: no vectors "
+                         f"with {id_col} < {n_queries}")
+    tbl = pa.concat_tables(batches)
+    order = pc.sort_indices(tbl.column(id_col))
+    tbl = tbl.take(order)
+    return (np.asarray(tbl.column(id_col).to_numpy(
+                zero_copy_only=False), dtype=np.int64),
+            _to_matrix(tbl.column(col)),
+            np.asarray(tbl.column(label_col).to_numpy(
+                zero_copy_only=False), dtype=np.int64))
+
+
+def hard_negatives(ds, queries, k: int = 5, id_col: str = "vec_id",
+                   col: str = "embedding", label_col: str = "label"):
+    """Exact cosine top-k HARD NEGATIVES per query: nearest candidates
+    with a DIFFERENT label — the mining step of contrastive training
+    (the near-but-wrong examples that carry gradient signal).
+    ``queries`` = (ids, matrix, labels). Broadcast queries, per-batch
+    local top-k, k × n_blocks driver merge — no shuffle (the knn
+    scale shape). Returns (query_id, vec_id, rank), ties to lower id."""
+    import pandas as pd
+    import ray
+    q_ids, Q, q_labels = queries
+    payload = (np.asarray(q_ids, dtype=np.int64),
+               _normalize(np.asarray(Q, dtype=np.float64)),
+               np.asarray(q_labels, dtype=np.int64))
+    ref = ray.put(payload)
+    cands = ds.map_batches(
+        _HardNegStage,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col,
+                                   col=col, label_col=label_col),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=actor_pool())
+    pdf = cands.to_pandas()
+    pdf = pdf.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True])
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    pdf = pdf[pdf["rank"] <= k].reset_index(drop=True)
+    return pdf[["query_id", "vec_id", "rank"]]

@@ -6038,3 +6038,35 @@ ORACLE_SQL["jl_project"] = """
     FROM E e JOIN R r USING (i)
     GROUP BY 1, 2
 """
+
+
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: exact cosine top-5 with a
+    DIFFERENT label, for the first 5 labeled vectors (broadcast
+    queries, local top-k, driver merge —
+    ops/similarity.py:hard_negatives)."""
+    import ray.data as rd
+    from .ops.similarity import (hard_negatives,
+                                 labeled_queries_from_dataset)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    q = labeled_queries_from_dataset(emb, n_queries=5)
+    return hard_negatives(emb, q, k=5)
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+
+ORACLE_SQL["hard_negatives"] = """
+    SELECT query_id, vec_id, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])) DESC,
+                       e.vec_id ASC) AS rank
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+              AND e.label <> q.label)
+    WHERE rank <= 5
+"""

@@ -3749,3 +3749,33 @@ def test_jl_project_exact_integer_matmul(ray_session):
             h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()
             R[i, j] = 1 if int(h[0], 16) % 2 == 0 else -1
     assert (got == Q @ R).all()
+
+
+def test_hard_negatives_label_constraint(ray_session):
+    """Every mined negative has a different label than its query, and
+    matches the numpy brute-force label-constrained top-k."""
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import (hard_negatives,
+                                            labeled_queries_from_dataset)
+    rng = np.random.default_rng(5)
+    n, d = 60, 4
+    X = rng.normal(size=(n, d))
+    labels = rng.integers(0, 3, n)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(X.astype(np.float64)),
+                                        type=pa.list_(pa.float64())),
+                  "label": pa.array(labels, type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)
+    q = labeled_queries_from_dataset(ds, n_queries=3)
+    got = hard_negatives(ds, q, k=4)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    lab = {int(i): int(l) for i, l in enumerate(labels)}
+    for qi in range(3):
+        sims = Xn @ Xn[qi]
+        elig = [(float(-sims[j]), j) for j in range(n)
+                if j != qi and labels[j] != labels[qi]]
+        expect = [j for _, j in sorted(elig)[:4]]
+        mine = got[got.query_id == qi].sort_values("rank")[
+            "vec_id"].tolist()
+        assert mine == expect
+        assert all(lab[v] != lab[qi] for v in mine)
