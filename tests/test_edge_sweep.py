@@ -39,7 +39,25 @@ def _kernels():
         urls = pa.table({"url": b.column("text")})
         return canonicalize_url(urls)
 
+    from log2seq_ray.ops.curation import _tok_count_rows, _vocab_rows
+    from log2seq_ray.ops.text import MixedLangStage, _posting_rows
+
+    def vocab_rows(b):
+        return _vocab_rows(b, 5, "doc_id", "text")
+
+    def tok_counts(b):
+        return _tok_count_rows(b, "text")
+
+    def posting_rows(b):
+        return _posting_rows(b, 8, "doc_id", "text")
+
+    _ml = MixedLangStage(para_tokens=4)
+
     return {
+        "vocab_rows": vocab_rows,
+        "tok_count_rows": tok_counts,
+        "posting_rows": posting_rows,
+        "mixed_lang": _ml,
         "quality_scores": quality_scores,
         "gopher_filter": gopher_filter,
         "repetition_scores": repetition_scores,
