@@ -1397,8 +1397,12 @@ def _posting_rows(batch: pa.Table, buckets: int, id_col: str,
                   id_col: batch.column(id_col).take(parents)})
     g = t.group_by(["token", id_col]).aggregate([([], "count_all")])
     svals = g.column("token").to_pylist()
-    b = np.fromiter((_md5_60(s) % buckets for s in svals),
-                    dtype=np.int64, count=len(svals))
+    # md5 once per DISTINCT token, not per (token, doc) row
+    uniq, inv = np.unique(np.array(svals, dtype=object),
+                          return_inverse=True)
+    b_uniq = np.fromiter((_md5_60(s) % buckets for s in uniq),
+                         dtype=np.int64, count=len(uniq))
+    b = b_uniq[inv]
     return pa.table({"token": g.column("token"),
                      id_col: pc.cast(g.column(id_col), pa.int64()),
                      "tf": pc.cast(g.column("count_all"), pa.int64()),
