@@ -1455,18 +1455,22 @@ def ingest_search_run(ds, state_dir: str, buckets: int = 64,
     if id_files:
         idx = rd.read_parquet(id_files, columns=[id_col])
         post = hash_join(post, idx, id_col, id_col, how="anti")
+    # materialized once: consumed by the commit write AND the id
+    # derivation — narrow (token, id, tf, bucket) rows only, spillable;
+    # document text never entered the pipeline past stage A
     post = post.materialize()
+    n_new = post.count()
     new_ids = post.groupby(id_col).count().map_batches(
         lambda b: b.select([id_col]), batch_format="pyarrow")
 
     tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
     os.makedirs(f"{tmp}/postings", exist_ok=True)
     os.makedirs(f"{tmp}/ids", exist_ok=True)
-    if post.count():
+    if n_new:
         post.write_parquet(f"{tmp}/postings", partition_cols=["bucket"])
         new_ids.write_parquet(f"{tmp}/ids")
     os.rename(tmp, f"{state_dir}/run_{len(runs):05d}")
-    if post.count() == 0:
+    if n_new == 0:
         return rd.from_arrow(pa.table({id_col: pa.array(
             [], type=pa.int64())}))
     return new_ids
