@@ -285,6 +285,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_jl_project(SF_DIR).count())
         timed("hard_negatives",
               lambda: Q.q_hard_negatives(SF_DIR))
+        timed("interval_coverage",
+              lambda: Q.q_interval_coverage(SF_DIR).to_pandas())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -6070,3 +6070,45 @@ ORACLE_SQL["hard_negatives"] = """
               AND e.label <> q.label)
     WHERE rank <= 5
 """
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user interval UNION coverage: each event opens
+    [ts, ts + floor(value) minutes); overlaps merge — interval count,
+    island count, covered microseconds
+    (ops/windows.py:interval_coverage)."""
+    from .ops.windows import interval_coverage
+    return interval_coverage(
+        _events(sf_dir, ["user_id", "ts", "value"]))
+
+
+QUERIES["interval_coverage"] = q_interval_coverage
+
+ORACLE_SQL["interval_coverage"] = """
+    WITH I AS (SELECT user_id, epoch_us(ts) AS s,
+                      epoch_us(ts) + CAST(floor(value) AS BIGINT)
+                          * 60000000 AS e
+               FROM events
+               WHERE ts IS NOT NULL AND value IS NOT NULL
+                     AND isfinite(value) AND value > 0),
+    O AS (SELECT user_id, s, e,
+                 MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+          FROM I),
+    G AS (SELECT user_id, s, e,
+                 CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END AS brk
+          FROM O),
+    S AS (SELECT user_id, s, e,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS gid
+          FROM G),
+    A AS (SELECT user_id, gid, MAX(e) - MIN(s) AS span,
+                 COUNT(*) AS n
+          FROM S GROUP BY 1, 2)
+    SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(span) AS BIGINT) AS covered_us
+    FROM A GROUP BY user_id
+"""

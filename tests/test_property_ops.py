@@ -641,3 +641,36 @@ def test_excise_partition_matches_python(seed):
         kept = [t for p, t in enumerate(ts) if p not in cov]
         expect.add((i, " ".join(kept), len(ts) - len(kept)))
     assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_interval_coverage_partition_matches_python(seed):
+    """_coverage_partition equals a per-key Python interval-union
+    reference for arbitrary (key, start, end) sets with nesting and
+    ties; forcing the degenerate per-key loop path gives the same."""
+    from log2seq_ray.ops.windows import _coverage_partition
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 60))
+    u = rng.integers(0, 5, n).astype(np.int64)
+    s = rng.integers(0, 500, n).astype(np.int64)
+    e = s + rng.integers(1, 120, n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(u), "s_us": pa.array(s),
+                  "e_us": pa.array(e)})
+    got = {(r["user_id"], r["n_intervals"], r["n_islands"],
+            r["covered_us"])
+           for r in _coverage_partition("user_id", "s_us", "e_us",
+                                        [t]).to_pylist()}
+    expect = set()
+    for key in np.unique(u):
+        ivs = sorted((int(a), int(b))
+                     for a, b in zip(s[u == key], e[u == key]))
+        islands = []
+        for a, b in ivs:
+            if islands and a <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], b)
+            else:
+                islands.append([a, b])
+        expect.add((int(key), len(ivs), len(islands),
+                    sum(b - a for a, b in islands)))
+    assert got == expect

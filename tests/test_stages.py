@@ -3779,3 +3779,27 @@ def test_hard_negatives_label_constraint(ray_session):
             "vec_id"].tolist()
         assert mine == expect
         assert all(lab[v] != lab[qi] for v in mine)
+
+
+def test_interval_coverage_union_semantics(ray_session):
+    """Overlaps merge (no double count), touching intervals merge,
+    disjoint ones don't; zero/null durations and null ts drop."""
+    import ray.data as rd
+    from log2seq_ray.ops.windows import interval_coverage
+    base = pd.Timestamp("2025-06-01 10:00")
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 1, 2, 2, 3], dtype=np.int64),
+        "ts": [base, base + pd.Timedelta(minutes=5),       # overlap
+               base + pd.Timedelta(minutes=10),            # touches
+               base + pd.Timedelta(hours=2),               # disjoint
+               base, pd.NaT,                               # null ts
+               base],
+        "value": [10.0, 5.0, 20.0, 1.0, 7.5, 3.0, 0.0]})   # 0 → drop
+    got = interval_coverage(rd.from_pandas(df).repartition(3),
+                            num_parts=3).to_pandas() \
+        .set_index("user_id").sort_index()
+    # user 1: [0,10) ∪ [5,10) ∪ [10,30) = [0,30) → 30 min; + [120,121)
+    assert got.loc[1].tolist() == [4, 2, 31 * 60_000_000]
+    # user 2: one 7-minute interval (floor(7.5) = 7)
+    assert got.loc[2].tolist() == [1, 1, 7 * 60_000_000]
+    assert 3 not in got.index
