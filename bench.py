@@ -287,6 +287,10 @@ def run_benchmarks() -> dict:
               lambda: Q.q_hard_negatives(SF_DIR))
         timed("interval_coverage",
               lambda: Q.q_interval_coverage(SF_DIR).to_pandas())
+        timed("k_anonymity",
+              lambda: Q.q_k_anonymity(SF_DIR).to_pandas())
+        timed("pseudonymize",
+              lambda: Q.q_pseudonymize(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -326,3 +326,68 @@ def dedup_lines_within_doc(batch: pa.Table, col: str = "text",
                            pc.binary_join(kept_lists, sep))
     return out.append_column(
         "n_dropped", pa.array(counts - kept_counts, type=pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# privacy prep: k-anonymity audit + consistent pseudonymization
+# ---------------------------------------------------------------------------
+
+def k_anonymity_risk(ds, quasi_cols, k: int = 5):
+    """k-anonymity audit over a quasi-identifier combination: the
+    groups whose row count is BELOW ``k`` — each is a re-identification
+    risk (its members are distinguishable by the quasi-identifiers
+    alone). Returns (quasi..., n) rows for the under-k groups; an empty
+    result certifies k-anonymity for this projection.
+
+    Scale shape: per-batch combine (one Arrow group_by per batch) →
+    one Ray groupby over the (bounded) quasi-combination space →
+    vectorized threshold filter. Quasi columns only ever shuffle."""
+    from ray.data.aggregate import Sum
+    cols = list(quasi_cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(cols).group_by(cols).aggregate([([], "count_all")])
+        return g.rename_columns(cols + ["n_part"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(cols).aggregate(Sum("n_part", alias_name="n"))
+
+    def under_k(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("n"), pa.scalar(k)))
+
+    return agg.map_batches(under_k, batch_format="pyarrow")
+
+
+def pseudonymize(ds, key_cols, salt: str = "s1"):
+    """Consistent pseudonymization: each value of every ``key_cols``
+    column is replaced by a 60-bit md5 pseudonym of ``salt:value`` —
+    the same value maps to the same pseudonym in every table and every
+    run (joins keep working), while the raw identifier never leaves
+    the stage. Per-batch, no exchange; the md5 loop runs once per
+    DISTINCT value per batch (memoized by np.unique).
+
+    Rotating ``salt`` severs linkage to previously published
+    pseudonyms — the standard re-keying lever."""
+    import hashlib
+
+    cols = list(key_cols)
+
+    def pseud(b: pa.Table) -> pa.Table:
+        out = b
+        for c in cols:
+            col = b.column(c)
+            col = col.combine_chunks() \
+                if isinstance(col, pa.ChunkedArray) else col
+            vals = col.to_pylist()
+            uniq, inv = np.unique(
+                np.array([str(v) for v in vals], dtype=object),
+                return_inverse=True)
+            h = np.fromiter(
+                (int(hashlib.md5(f"{salt}:{s}".encode())
+                     .hexdigest()[:15], 16) for s in uniq),
+                dtype=np.int64, count=len(uniq))
+            out = out.set_column(out.column_names.index(c), c,
+                                 pa.array(h[inv], type=pa.int64()))
+        return out
+
+    return ds.map_batches(pseud, batch_format="pyarrow")

@@ -6112,3 +6112,54 @@ ORACLE_SQL["interval_coverage"] = """
            CAST(SUM(span) AS BIGINT) AS covered_us
     FROM A GROUP BY user_id
 """
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over (lang, source, n_chars//500): the
+    quasi-identifier groups with fewer than 5 members — each a
+    re-identification risk (ops/normalize.py:k_anonymity_risk)."""
+    from .ops.normalize import k_anonymity_risk
+
+    def quasi(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b.column("lang"),
+            "source": b.column("source"),
+            "len_bucket": pc.cast(pc.divide(
+                pc.cast(b.column("n_chars"), pa.int64()),
+                pa.scalar(500, type=pa.int64())), pa.int64())})
+
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"]).map_batches(
+        quasi, batch_format="pyarrow")
+    return k_anonymity_risk(ds, ["lang", "source", "len_bucket"], k=5)
+
+
+QUERIES["k_anonymity"] = q_k_anonymity
+
+ORACLE_SQL["k_anonymity"] = """
+    SELECT lang, source, n_chars // 500 AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+"""
+
+
+def q_pseudonymize(sf_dir: str):
+    """Consistent salted pseudonymization of (user_id, event_type) on
+    events: same value → same 60-bit pseudonym everywhere, joins keep
+    working, raw ids never leave the stage
+    (ops/normalize.py:pseudonymize)."""
+    from .ops.normalize import pseudonymize
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type"])
+    return pseudonymize(ev, ["user_id", "event_type"], salt="s1")
+
+
+QUERIES["pseudonymize"] = q_pseudonymize
+
+ORACLE_SQL["pseudonymize"] = """
+    SELECT event_id,
+           CAST(('0x' || substr(md5('s1:' || CAST(user_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) AS user_id,
+           CAST(('0x' || substr(md5('s1:' || event_type), 1, 15))
+                AS BIGINT) AS event_type
+    FROM events
+"""

@@ -3803,3 +3803,26 @@ def test_interval_coverage_union_semantics(ray_session):
     # user 2: one 7-minute interval (floor(7.5) = 7)
     assert got.loc[2].tolist() == [1, 1, 7 * 60_000_000]
     assert 3 not in got.index
+
+
+def test_k_anonymity_and_pseudonymize(ray_session):
+    import hashlib
+    import ray.data as rd
+    from log2seq_ray.ops.normalize import k_anonymity_risk, pseudonymize
+    t = pa.table({
+        "lang": pa.array(["en"] * 5 + ["de"] * 2),
+        "source": pa.array(["a"] * 5 + ["b"] * 2),
+        "uid": pa.array(np.arange(7, dtype=np.int64))})
+    # (en, a) has 5 members -> safe at k=5; (de, b) has 2 -> risky
+    risky = k_anonymity_risk(rd.from_arrow(t), ["lang", "source"],
+                             k=5).to_pandas()
+    assert risky[["lang", "source", "n"]].values.tolist() == \
+        [["de", "b", 2]]
+    # pseudonyms: consistent per value, salt changes the mapping
+    p1 = pseudonymize(rd.from_arrow(t), ["uid"], salt="s1").to_pandas()
+    p2 = pseudonymize(rd.from_arrow(t), ["uid"], salt="s1").to_pandas()
+    p3 = pseudonymize(rd.from_arrow(t), ["uid"], salt="s2").to_pandas()
+    assert p1["uid"].tolist() == p2["uid"].tolist()
+    assert p1["uid"].tolist() != p3["uid"].tolist()
+    assert p1["uid"][0] == int(hashlib.md5(b"s1:0").hexdigest()[:15], 16)
+    assert p1["uid"].nunique() == 7
