@@ -291,6 +291,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_k_anonymity(SF_DIR).to_pandas())
         timed("pseudonymize",
               lambda: Q.q_pseudonymize(SF_DIR).count())
+        timed("edit1_join",
+              lambda: Q.q_edit1_join(SF_DIR).to_pandas())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

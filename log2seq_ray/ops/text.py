@@ -1629,3 +1629,83 @@ def mixed_lang_docs(ds, para_tokens: int = 32, id_col: str = "doc_id",
         fn_constructor_kwargs={"para_tokens": para_tokens,
                                "id_col": id_col, "col": col},
         batch_format="pyarrow", concurrency=actor_pool())
+
+
+def _ed1_join_partition(pieces) -> pa.Table:
+    """One variant-hash partition of the two-sided fuzzy join: distinct
+    (variant, token, side) rows, cross-side pair expansion within
+    equal-variant segments, exact one-edit-away verify (distance 0 —
+    an exact match — qualifies)."""
+    from .exchange import concat_typed, segment_pair_indices
+    empty = pa.table({"token_l": pa.array([], type=pa.string()),
+                      "token_r": pa.array([], type=pa.string())})
+    t = concat_typed(pieces, "variant", "token", "side")
+    if t is None or t.num_rows == 0:
+        return empty
+    t = t.group_by(["variant", "token", "side"]).aggregate([])
+    v = t.column("variant")
+    enc_v = pc.dictionary_encode(
+        v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+    vcodes = np.asarray(enc_v.indices, dtype=np.int64)
+    tok = t.column("token")
+    tok = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) \
+        else tok
+    enc_t = pc.dictionary_encode(tok)
+    tcodes = np.asarray(enc_t.indices, dtype=np.int64)
+    sides = np.asarray(pc.cast(t.column("side"), pa.int64()).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((tcodes, vcodes))
+    _, i_row, j_row = segment_pair_indices(vcodes[order])
+    if len(i_row) == 0:
+        return empty
+    ta, tb = tcodes[order][i_row], tcodes[order][j_row]
+    sa, sb = sides[order][i_row], sides[order][j_row]
+    cross = sa != sb
+    if not cross.any():
+        return empty
+    ta, tb, sa = ta[cross], tb[cross], sa[cross]
+    lcode = np.where(sa == 0, ta, tb)
+    rcode = np.where(sa == 0, tb, ta)
+    uniq = np.unique(lcode << 32 | rcode)
+    lcode, rcode = uniq >> 32, uniq & ((1 << 32) - 1)
+    l_str = enc_t.dictionary.take(pa.array(lcode, type=pa.int64()))
+    r_str = enc_t.dictionary.take(pa.array(rcode, type=pa.int64()))
+    ok = _ed1_verify(l_str.to_pylist(), r_str.to_pylist())
+    return pa.table({"token_l": l_str.filter(pa.array(ok)),
+                     "token_r": r_str.filter(pa.array(ok))})
+
+
+def edit1_join(left, right, col_l: str = "token",
+               col_r: str = "token", max_len: int = 24,
+               num_parts: int = 8):
+    """Two-sided fuzzy JOIN at edit distance ≤ 1 — record linkage of a
+    dirty vocabulary against a canonical one (typo'd entity names →
+    their canonical forms). SymSpell deletion-neighborhood blocking on
+    BOTH sides (lossless for distance ≤ 1, exact matches included);
+    only cross-side pairs expand inside the variant-keyed exchange;
+    candidates verify with the exact one-edit-away prefix+suffix rule.
+    A pair can share several variants → a final distinct collapses
+    cross-partition repeats. Returns (token_l, token_r).
+
+    Scale shape: the canonical side is usually tiny but the plan never
+    assumes it — both sides emit O(V × avg_len) narrow variant rows
+    through ONE exchange; per-segment expansion is bounded by the
+    tokens sharing a variant, never |L|×|R|."""
+    from .exchange import hash_exchange
+
+    def tag(side):
+        def f(b: pa.Table) -> pa.Table:
+            col = col_l if side == 0 else col_r
+            v = _ed1_variants(b.column(col), max_len)
+            return v.append_column(
+                "side", pa.array(np.full(v.num_rows, side,
+                                         dtype=np.int64)))
+        return f
+
+    rows = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+    pairs = hash_exchange(rows, "variant", _ed1_join_partition,
+                          num_parts)
+    return pairs.groupby(["token_l", "token_r"]).count().map_batches(
+        lambda b: b.select(["token_l", "token_r"]),
+        batch_format="pyarrow")

@@ -6163,3 +6163,43 @@ ORACLE_SQL["pseudonymize"] = """
                 AS BIGINT) AS event_type
     FROM events
 """
+
+
+_CANON_TERMS = ["join", "joinn", "hsah", "customer", "custmer",
+                "vectr", "zzzz"]
+
+
+def q_edit1_join(sf_dir: str):
+    """Record linkage: the corpus vocabulary fuzzy-joined (edit
+    distance ≤ 1, exact matches included) against a canonical term
+    list with injected typos (ops/text.py:edit1_join — two-sided
+    SymSpell blocking, cross-side expansion only)."""
+    import ray.data as rd
+    from .ops.text import edit1_join
+
+    def vocab(b: pa.Table) -> pa.Table:
+        from .ops.text import _token_lists
+        toks = pc.list_flatten(_token_lists(b.column("text")))
+        import numpy as np
+        u = np.unique(np.array(toks.to_pylist(), dtype=object))
+        return pa.table({"token": pa.array(u.tolist(),
+                                           type=pa.string())})
+
+    left = _docs(sf_dir, ["text"]).map_batches(
+        vocab, batch_format="pyarrow")
+    right = rd.from_arrow(pa.table({"token": pa.array(
+        _CANON_TERMS, type=pa.string())}))
+    return edit1_join(left, right)
+
+
+QUERIES["edit1_join"] = q_edit1_join
+
+ORACLE_SQL["edit1_join"] = f"""
+    WITH V AS (SELECT DISTINCT tok AS token_l
+               FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)),
+    C AS (SELECT unnest(['join', 'joinn', 'hsah', 'customer',
+                         'custmer', 'vectr', 'zzzz']) AS token_r)
+    SELECT token_l, token_r
+    FROM V, C
+    WHERE levenshtein(token_l, token_r) <= 1
+"""

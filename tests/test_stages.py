@@ -3826,3 +3826,21 @@ def test_k_anonymity_and_pseudonymize(ray_session):
     assert p1["uid"].tolist() != p3["uid"].tolist()
     assert p1["uid"][0] == int(hashlib.md5(b"s1:0").hexdigest()[:15], 16)
     assert p1["uid"].nunique() == 7
+
+
+def test_edit1_join_linkage(ray_session):
+    """Dirty → canonical linkage: typos link, exact matches link,
+    distance-2 noise doesn't; every pair is (left, right) oriented."""
+    import ray.data as rd
+    from log2seq_ray.ops.text import edit1_join
+    left = rd.from_arrow(pa.table({"token": pa.array(
+        ["color", "colour", "gray", "grey", "table", "xyz"])}))
+    right = rd.from_arrow(pa.table({"token": pa.array(
+        ["color", "grey", "cable"])}))
+    got = sorted(map(tuple, edit1_join(left, right).to_pandas()
+                     .values.tolist()))
+    assert got == [("color", "color"),    # exact
+                   ("colour", "color"),   # one insertion
+                   ("gray", "grey"),      # substitution
+                   ("grey", "grey"),      # exact
+                   ("table", "cable")]    # substitution
