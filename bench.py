@@ -293,6 +293,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_pseudonymize(SF_DIR).count())
         timed("edit1_join",
               lambda: Q.q_edit1_join(SF_DIR).to_pandas())
+        timed("session_paths",
+              lambda: Q.q_session_paths(SF_DIR).to_pandas())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

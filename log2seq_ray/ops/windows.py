@@ -1098,3 +1098,80 @@ def interval_coverage(ds, key: str = "user_id", ts_col: str = "ts",
     rows = ds.map_batches(narrow, batch_format="pyarrow")
     return hash_exchange(rows, key, _coverage_partition, num_parts,
                          fn_args=(key, "s_us", "e_us"))
+
+
+# ---------------------------------------------------------------------------
+# session path mining (within-session event-type n-grams)
+# ---------------------------------------------------------------------------
+
+def _path_partition(key: str, ts_col: str, id_col: str, type_col: str,
+                    gap_sec: int, pieces) -> pa.Table:
+    """One key partition: lexsort (key, ts, id), gap-cumsum session
+    ids, then count consecutive event-type TRIGRAMS whose three events
+    share a session — emitted as (t1, t2, t3, n) partials."""
+    from .exchange import concat_typed
+    empty = pa.table({"t1": pa.array([], type=pa.string()),
+                      "t2": pa.array([], type=pa.string()),
+                      "t3": pa.array([], type=pa.string()),
+                      "n_part": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, ts_col, id_col, type_col)
+    if t is None or t.num_rows == 0:
+        return empty
+    t = t.filter(pc.is_valid(t.column(ts_col)))
+    if t.num_rows < 3:
+        return empty
+    ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                 pa.int64()).to_numpy()
+    ids = np.asarray(pc.cast(t.column(id_col), pa.int64()).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    kcol = t.column(key).combine_chunks() \
+        if isinstance(t.column(key), pa.ChunkedArray) else t.column(key)
+    kc = np.asarray(pc.dictionary_encode(kcol).indices, dtype=np.int64)
+    ty = t.column(type_col)
+    ty = ty.combine_chunks() if isinstance(ty, pa.ChunkedArray) else ty
+    enc = pc.dictionary_encode(ty)
+    tc = np.asarray(enc.indices, dtype=np.int64)
+    order = np.lexsort((ids, ts, kc))
+    kc, ts, tc = kc[order], ts[order], tc[order]
+    brk = np.ones(len(kc), dtype=bool)
+    brk[1:] = (kc[1:] != kc[:-1]) | (ts[1:] - ts[:-1]
+                                     > gap_sec * 1_000_000)
+    sess = np.cumsum(brk)
+    same3 = (sess[2:] == sess[1:-1]) & (sess[1:-1] == sess[:-2])
+    if not same3.any():
+        return empty
+    a, b, c = tc[:-2][same3], tc[1:-1][same3], tc[2:][same3]
+    V = int(tc.max()) + 1
+    code = (a * V + b) * V + c
+    u, n = np.unique(code, return_counts=True)
+    d = enc.dictionary
+    return pa.table({
+        "t1": d.take(pa.array(u // (V * V), type=pa.int64())),
+        "t2": d.take(pa.array((u // V) % V, type=pa.int64())),
+        "t3": d.take(pa.array(u % V, type=pa.int64())),
+        "n_part": pa.array(n.astype(np.int64))})
+
+
+def session_paths(ds, key: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", type_col: str = "event_type",
+                  gap_sec: int = 1800, num_parts: int = 16):
+    """Within-session path mining: counts of consecutive event-type
+    TRIGRAMS whose three events share a gap-based session — the
+    behavioral-sequence signal (onboarding funnels, pre-churn paths)
+    that global bigrams smear across session boundaries. Ties (equal
+    ts) order by event id, the sessionize convention; null ts drop.
+
+    Scale shape: one narrow (id, key, ts, type) exchange keyed by the
+    session key; per-partition work is one lexsort + shifted
+    comparisons; only (t1, t2, t3, n) partials (≤ types³) leave the
+    partition for the final tiny groupby."""
+    from ray.data.aggregate import Sum
+    from .exchange import hash_exchange
+    narrow = ds.map_batches(
+        lambda b: b.select([id_col, key, ts_col, type_col]),
+        batch_format="pyarrow")
+    parts = hash_exchange(narrow, key, _path_partition, num_parts,
+                          fn_args=(key, ts_col, id_col, type_col,
+                                   gap_sec))
+    return parts.groupby(["t1", "t2", "t3"]).aggregate(
+        Sum("n_part", alias_name="n"))

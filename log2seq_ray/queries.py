@@ -6203,3 +6203,36 @@ ORACLE_SQL["edit1_join"] = f"""
     FROM V, C
     WHERE levenshtein(token_l, token_r) <= 1
 """
+
+
+def q_session_paths(sf_dir: str):
+    """Within-session event-type trigram counts (30-min gap sessions):
+    the behavioral-path signal global bigrams smear across session
+    boundaries (ops/windows.py:session_paths)."""
+    from .ops.windows import session_paths
+    return session_paths(_events(
+        sf_dir, ["event_id", "user_id", "ts", "event_type"]))
+
+
+QUERIES["session_paths"] = q_session_paths
+
+ORACLE_SQL["session_paths"] = """
+    WITH E AS (SELECT user_id, ts, event_id, event_type
+               FROM events WHERE ts IS NOT NULL),
+    S AS (SELECT *,
+                 SUM(CASE WHEN prev IS NULL OR date_diff('microsecond',
+                              prev, ts) > 1800000000
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+          FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev FROM E)),
+    T AS (SELECT user_id, sess, event_type AS t1,
+                 LEAD(event_type, 1) OVER w AS t2,
+                 LEAD(event_type, 2) OVER w AS t3,
+                 LEAD(sess, 2) OVER w AS sess3
+          FROM S WINDOW w AS (PARTITION BY user_id, sess
+                              ORDER BY ts, event_id))
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM T WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+"""

@@ -3844,3 +3844,24 @@ def test_edit1_join_linkage(ray_session):
                    ("gray", "grey"),      # substitution
                    ("grey", "grey"),      # exact
                    ("table", "cable")]    # substitution
+
+
+def test_session_paths_respect_boundaries(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.windows import session_paths
+    base = pd.Timestamp("2025-06-01 10:00")
+    m = pd.Timedelta(minutes=1)
+    df = pd.DataFrame({
+        "event_id": np.arange(7, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 1, 1, 2, 2], dtype=np.int64),
+        "event_type": ["a", "b", "c", "a", "b", "a", "b"],
+        # user 1: a,b,c,a within one session, then a 2h gap before b
+        "ts": [base, base + m, base + 2 * m, base + 3 * m,
+               base + pd.Timedelta(hours=2),
+               base, base + m]})
+    got = session_paths(rd.from_pandas(df).repartition(3),
+                        num_parts=3).to_pandas()
+    got_set = {(r.t1, r.t2, r.t3, r.n) for r in got.itertuples()}
+    # trigrams inside user 1's first session only: abc, bca; user 2 has
+    # just 2 events; the post-gap "b" joins no trigram
+    assert got_set == {("a", "b", "c", 1), ("b", "c", "a", 1)}
