@@ -295,6 +295,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_edit1_join(SF_DIR).to_pandas())
         timed("session_paths",
               lambda: Q.q_session_paths(SF_DIR).to_pandas())
+        timed("dedup_savings",
+              lambda: Q.q_dedup_savings(SF_DIR).to_pandas())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

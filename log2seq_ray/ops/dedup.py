@@ -1432,3 +1432,88 @@ def mirror_clusters(ds, id_col: str = "source", text_col: str = "text",
         id_col: pa.array(sources, type=pa.string()),
         "cluster": pa.array([find(s) for s in sources],
                             type=pa.string())})
+
+
+def _savings_partition(group_col: str, pieces) -> pa.Table:
+    """One content-hash partition of :func:`dedup_savings`: min-id per
+    hash marks the survivor; per-group (docs, tokens, kept) partials."""
+    from .exchange import concat_typed
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      "docs_p": pa.array([], type=pa.int64()),
+                      "tokens_p": pa.array([], type=pa.int64()),
+                      "docs_kept_p": pa.array([], type=pa.int64()),
+                      "tokens_kept_p": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, "content_hash", "doc_id", group_col,
+                     "n_tokens")
+    if t is None or t.num_rows == 0:
+        return empty
+    h = t.column("content_hash")
+    h = h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h
+    hc = np.asarray(pc.dictionary_encode(h).indices, dtype=np.int64)
+    ids = t.column("doc_id").to_numpy()
+    nt = t.column("n_tokens").to_numpy()
+    order = np.lexsort((ids, hc))
+    kept = np.zeros(len(hc), dtype=bool)
+    first = np.ones(len(hc), dtype=bool)
+    first[1:] = hc[order][1:] != hc[order][:-1]
+    kept[order[first]] = True
+    g = t.column(group_col)
+    g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+    enc = pc.dictionary_encode(g)
+    gc = np.asarray(enc.indices, dtype=np.int64)
+    k = int(gc.max()) + 1
+    return pa.table({
+        group_col: enc.dictionary.take(
+            pa.array(np.arange(k), type=pa.int64())),
+        "docs_p": pa.array(np.bincount(gc, minlength=k)
+                           .astype(np.int64)),
+        "tokens_p": pa.array(np.bincount(gc, weights=nt, minlength=k)
+                             .astype(np.int64)),
+        "docs_kept_p": pa.array(np.bincount(gc, weights=kept,
+                                            minlength=k)
+                                .astype(np.int64)),
+        "tokens_kept_p": pa.array(
+            np.bincount(gc, weights=nt * kept, minlength=k)
+            .astype(np.int64))})
+
+
+def dedup_savings(ds, group_col: str = "lang", id_col: str = "doc_id",
+                  col: str = "text", num_parts=None):
+    """What exact dedup buys, per group: documents and tokens before vs
+    after min-id-per-content dedup, plus the integer token-savings ppm
+    — the corpus-datasheet line that justifies (or kills) the dedup
+    stage for each slice of the mix.
+
+    Scale shape: one narrow (hash, id, group, n_tokens) exchange keyed
+    by content hash (all copies of a text meet in one partition, so
+    the survivor decision is local); only per-group partials leave.
+    Text never shuffles."""
+    from ray.data.aggregate import Sum
+    from .exchange import hash_exchange
+    from .text import _token_lists
+
+    num_parts = _auto_parts(num_parts)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column(col))
+        return _text_hash(b, col).select(
+            ["content_hash", id_col, group_col]).append_column(
+            "n_tokens", pc.cast(pc.list_value_length(toks), pa.int64()))
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow")
+    parts = hash_exchange(rows, "content_hash", _savings_partition,
+                          num_parts, fn_args=(group_col,))
+    agg = parts.groupby(group_col).aggregate(
+        Sum("docs_p", alias_name="docs"),
+        Sum("tokens_p", alias_name="tokens"),
+        Sum("docs_kept_p", alias_name="docs_kept"),
+        Sum("tokens_kept_p", alias_name="tokens_kept"))
+
+    def ppm(b: pa.Table) -> pa.Table:
+        tok = b.column("tokens").to_numpy()
+        kept = b.column("tokens_kept").to_numpy()
+        return b.append_column("savings_ppm", pa.array(
+            (tok - kept) * 1_000_000 // np.maximum(tok, 1),
+            type=pa.int64()))
+
+    return agg.map_batches(ppm, batch_format="pyarrow")

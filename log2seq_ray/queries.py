@@ -6236,3 +6236,32 @@ ORACLE_SQL["session_paths"] = """
     SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
     FROM T WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
 """
+
+
+def q_dedup_savings(sf_dir: str):
+    """Per-language dedup savings: docs/tokens before vs after exact
+    content dedup + integer savings ppm — the datasheet line that
+    justifies the dedup stage per slice
+    (ops/dedup.py:dedup_savings)."""
+    from .ops.dedup import dedup_savings
+    return dedup_savings(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+QUERIES["dedup_savings"] = q_dedup_savings
+
+ORACLE_SQL["dedup_savings"] = f"""
+    WITH T AS (SELECT doc_id, lang, text,
+                      CAST(len({_TOKENS}) AS BIGINT) AS nt
+               FROM documents),
+    K AS (SELECT MIN(doc_id) AS keep FROM T GROUP BY text),
+    J AS (SELECT t.*, CASE WHEN k.keep IS NULL THEN 0 ELSE 1 END
+              AS kept
+          FROM T t LEFT JOIN K k ON t.doc_id = k.keep)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(nt) AS BIGINT) AS tokens,
+           CAST(SUM(kept) AS BIGINT) AS docs_kept,
+           CAST(SUM(nt * kept) AS BIGINT) AS tokens_kept,
+           CAST((SUM(nt) - SUM(nt * kept)) * 1000000
+                // greatest(SUM(nt), 1) AS BIGINT) AS savings_ppm
+    FROM J GROUP BY lang
+"""

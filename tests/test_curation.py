@@ -720,3 +720,21 @@ def test_cdc_chunks_share_across_truncated_reencode(ray_session):
     # chunks tile each payload exactly
     assert g1["chunk_len"].sum() == len(base)
     assert g2["chunk_len"].sum() == len(trunc)
+
+
+def test_dedup_savings_per_group(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import dedup_savings
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array(["a b c", "a b c", "a b c", "x y", "p"]),
+        "lang": pa.array(["en", "en", "de", "de", "en"])})
+    got = dedup_savings(rd.from_arrow(t).repartition(3), num_parts=3) \
+        .to_pandas().set_index("lang").sort_index()
+    # en: docs 1,2,5 — text "a b c" kept at id 1 (id 2 dup), "p" kept
+    assert got.loc["en"].tolist() == [3, 7, 2, 4,
+                                      (7 - 4) * 1_000_000 // 7]
+    # de: doc 3 is a dup of doc 1's text (kept id is 1, an EN doc) —
+    # so de keeps only "x y"
+    assert got.loc["de"].tolist() == [2, 5, 1, 2,
+                                      (5 - 2) * 1_000_000 // 5]
