@@ -297,6 +297,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_session_paths(SF_DIR).to_pandas())
         timed("dedup_savings",
               lambda: Q.q_dedup_savings(SF_DIR).to_pandas())
+        timed("join_cardinality",
+              lambda: Q.q_join_cardinality(SF_DIR))
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -634,3 +634,92 @@ def interval_pairs_join(left, right, key: str, left_ts: str = "ts",
                           _interval_pairs_partition, num_parts,
                           fn_args=(key, left_ts, right_ts, int(lo_us),
                                    int(hi_us), left_id, right_id))
+
+
+# ---------------------------------------------------------------------------
+# join cardinality estimation (plan-time size + hot keys, no join run)
+# ---------------------------------------------------------------------------
+
+def _card_partition(pieces_l, pieces_r):
+    """One key partition: finalize per-key counts for both sides,
+    multiply matches, return (local top rows, local pair total)."""
+    from .exchange import resolve_pieces
+    empty = pa.table({"key": pa.array([], type=pa.int64()),
+                      "nl": pa.array([], type=pa.int64()),
+                      "nr": pa.array([], type=pa.int64()),
+                      "pairs": pa.array([], type=pa.int64())})
+    L = resolve_pieces(pieces_l)
+    R = resolve_pieces(pieces_r)
+    if not L or not R:
+        return empty, 0
+
+    def _tot(tabs):
+        t = pa.concat_tables(tabs)
+        k = t.column("key").to_numpy()
+        n = t.column("n").to_numpy()
+        u, inv = np.unique(k, return_inverse=True)
+        return u, np.bincount(inv, weights=n).astype(np.int64)
+
+    kl, nl = _tot(L)
+    kr, nr = _tot(R)
+    pos = np.searchsorted(kl, kr)
+    pos_c = np.minimum(pos, len(kl) - 1)
+    hit = kl[pos_c] == kr
+    if not hit.any():
+        return empty, 0
+    keys = kr[hit]
+    nls = nl[pos_c[hit]]
+    nrs = nr[hit]
+    pairs = nls * nrs
+    return pa.table({"key": pa.array(keys, type=pa.int64()),
+                     "nl": pa.array(nls),
+                     "nr": pa.array(nrs),
+                     "pairs": pa.array(pairs)}), int(pairs.sum())
+
+
+def join_cardinality(left, right, key_l: str, key_r: str, k: int = 10,
+                     num_parts: int = 16):
+    """Plan-time join-size estimation: the EXACT output cardinality of
+    an inner equi-join and its hottest keys, computed from per-key
+    counts alone — never running the join. The broadcast-vs-shuffle-
+    vs-salt decision input: a key with share_ppm ≫ 1e6/num_parts is
+    the straggler the plain hash join would produce.
+
+    Scale shape: each side ships per-batch (key, n) count partials
+    (not rows) through one co-partitioned exchange; per-partition work
+    is two unique+bincounts and one searchsorted; k×num_parts rows +
+    num_parts scalars reach the driver. Returns a pandas frame
+    (key, nl, nr, pairs, share_ppm), top-k by (pairs desc, key asc)."""
+    import pandas as pd
+    import ray
+    from .exchange import _fan_out
+
+    def partial(col):
+        def f(b: pa.Table) -> pa.Table:
+            key = pc.cast(b.column(col), pa.int64())
+            t = pa.table({"key": key})
+            g = t.group_by(["key"]).aggregate([([], "count_all")])
+            return pa.table({"key": g.column("key"),
+                             "n": pc.cast(g.column("count_all"),
+                                          pa.int64())})
+        return f
+
+    lp = left.map_batches(partial(key_l), batch_format="pyarrow")
+    rp = right.map_batches(partial(key_r), batch_format="pyarrow")
+    work = ray.remote(num_returns=2)(_card_partition)
+    outs = [work.remote(a, b) for a, b in
+            zip(_fan_out(lp, "key", num_parts),
+                _fan_out(rp, "key", num_parts))]
+    tabs = ray.get([o[0] for o in outs])
+    totals = ray.get([o[1] for o in outs])
+    total = sum(totals)
+    nonempty = [x for x in tabs if x.num_rows]
+    if total == 0 or not nonempty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("key", "nl", "nr", "pairs",
+                                       "share_ppm")})
+    t = pa.concat_tables(nonempty)
+    df = t.to_pandas().sort_values(["pairs", "key"],
+                                   ascending=[False, True]).head(k)
+    df["share_ppm"] = df["pairs"] * 1_000_000 // total
+    return df.reset_index(drop=True)

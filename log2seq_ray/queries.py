@@ -6265,3 +6265,33 @@ ORACLE_SQL["dedup_savings"] = f"""
                 // greatest(SUM(nt), 1) AS BIGINT) AS savings_ppm
     FROM J GROUP BY lang
 """
+
+
+def q_join_cardinality(sf_dir: str):
+    """Plan-time join-size estimate for orders ⋈ lineitem on orderkey:
+    exact pair count and hottest keys from per-key count partials —
+    the broadcast/salt decision input, computed without running the
+    join (ops/join.py:join_cardinality)."""
+    import ray.data as rd
+    from .ops.join import join_cardinality
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    return join_cardinality(orders, li, "o_orderkey", "l_orderkey",
+                            k=10)
+
+
+QUERIES["join_cardinality"] = q_join_cardinality
+
+ORACLE_SQL["join_cardinality"] = """
+    WITH L AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS nl
+               FROM orders GROUP BY 1),
+    R AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS nr
+          FROM lineitem GROUP BY 1),
+    J AS (SELECT k, nl, nr, nl * nr AS pairs FROM L JOIN R USING (k)),
+    T AS (SELECT SUM(pairs) AS total FROM J)
+    SELECT k AS key, nl, nr, pairs,
+           CAST(pairs * 1000000 // total AS BIGINT) AS share_ppm
+    FROM J, T ORDER BY pairs DESC, k ASC LIMIT 10
+"""

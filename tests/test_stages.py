@@ -3865,3 +3865,22 @@ def test_session_paths_respect_boundaries(ray_session):
     # trigrams inside user 1's first session only: abc, bca; user 2 has
     # just 2 events; the post-gap "b" joins no trigram
     assert got_set == {("a", "b", "c", 1), ("b", "c", "a", 1)}
+
+
+def test_join_cardinality_exact_and_topk(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.join import join_cardinality
+    l = pa.table({"k": pa.array([1, 1, 1, 2, 3, 9], type=pa.int64())})
+    r = pa.table({"k": pa.array([1, 1, 2, 2, 2, 4], type=pa.int64())})
+    got = join_cardinality(rd.from_arrow(l).repartition(3),
+                           rd.from_arrow(r).repartition(2),
+                           "k", "k", k=2, num_parts=3)
+    # pairs: key 1 -> 3*2=6, key 2 -> 1*3=3; keys 3/9/4 unmatched
+    assert got[["key", "nl", "nr", "pairs"]].values.tolist() == \
+        [[1, 3, 2, 6], [2, 1, 3, 3]]
+    assert got["share_ppm"].tolist() == [6 * 1_000_000 // 9,
+                                         3 * 1_000_000 // 9]
+    # empty intersection
+    e = join_cardinality(rd.from_arrow(l), rd.from_arrow(
+        pa.table({"k": pa.array([7], type=pa.int64())})), "k", "k")
+    assert len(e) == 0
