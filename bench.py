@@ -299,6 +299,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_dedup_savings(SF_DIR).to_pandas())
         timed("join_cardinality",
               lambda: Q.q_join_cardinality(SF_DIR))
+        timed("kwic_snippets",
+              lambda: Q.q_kwic_snippets(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

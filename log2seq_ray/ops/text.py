@@ -1709,3 +1709,54 @@ def edit1_join(left, right, col_l: str = "token",
     return pairs.groupby(["token_l", "token_r"]).count().map_batches(
         lambda b: b.select(["token_l", "token_r"]),
         batch_format="pyarrow")
+
+
+def kwic_snippets(ds, terms, window: int = 3, id_col: str = "doc_id",
+                  col: str = "text"):
+    """Keyword-in-context extraction: for every occurrence of a query
+    term, the ±``window``-token snippet around it — the snippet-
+    generation step after retrieval (and the context-audit tool for
+    decontamination review). Embarrassingly parallel per batch: one
+    vectorized membership pass finds hit positions, one gather builds
+    each snippet's token range; no per-row Python, no exchange.
+    Returns (id, pos, term, snippet) with ``pos`` the 0-based token
+    position."""
+    term_list = sorted(set(terms))
+    tset = pa.array(term_list, type=pa.string())
+
+    def snip(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "pos": pa.array([], type=pa.int64()),
+                          "term": pa.array([], type=pa.string()),
+                          "snippet": pa.array([], type=pa.string())})
+        toks = _token_lists(b.column(col))
+        flat = pc.list_flatten(toks)
+        if not len(flat):
+            return empty
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        counts = np.diff(offsets)
+        row_of = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        hit = np.asarray(pc.is_in(flat, value_set=tset))
+        idx = np.nonzero(hit)[0]
+        if not len(idx):
+            return empty
+        r = row_of[idx]
+        lo = np.maximum(idx - window, offsets[r])
+        hi = np.minimum(idx + window + 1, offsets[r + 1])
+        lens = hi - lo
+        gat = (np.repeat(lo, lens)
+               + np.arange(int(lens.sum()), dtype=np.int64)
+               - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]),
+                           lens))
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(lens)]),
+                     type=pa.int32()),
+            flat.take(pa.array(gat)))
+        ids = pc.cast(b.column(id_col), pa.int64()).to_numpy()
+        return pa.table({
+            id_col: pa.array(ids[r]),
+            "pos": pa.array(idx - offsets[r]),
+            "term": flat.take(pa.array(idx)),
+            "snippet": pc.binary_join(la, " ")})
+
+    return ds.map_batches(snip, batch_format="pyarrow")

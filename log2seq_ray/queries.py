@@ -6295,3 +6295,27 @@ ORACLE_SQL["join_cardinality"] = """
            CAST(pairs * 1000000 // total AS BIGINT) AS share_ppm
     FROM J, T ORDER BY pairs DESC, k ASC LIMIT 10
 """
+
+
+def q_kwic_snippets(sf_dir: str):
+    """Keyword-in-context: ±3-token snippets around every occurrence
+    of the standard query terms (ops/text.py:kwic_snippets — the
+    snippet step after retrieval; one vectorized pass, no exchange)."""
+    from .ops.text import kwic_snippets
+    return kwic_snippets(_docs(sf_dir, ["doc_id", "text"]),
+                         ["join", "slow"], window=3)
+
+
+QUERIES["kwic_snippets"] = q_kwic_snippets
+
+ORACLE_SQL["kwic_snippets"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    P AS (SELECT doc_id, t,
+                 CAST(generate_subscripts(t, 1) AS BIGINT) AS i,
+                 unnest(t) AS tok
+          FROM T)
+    SELECT doc_id, i - 1 AS pos, tok AS term,
+           array_to_string(t[greatest(i - 3, 1):least(i + 3, len(t))],
+                           ' ') AS snippet
+    FROM P WHERE tok IN ('join', 'slow')
+"""

@@ -738,3 +738,17 @@ def test_dedup_savings_per_group(ray_session):
     # so de keeps only "x y"
     assert got.loc["de"].tolist() == [2, 5, 1, 2,
                                       (5 - 2) * 1_000_000 // 5]
+
+
+def test_kwic_snippets_window_clamps(ray_session):
+    from log2seq_ray.ops.text import kwic_snippets
+    rows = [(1, "a b hit c d e hit"), (2, "hit"), (3, "no match here"),
+            (4, "")]
+    got = kwic_snippets(_ds(rows), ["hit"], window=2).to_pandas()
+    snips = {(r.doc_id, r.pos): r.snippet for r in got.itertuples()}
+    assert snips == {
+        (1, 2): "a b hit c d",       # full window
+        (1, 6): "d e hit",           # clamped at the tail
+        (2, 0): "hit",               # single-token doc
+    }
+    assert (got["term"] == "hit").all()
