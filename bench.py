@@ -301,6 +301,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_join_cardinality(SF_DIR))
         timed("kwic_snippets",
               lambda: Q.q_kwic_snippets(SF_DIR).count())
+        timed("weighted_median_len",
+              lambda: Q.q_weighted_median_len(SF_DIR))
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -867,3 +867,46 @@ def ingest_hist_run(ds, state_dir: str, value_col: str, q: float = 0.5,
                               side="right"))
     return pd.DataFrame({"bin": [int(vc["bin"].iloc[pos])],
                          "n_total": [n]})
+
+
+def weighted_quantile_disc(ds, value_col: str, weight_col: str, qs):
+    """WEIGHTED discrete quantiles of an integer-valued column: the
+    value whose cumulative weight (in value order) first reaches
+    ``ceil(q · total_weight)`` — e.g. the token-weighted median doc
+    length answers "half the corpus TOKENS live in docs at least this
+    long", which the unweighted median structurally understates.
+
+    Scale shape: per-batch (value, weight-sum) partials → one groupby
+    over the DISTINCT values (bounded for integer metrics like token
+    counts — the global_quantile_disc contract) → a driver-side
+    cumsum over that bounded table. Exact integer arithmetic; ties in
+    ``value`` are order-independent by construction. Returns one row
+    per q: (q_ppm, value, cum_weight, total_weight)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(value_col), pa.int64()).to_numpy()
+        w = pc.cast(b.column(weight_col), pa.int64()).to_numpy()
+        u, inv = np.unique(v, return_inverse=True)
+        return pa.table({"v": pa.array(u),
+                         "w_part": pa.array(
+                             np.bincount(inv, weights=w)
+                             .astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("w_part", alias_name="w")) \
+        .sort("v").to_pandas()
+    out = {"q_ppm": [], "value": [], "cum_weight": [],
+           "total_weight": []}
+    if len(agg):
+        cw = agg["w"].cumsum()
+        tot = int(cw.iloc[-1])
+        for q in qs:
+            target = -(-int(q * 1_000_000) * tot // 1_000_000)  # ceil
+            i = int(np.searchsorted(cw.to_numpy(), target))
+            out["q_ppm"].append(int(q * 1_000_000))
+            out["value"].append(int(agg["v"].iloc[i]))
+            out["cum_weight"].append(int(cw.iloc[i]))
+            out["total_weight"].append(tot)
+    return pd.DataFrame(out).astype("int64")

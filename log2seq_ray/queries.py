@@ -6319,3 +6319,41 @@ ORACLE_SQL["kwic_snippets"] = f"""
                            ' ') AS snippet
     FROM P WHERE tok IN ('join', 'slow')
 """
+
+
+def q_weighted_median_len(sf_dir: str):
+    """Token-weighted doc-length quantiles (p50/p90): the length at
+    which half (90%) of corpus TOKENS live in docs at least that long
+    — the unweighted median understates it
+    (ops/stats.py:weighted_quantile_disc)."""
+    from .ops.stats import weighted_quantile_disc
+    from .ops.text import _token_lists
+
+    def lens(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b.column("text"))
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        return pa.table({"n_tokens": n, "w": n})
+
+    ds = _docs(sf_dir, ["text"]).map_batches(lens,
+                                             batch_format="pyarrow")
+    return weighted_quantile_disc(ds, "n_tokens", "w", [0.5, 0.9])
+
+
+QUERIES["weighted_median_len"] = q_weighted_median_len
+
+ORACLE_SQL["weighted_median_len"] = f"""
+    WITH T AS (SELECT CAST(len({_TOKENS}) AS BIGINT) AS v FROM documents),
+    A AS (SELECT v, SUM(v) AS w FROM T GROUP BY v),
+    S AS (SELECT v, w,
+                 SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS cw,
+                 SUM(w) OVER () AS tot
+          FROM A),
+    Q AS (SELECT unnest([500000, 900000]) AS q_ppm)
+    SELECT q_ppm, v AS value, CAST(cw AS BIGINT) AS cum_weight,
+           CAST(tot AS BIGINT) AS total_weight
+    FROM Q, LATERAL (
+        SELECT v, cw, tot FROM S
+        WHERE cw >= -((-q_ppm * tot) // 1000000)
+        ORDER BY v LIMIT 1)
+"""

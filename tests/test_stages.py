@@ -3884,3 +3884,17 @@ def test_join_cardinality_exact_and_topk(ray_session):
     e = join_cardinality(rd.from_arrow(l), rd.from_arrow(
         pa.table({"k": pa.array([7], type=pa.int64())})), "k", "k")
     assert len(e) == 0
+
+
+def test_weighted_quantile_disc(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.stats import weighted_quantile_disc
+    t = pa.table({"v": pa.array([1, 2, 10], type=pa.int64()),
+                  "w": pa.array([1, 1, 8], type=pa.int64())})
+    got = weighted_quantile_disc(rd.from_arrow(t).repartition(2),
+                                 "v", "w", [0.5, 0.1])
+    # total weight 10: median weight-unit (5th) lives in v=10;
+    # 10th-percentile unit (1st) in v=1. Unweighted median would be 2.
+    assert got[got.q_ppm == 500000]["value"].iloc[0] == 10
+    assert got[got.q_ppm == 100000]["value"].iloc[0] == 1
+    assert (got["total_weight"] == 10).all()
