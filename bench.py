@@ -303,6 +303,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_kwic_snippets(SF_DIR).count())
         timed("weighted_median_len",
               lambda: Q.q_weighted_median_len(SF_DIR))
+        timed("activity_concentration",
+              lambda: Q.q_activity_concentration(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -1175,3 +1175,63 @@ def session_paths(ds, key: str = "user_id", ts_col: str = "ts",
                                    gap_sec))
     return parts.groupby(["t1", "t2", "t3"]).aggregate(
         Sum("n_part", alias_name="n"))
+
+
+def _concentration_partition(key: str, sub_key: str, pieces) -> pa.Table:
+    """One key partition: finalize per-(key, sub) counts, then the
+    integer Simpson collision ppm per key — Σc(c−1)·10⁶ // (n(n−1))."""
+    from .exchange import concat_typed
+    empty = pa.table({key: pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "n_types": pa.array([], type=pa.int64()),
+                      "conc_ppm": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, sub_key, "n_part")
+    if t is None or t.num_rows == 0:
+        return empty
+    k = t.column(key).to_numpy()
+    s = t.column(sub_key)
+    s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    sc = np.asarray(pc.dictionary_encode(s).indices, dtype=np.int64)
+    n = t.column("n_part").to_numpy()
+    V = int(sc.max()) + 1
+    code = k * V + sc
+    u, inv = np.unique(code, return_inverse=True)
+    c = np.bincount(inv, weights=n).astype(np.int64)
+    uk = u // V
+    fk = np.nonzero(np.concatenate([[True], uk[1:] != uk[:-1]]))[0]
+    tot = np.add.reduceat(c, fk).astype(np.int64)
+    coll = np.add.reduceat(c * (c - 1), fk).astype(np.int64)
+    types = np.diff(np.append(fk, len(uk))).astype(np.int64)
+    denom = np.maximum(tot * (tot - 1), 1)
+    return pa.table({key: pa.array(uk[fk], type=pa.int64()),
+                     "n_events": pa.array(tot),
+                     "n_types": pa.array(types),
+                     "conc_ppm": pa.array(
+                         coll * 1_000_000 // denom)})
+
+
+def activity_concentration(ds, key: str = "user_id",
+                           sub_key: str = "event_type",
+                           num_parts: int = 16):
+    """Per-key activity concentration: the integer Simpson collision
+    probability (ppm) of the key's ``sub_key`` mix — 10⁶ means a
+    single-behavior account (bot signature), low values a diverse one.
+    The per-entity analogue of the per-doc token-concentration signal.
+
+    Scale shape: per-batch (key, sub, n) count partials → one
+    key-keyed exchange → vectorized segment reductions; exact integer
+    arithmetic throughout."""
+    from .exchange import hash_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: pc.cast(b.column(key), pa.int64()),
+                      sub_key: b.column(sub_key)})
+        g = t.group_by([key, sub_key]).aggregate([([], "count_all")])
+        return pa.table({key: g.column(key),
+                         sub_key: g.column(sub_key),
+                         "n_part": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(rows, key, _concentration_partition,
+                         num_parts, fn_args=(key, sub_key))

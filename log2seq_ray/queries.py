@@ -6357,3 +6357,27 @@ ORACLE_SQL["weighted_median_len"] = f"""
         WHERE cw >= -((-q_ppm * tot) // 1000000)
         ORDER BY v LIMIT 1)
 """
+
+
+def q_activity_concentration(sf_dir: str):
+    """Per-user Simpson concentration (ppm) of the event-type mix —
+    10⁶ = single-behavior bot signature
+    (ops/windows.py:activity_concentration)."""
+    from .ops.windows import activity_concentration
+    return activity_concentration(
+        _events(sf_dir, ["user_id", "event_type"]))
+
+
+QUERIES["activity_concentration"] = q_activity_concentration
+
+ORACLE_SQL["activity_concentration"] = """
+    WITH C AS (SELECT user_id, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2)
+    SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c * (c - 1)) * 1000000
+                // greatest(SUM(c) * (SUM(c) - 1), 1) AS BIGINT)
+               AS conc_ppm
+    FROM C GROUP BY user_id
+"""

@@ -3898,3 +3898,17 @@ def test_weighted_quantile_disc(ray_session):
     assert got[got.q_ppm == 500000]["value"].iloc[0] == 10
     assert got[got.q_ppm == 100000]["value"].iloc[0] == 1
     assert (got["total_weight"] == 10).all()
+
+
+def test_activity_concentration_simpson(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.windows import activity_concentration
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], type=pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "a", "a", "b", "x"])})
+    got = activity_concentration(rd.from_arrow(t).repartition(3),
+                                 num_parts=3).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert got.loc[1].tolist() == [4, 1, 1_000_000]   # pure bot mix
+    assert got.loc[2].tolist() == [2, 2, 0]           # fully diverse
+    assert got.loc[3].tolist() == [1, 1, 0]           # single event
