@@ -305,6 +305,12 @@ def run_benchmarks() -> dict:
               lambda: Q.q_weighted_median_len(SF_DIR))
         timed("activity_concentration",
               lambda: Q.q_activity_concentration(SF_DIR).count())
+        timed("activity_streaks",
+              lambda: Q.q_activity_streaks(SF_DIR).count())
+        timed("url_structure",
+              lambda: Q.q_url_structure(SF_DIR).to_pandas())
+        timed("hour_profile",
+              lambda: Q.q_hour_profile(SF_DIR).to_pandas())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -1235,3 +1235,66 @@ def activity_concentration(ds, key: str = "user_id",
     rows = ds.map_batches(partial, batch_format="pyarrow")
     return hash_exchange(rows, key, _concentration_partition,
                          num_parts, fn_args=(key, sub_key))
+
+
+def _streak_partition(key: str, pieces) -> pa.Table:
+    """One key partition: distinct (key, day) pairs, consecutive-day
+    islands, per-key max/active-day/streak counts."""
+    from .exchange import concat_typed
+    empty = pa.table({key: pa.array([], type=pa.int64()),
+                      "active_days": pa.array([], type=pa.int64()),
+                      "n_streaks": pa.array([], type=pa.int64()),
+                      "max_streak": pa.array([], type=pa.int64())})
+    t = concat_typed(pieces, key, "day")
+    if t is None or t.num_rows == 0:
+        return empty
+    k = t.column(key).to_numpy()
+    d = t.column("day").to_numpy()
+    order = np.lexsort((d, k))
+    k, d = k[order], d[order]
+    first = np.ones(len(k), dtype=bool)
+    first[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+    k, d = k[first], d[first]            # distinct (key, day)
+    new_key = np.ones(len(k), dtype=bool)
+    new_key[1:] = k[1:] != k[:-1]
+    brk = new_key.copy()
+    brk[1:] |= d[1:] != d[:-1] + 1
+    gidx = np.nonzero(brk)[0]
+    slen = np.diff(np.append(gidx, len(k))).astype(np.int64)
+    g_k = k[gidx]
+    kidx = np.nonzero(np.concatenate([[True],
+                                      g_k[1:] != g_k[:-1]]))[0]
+    max_streak = np.maximum.reduceat(slen, kidx).astype(np.int64)
+    n_streaks = np.diff(np.append(kidx, len(g_k))).astype(np.int64)
+    active = np.add.reduceat(slen, kidx).astype(np.int64)
+    return pa.table({key: pa.array(g_k[kidx], type=pa.int64()),
+                     "active_days": pa.array(active),
+                     "n_streaks": pa.array(n_streaks),
+                     "max_streak": pa.array(max_streak)})
+
+
+def activity_streaks(ds, key: str = "user_id", ts_col: str = "ts",
+                     num_parts: int = 16):
+    """Per-key consecutive-day activity streaks: distinct active days,
+    number of maximal runs of consecutive days, and the longest run —
+    the retention/habit metric. Null timestamps drop; days are UTC
+    epoch-day integers (``epoch_us // 86400e6``), exactly what the SQL
+    side computes.
+
+    Scale shape: per-batch DISTINCT (key, day) partials shrink the
+    exchange to active (key, day) pairs; one key exchange; islands via
+    lexsort + adjacent diff."""
+    from .exchange import hash_exchange
+
+    def days(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b.column(ts_col)))
+        us = pc.cast(pc.cast(f.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, type=pa.int64()))
+        t = pa.table({key: pc.cast(f.column(key), pa.int64()),
+                      "day": day})
+        return t.group_by([key, "day"]).aggregate([])
+
+    rows = ds.map_batches(days, batch_format="pyarrow")
+    return hash_exchange(rows, key, _streak_partition, num_parts,
+                         fn_args=(key,))

@@ -6381,3 +6381,169 @@ ORACLE_SQL["activity_concentration"] = """
                AS conc_ppm
     FROM C GROUP BY user_id
 """
+
+
+def q_activity_streaks(sf_dir: str):
+    """Per-user consecutive-day streaks: active days, streak count,
+    longest streak (ops/windows.py:activity_streaks)."""
+    from .ops.windows import activity_streaks
+    return activity_streaks(_events(sf_dir, ["user_id", "ts"]))
+
+
+QUERIES["activity_streaks"] = q_activity_streaks
+
+ORACLE_SQL["activity_streaks"] = """
+    WITH D AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events WHERE ts IS NOT NULL),
+    S AS (SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp
+          FROM D),
+    R AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run
+          FROM S GROUP BY user_id, grp)
+    SELECT user_id, CAST(SUM(run) AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(run) AS BIGINT) AS max_streak
+    FROM R GROUP BY user_id
+"""
+
+
+def q_url_structure(sf_dir: str):
+    """Per-host URL structure: page count, integer avg path depth
+    (milli-units), query-string fraction ppm — crawl-frontier shape
+    stats over the flagship pages corpus."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    pages = rd.read_parquet(_ensure_pages(sf_dir), columns=["url"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b.column("url")
+        url = url.combine_chunks() if isinstance(url, pa.ChunkedArray) \
+            else url
+        host = pc.extract_regex(
+            url, r"^[a-z][a-z0-9+.\-]*://(?P<h>[^/?#:]+)")
+        h = pc.struct_field(host, "h")
+        path = pc.struct_field(pc.extract_regex(
+            url, r"^[a-z][a-z0-9+.\-]*://[^/?#:]+(?P<p>[^?#]*)"), "p")
+        path = pc.fill_null(path, "")
+        depth = pc.subtract(
+            pc.utf8_length(path),
+            pc.utf8_length(pc.replace_substring(path, "/", "")))
+        has_q = pc.match_substring(url, "?")
+        t = pa.table({"url_host": h,
+                      "depth": pc.cast(depth, pa.int64()),
+                      "q": pc.cast(has_q, pa.int64())})
+        g = t.group_by(["url_host"]).aggregate(
+            [("depth", "sum"), ("q", "sum"), ([], "count_all")])
+        return pa.table({"url_host": g.column("url_host"),
+                         "d_part": g.column("depth_sum"),
+                         "q_part": g.column("q_sum"),
+                         "n_part": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    agg = pages.map_batches(partial, batch_format="pyarrow") \
+        .groupby("url_host").aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("d_part", alias_name="d"),
+            Sum("q_part", alias_name="nq"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy()
+        d = b.column("d").to_numpy()
+        nq = b.column("nq").to_numpy()
+        return pa.table({
+            "url_host": b.column("url_host"),
+            "n": b.column("n"),
+            "avg_depth_milli": pa.array(d * 1000 // n, type=pa.int64()),
+            "query_ppm": pa.array(nq * 1_000_000 // n,
+                                  type=pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["url_structure"] = q_url_structure
+
+ORACLE_SQL["url_structure"] = f"""
+    WITH P AS (SELECT url,
+        regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://([^/?#:]+)', 1)
+            AS url_host,
+        COALESCE(regexp_extract(url,
+            '^[a-z][a-z0-9+.\\-]*://[^/?#:]+([^?#]*)', 1), '') AS path,
+        CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS q
+        FROM read_parquet('/tmp/l2sr_flagship_pages/*.parquet')),
+    D AS (SELECT url_host,
+                 CAST(length(path) - length(replace(path, '/', ''))
+                      AS BIGINT) AS depth, q
+          FROM P)
+    SELECT url_host, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(depth) * 1000 // COUNT(*) AS BIGINT)
+               AS avg_depth_milli,
+           CAST(SUM(q) * 1000000 // COUNT(*) AS BIGINT) AS query_ppm
+    FROM D GROUP BY url_host
+"""
+
+
+def q_hour_profile(sf_dir: str):
+    """Hour-of-day seasonality profile per event type: counts and
+    within-type share ppm over the 24 UTC hours — the diurnal
+    fingerprint (bot traffic is flat; human traffic isn't)."""
+    from ray.data.aggregate import Sum
+    ev = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b.column("ts")))
+        us = pc.cast(pc.cast(f.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        hour = pc.divide(
+            pc.subtract(us, pc.multiply(pc.divide(
+                us, pa.scalar(86_400_000_000, type=pa.int64())),
+                pa.scalar(86_400_000_000, type=pa.int64()))),
+            pa.scalar(3_600_000_000, type=pa.int64()))
+        t = pa.table({"event_type": f.column("event_type"),
+                      "hour": hour})
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour": g.column("hour"),
+                         "n_part": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("n_part", alias_name="n"))
+
+    # per-type totals are ≤ types×24 rows — broadcast-back pattern
+    import ray
+    tot = agg.groupby("event_type").aggregate(
+        Sum("n", alias_name="tot")).to_pandas()
+    totals = dict(zip(tot["event_type"], tot["tot"]))
+    ref = ray.put(totals)
+
+    def share(b: pa.Table) -> pa.Table:
+        import numpy as np
+        tm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        t = np.array([tm[v] for v in
+                      b.column("event_type").to_pylist()],
+                     dtype=np.int64)
+        n = b.column("n").to_numpy()
+        return b.append_column("share_ppm", pa.array(
+            n * 1_000_000 // t, type=pa.int64()))
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+QUERIES["hour_profile"] = q_hour_profile
+
+ORACLE_SQL["hour_profile"] = """
+    WITH H AS (SELECT event_type,
+                      (epoch_us(ts) % 86400000000) // 3600000000
+                          AS hour
+               FROM events WHERE ts IS NOT NULL),
+    C AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n
+          FROM H GROUP BY 1, 2)
+    SELECT event_type, hour, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type)
+                AS BIGINT) AS share_ppm
+    FROM C
+"""

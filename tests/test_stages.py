@@ -3912,3 +3912,22 @@ def test_activity_concentration_simpson(ray_session):
     assert got.loc[1].tolist() == [4, 1, 1_000_000]   # pure bot mix
     assert got.loc[2].tolist() == [2, 2, 0]           # fully diverse
     assert got.loc[3].tolist() == [1, 1, 0]           # single event
+
+
+def test_activity_streaks_islands(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.windows import activity_streaks
+    day = 86_400_000_000
+    us = [0, 0, day, 2 * day, 5 * day,      # user 1: 0-2 run + day 5
+          0,                                # user 2: single day
+          3 * day, 5 * day, 7 * day]        # user 3: three singletons
+    uid = [1, 1, 1, 1, 1, 2, 3, 3, 3]
+    t = pa.table({
+        "user_id": pa.array(uid, type=pa.int64()),
+        "ts": pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))})
+    got = activity_streaks(rd.from_arrow(t).repartition(3),
+                           num_parts=3).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert got.loc[1].tolist() == [4, 2, 3]
+    assert got.loc[2].tolist() == [1, 1, 1]
+    assert got.loc[3].tolist() == [3, 3, 1]
