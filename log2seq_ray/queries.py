@@ -6547,3 +6547,60 @@ ORACLE_SQL["hour_profile"] = """
                 AS BIGINT) AS share_ppm
     FROM C
 """
+
+
+def q_source_budget(sf_dir: str):
+    """Source token-budget concentration: sources ranked by token mass
+    with running share ppm — "how many sources hold 90% of the
+    corpus", the mix-concentration datasheet line (pure partial
+    aggregation; the source space is bounded)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        from .ops.text import _token_lists
+        toks = _token_lists(b.column("text"))
+        t = pa.table({"source": b.column("source"),
+                      "nt": pc.cast(pc.list_value_length(toks),
+                                    pa.int64())})
+        g = t.group_by(["source"]).aggregate([("nt", "sum"),
+                                              ([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "t_part": g.column("nt_sum"),
+                         "d_part": pc.cast(g.column("count_all"),
+                                           pa.int64())})
+
+    agg = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow").groupby("source").aggregate(
+        Sum("t_part", alias_name="tokens"),
+        Sum("d_part", alias_name="docs")).to_pandas()
+    agg = agg.sort_values(["tokens", "source"],
+                          ascending=[False, True]).reset_index(drop=True)
+    agg["rank"] = agg.index.to_numpy() + 1
+    cum = agg["tokens"].cumsum()
+    agg["tokens_cum"] = cum
+    agg["share_cum_ppm"] = cum * 1_000_000 // int(agg["tokens"].sum())
+    return agg[["rank", "source", "docs", "tokens", "tokens_cum",
+                "share_cum_ppm"]].astype(
+        {c: "int64" for c in ("rank", "docs", "tokens", "tokens_cum",
+                              "share_cum_ppm")})
+
+
+QUERIES["source_budget"] = q_source_budget
+
+ORACLE_SQL["source_budget"] = f"""
+    WITH A AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+                      CAST(SUM(len({_TOKENS})) AS BIGINT) AS tokens
+               FROM documents GROUP BY source),
+    R AS (SELECT *, ROW_NUMBER() OVER (ORDER BY tokens DESC,
+                                       source ASC) AS rank,
+                 SUM(tokens) OVER (ORDER BY tokens DESC, source ASC
+                                   ROWS UNBOUNDED PRECEDING)
+                     AS tokens_cum,
+                 SUM(tokens) OVER () AS tot
+          FROM A)
+    SELECT CAST(rank AS BIGINT) AS rank, source, docs, tokens,
+           CAST(tokens_cum AS BIGINT) AS tokens_cum,
+           CAST(tokens_cum * 1000000 // tot AS BIGINT)
+               AS share_cum_ppm
+    FROM R
+"""
