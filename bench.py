@@ -313,6 +313,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_hour_profile(SF_DIR).to_pandas())
         timed("source_budget",
               lambda: Q.q_source_budget(SF_DIR))
+        timed("winsorize",
+              lambda: Q.q_winsorize(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -6604,3 +6604,35 @@ ORACLE_SQL["source_budget"] = f"""
                AS share_cum_ppm
     FROM R
 """
+
+
+def q_winsorize(sf_dir: str):
+    """Per-type winsorization of the value column (centi-bin units,
+    p1/p99 clip + clip flags) — the outlier-robust rewrite
+    (ops/stats.py:winsorize_by_group; bounds from bounded-shuffle
+    binned quantiles, broadcast-back, vectorized clip)."""
+    from .ops.stats import winsorize_by_group
+    return winsorize_by_group(
+        _events(sf_dir, ["event_id", "event_type", "value"]),
+        "event_type", "value", "event_id", lo_q=0.01, hi_q=0.99,
+        scale=100)
+
+
+QUERIES["winsorize"] = q_winsorize
+
+ORACLE_SQL["winsorize"] = """
+    WITH F AS (SELECT event_id, event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS b
+               FROM events
+               WHERE value IS NOT NULL AND isfinite(value)),
+    Q AS (SELECT event_type,
+                 quantile_disc(b, 0.01) AS lo,
+                 quantile_disc(b, 0.99) AS hi
+          FROM F GROUP BY 1)
+    SELECT event_id, f.event_type,
+           CAST(CASE WHEN b < lo THEN lo WHEN b > hi THEN hi
+                     ELSE b END AS BIGINT) AS bin_clipped,
+           CAST(CASE WHEN b < lo THEN -1 WHEN b > hi THEN 1
+                     ELSE 0 END AS BIGINT) AS clip_flag
+    FROM F f JOIN Q USING (event_type)
+"""

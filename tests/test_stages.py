@@ -3931,3 +3931,28 @@ def test_activity_streaks_islands(ray_session):
     assert got.loc[1].tolist() == [4, 2, 3]
     assert got.loc[2].tolist() == [1, 1, 1]
     assert got.loc[3].tolist() == [3, 3, 1]
+
+
+def test_winsorize_by_group_clips_to_group_quantiles(ray_session):
+    import ray.data as rd
+    from log2seq_ray.ops.stats import winsorize_by_group
+    # group a: values 0..99 -> p10 bin 9 (centi 900... scale=1 here)
+    vals = list(range(100)) + [1000.0]
+    t = pa.table({
+        "event_id": pa.array(np.arange(101, dtype=np.int64)),
+        "event_type": pa.array(["a"] * 101),
+        "value": pa.array([float(v) for v in vals])})
+    got = winsorize_by_group(rd.from_arrow(t).repartition(4),
+                             "event_type", "value", "event_id",
+                             lo_q=0.1, hi_q=0.9, scale=1) \
+        .to_pandas().set_index("event_id").sort_index()
+    # DuckDB quantile_disc(bins, .1/.9) over 0..99,1000
+    import duckdb
+    lo, hi = duckdb.sql(
+        "SELECT quantile_disc(v, 0.1), quantile_disc(v, 0.9) FROM "
+        "(SELECT unnest(" + str([int(v) for v in vals]) + ") v)"
+    ).fetchone()
+    assert got.loc[0, "bin_clipped"] == lo and got.loc[0, "clip_flag"] == -1
+    assert got.loc[100, "bin_clipped"] == hi
+    assert got.loc[100, "clip_flag"] == 1
+    assert got.loc[50, "bin_clipped"] == 50 and got.loc[50, "clip_flag"] == 0
