@@ -315,6 +315,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_source_budget(SF_DIR))
         timed("winsorize",
               lambda: Q.q_winsorize(SF_DIR).count())
+        timed("rrf_search",
+              lambda: Q.q_rrf_search(SF_DIR))
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

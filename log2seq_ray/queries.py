@@ -6636,3 +6636,47 @@ ORACLE_SQL["winsorize"] = """
                      ELSE 0 END AS BIGINT) AS clip_flag
     FROM F f JOIN Q USING (event_type)
 """
+
+
+def q_rrf_search(sf_dir: str):
+    """Reciprocal-rank fusion of the integer-idf and integer-BM25
+    top-20 lists (score = Σ 10⁶ // (60 + rank)) — the standard
+    rank-fusion step when two retrieval signals disagree; both input
+    rankings are the already-driver-merged k-row frames, so fusion is
+    O(k) on bounded data."""
+    kw = q_keyword_search(sf_dir)
+    bm = q_bm25_search(sf_dir)
+    import pandas as pd
+    scores: dict[int, int] = {}
+    for df in (kw, bm):
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).reset_index(
+            drop=True)
+        for r, d in enumerate(df["doc_id"], start=1):
+            scores[int(d)] = scores.get(int(d), 0) \
+                + 1_000_000 // (60 + r)
+    out = pd.DataFrame(sorted(scores.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[:20],
+                       columns=["doc_id", "score"]).astype("int64")
+    return out
+
+
+QUERIES["rrf_search"] = q_rrf_search
+
+
+# Composed at import time from the RENDERED search oracles, so the
+# fused ranking is definitionally consistent with both inputs.
+ORACLE_SQL["rrf_search"] = f"""
+    WITH KW AS ({ORACLE_SQL["keyword_search"]}),
+    BM AS ({ORACLE_SQL["bm25_search"]}),
+    KR AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC,
+               doc_id ASC) AS r FROM KW),
+    BR AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC,
+               doc_id ASC) AS r FROM BM),
+    U AS (SELECT doc_id, 1000000 // (60 + r) AS s FROM KR
+          UNION ALL
+          SELECT doc_id, 1000000 // (60 + r) FROM BR)
+    SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+    FROM U GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
