@@ -317,6 +317,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_winsorize(SF_DIR).count())
         timed("rrf_search",
               lambda: Q.q_rrf_search(SF_DIR))
+        timed("dedup_agreement",
+              lambda: Q.q_dedup_agreement(SF_DIR).to_pandas())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -6680,3 +6680,83 @@ ORACLE_SQL["rrf_search"] = f"""
     FROM U GROUP BY doc_id
     ORDER BY score DESC, doc_id ASC LIMIT 20
 """
+
+
+def q_dedup_agreement(sf_dir: str):
+    """Method-agreement report: the exact 4-gram Jaccard≥1/2 pair set
+    vs the containment≥9/10 pair set on the SAME raw corpus —
+    (n_both, n_jaccard_only, n_containment_only). The meta-evaluation
+    that says what switching thresholds/methods would actually change.
+    Pair sets meet in one composite-key full-outer hash join; only
+    three counters leave."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from .ops.curation import containment_dups, ngram_jaccard_dups
+    from .ops.join import hash_join
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    j = ngram_jaccard_dups(docs, window=4, tau_num=1, tau_den=2,
+                           max_df=64).map_batches(
+        lambda b: b.select(["id_a", "id_b"]).append_column(
+            "in_j", pa.array([1] * b.num_rows, type=pa.int64())),
+        batch_format="pyarrow")
+    c = containment_dups(docs, window=4, tau_num=9, tau_den=10,
+                         max_df=64).map_batches(
+        lambda b: b.select(["id_a", "id_b"]).append_column(
+            "in_c", pa.array([1] * b.num_rows, type=pa.int64())),
+        batch_format="pyarrow")
+    joined = hash_join(j, c, ["id_a", "id_b"], ["id_a", "id_b"],
+                       how="full")
+
+    def counts(b: pa.Table) -> pa.Table:
+        ij = pc.fill_null(b.column("in_j"), 0).to_numpy()
+        icv = pc.fill_null(b.column("in_c"), 0).to_numpy()
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "b_p": pa.array([int((ij & icv).sum())], type=pa.int64()),
+            "j_p": pa.array([int((ij & ~icv.astype(bool)).sum())],
+                            type=pa.int64()),
+            "c_p": pa.array([int((icv & ~ij.astype(bool)).sum())],
+                            type=pa.int64())})
+
+    out = joined.map_batches(counts, batch_format="pyarrow") \
+        .groupby("k").aggregate(
+            Sum("b_p", alias_name="n_both"),
+            Sum("j_p", alias_name="n_jaccard_only"),
+            Sum("c_p", alias_name="n_containment_only")).map_batches(
+        lambda b: b.select(["n_both", "n_jaccard_only",
+                            "n_containment_only"]),
+        batch_format="pyarrow")
+    return out
+
+
+QUERIES["dedup_agreement"] = q_dedup_agreement
+
+ORACLE_SQL["dedup_agreement"] = f"""
+    WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    SH AS (SELECT doc_id, list_distinct(list_transform(
+              CASE WHEN len(t) = 0 THEN ['']
+                   WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                   ELSE list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' ')) END,
+              s -> {_H60.format(s='s')})) AS gs
+           FROM T),
+    EX0 AS (SELECT doc_id, unnest(gs) AS g FROM SH),
+    DF AS (SELECT g, COUNT(*) AS df FROM EX0 GROUP BY g),
+    EX AS (SELECT e.doc_id, e.g FROM EX0 e JOIN DF USING (g)
+           WHERE df <= 64),
+    SZ AS (SELECT doc_id, COUNT(*) AS sz FROM EX GROUP BY doc_id),
+    I AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+          FROM EX a JOIN EX b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    J AS (SELECT CASE WHEN inter * 3 >= sa.sz + sb.sz
+                      THEN 1 ELSE 0 END AS in_j,
+                 CASE WHEN inter * 10 >= 9 * least(sa.sz, sb.sz)
+                      THEN 1 ELSE 0 END AS in_c
+          FROM I JOIN SZ sa ON sa.doc_id = ia
+                 JOIN SZ sb ON sb.doc_id = ib)
+    SELECT CAST(SUM(in_j * in_c) AS BIGINT) AS n_both,
+           CAST(SUM(in_j * (1 - in_c)) AS BIGINT) AS n_jaccard_only,
+           CAST(SUM(in_c * (1 - in_j)) AS BIGINT)
+               AS n_containment_only
+    FROM J
+"""
