@@ -319,6 +319,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_rrf_search(SF_DIR))
         timed("dedup_agreement",
               lambda: Q.q_dedup_agreement(SF_DIR).to_pandas())
+        timed("quality_percentiles",
+              lambda: Q.q_quality_percentiles(SF_DIR).count())
         timed("decontaminate",
               lambda: Q.q_decontaminate(SF_DIR).to_pandas())
         timed("decontaminate_frac",

@@ -6760,3 +6760,60 @@ ORACLE_SQL["dedup_agreement"] = f"""
                AS n_containment_only
     FROM J
 """
+
+
+def q_quality_percentiles(sf_dir: str):
+    """Cross-lingual quality normalization: each doc's distinct-token
+    count mapped to its within-LANG percent-rank ppm (RANK−1 over
+    n−1, DuckDB PERCENT_RANK convention) — the score that makes
+    quality thresholds comparable across languages with different raw
+    distributions. Composition: quality partial → group_value_rank
+    (one lang exchange) → broadcast-back group sizes."""
+    import ray
+    from ray.data.aggregate import Count
+    from .ops.stats import group_value_rank
+    from .ops.text import quality_scores
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = quality_scores(b)
+        return pa.table({"doc_id": q.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "n_distinct": q.column("n_uniq_tokens")})
+
+    scored = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        partial, batch_format="pyarrow")
+    ranked = group_value_rank(scored, "lang", "n_distinct", "doc_id")
+    sizes = scored.groupby("lang").count().to_pandas()
+    nmap = dict(zip(sizes["lang"], sizes["count()"]))
+    ref = ray.put(nmap)
+
+    def ppm(b: pa.Table) -> pa.Table:
+        import numpy as np
+        nm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        n = np.array([nm[v] for v in b.column("lang").to_pylist()],
+                     dtype=np.int64)
+        r = b.column("rnk").to_numpy()
+        out = np.where(n > 1, r * 1_000_000 // np.maximum(n - 1, 1), 0)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "pct_ppm": pa.array(out.astype(np.int64))})
+
+    return ranked.map_batches(ppm, batch_format="pyarrow")
+
+
+QUERIES["quality_percentiles"] = q_quality_percentiles
+
+ORACLE_SQL["quality_percentiles"] = f"""
+    WITH Q AS (SELECT doc_id, lang,
+                      CAST(len(list_distinct({_TOKENS})) AS BIGINT)
+                          AS v
+               FROM documents),
+    R AS (SELECT doc_id, lang, v,
+                 RANK() OVER (PARTITION BY lang ORDER BY v) - 1 AS r,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM Q)
+    SELECT doc_id, lang,
+           CAST(CASE WHEN n > 1 THEN r * 1000000 // (n - 1)
+                     ELSE 0 END AS BIGINT) AS pct_ppm
+    FROM R
+"""
