@@ -674,3 +674,78 @@ def test_interval_coverage_partition_matches_python(seed):
         expect.add((int(key), len(ivs), len(islands),
                     sum(b - a for a, b in islands)))
     assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000), num_parts=st.integers(1, 5))
+def test_join_cardinality_partition_matches_brute(seed, num_parts):
+    """_card_partition over split_by_key partials equals the exact
+    pandas count-product for arbitrary key distributions."""
+    from log2seq_ray.ops.join import _card_partition
+    from log2seq_ray.ops.exchange import split_by_key
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+    kl = rng.integers(0, 10, nl).astype(np.int64)
+    kr = rng.integers(0, 12, nr).astype(np.int64)
+
+    def counts(keys):
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(u, type=pa.int64()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    L = split_by_key(counts(kl), "key", num_parts)
+    R = split_by_key(counts(kr), "key", num_parts)
+    rows, total = [], 0
+    for lp, rp in zip(L, R):
+        t, tt = _card_partition([lp], [rp])
+        total += tt
+        rows += t.to_pylist()
+    got = {(r["key"], r["nl"], r["nr"], r["pairs"]) for r in rows}
+    import collections
+    cl = collections.Counter(kl.tolist())
+    cr = collections.Counter(kr.tolist())
+    expect = {(k, cl[k], cr[k], cl[k] * cr[k])
+              for k in set(cl) & set(cr)}
+    assert got == expect
+    assert total == sum(p for _, _, _, p in expect)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000), num_parts=st.integers(1, 4))
+def test_dedup_savings_partition_matches_brute(seed, num_parts):
+    """_savings_partition partials sum to the per-group python
+    reference under any content-hash partitioning."""
+    from log2seq_ray.ops.dedup import _savings_partition, _text_hash
+    from log2seq_ray.ops.exchange import split_by_key
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 30))
+    texts = [" ".join(rng.choice(["a", "b", "c"],
+                                 size=int(rng.integers(0, 4))))
+             for _ in range(n)]
+    langs = rng.choice(["en", "de"], n).tolist()
+    b = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    import pyarrow.compute as pc2
+    narrow = _text_hash(b, "text").select(
+        ["content_hash", "doc_id", "lang"]).append_column(
+        "n_tokens", pa.array(
+            [len([t for t in s.split(" ") if t]) for s in texts],
+            type=pa.int64()))
+    agg = {}
+    for piece in split_by_key(narrow, "content_hash", num_parts):
+        out = _savings_partition("lang", [piece])
+        for r in out.to_pylist():
+            a = agg.setdefault(r["lang"], [0, 0, 0, 0])
+            a[0] += r["docs_p"]; a[1] += r["tokens_p"]
+            a[2] += r["docs_kept_p"]; a[3] += r["tokens_kept_p"]
+    keep = {}
+    for i, s in enumerate(texts):
+        keep.setdefault(s, i)
+    expect = {}
+    for i, (s, g) in enumerate(zip(texts, langs)):
+        nt = len([t for t in s.split(" ") if t])
+        e = expect.setdefault(g, [0, 0, 0, 0])
+        e[0] += 1; e[1] += nt
+        if keep[s] == i:
+            e[2] += 1; e[3] += nt
+    assert agg == expect
