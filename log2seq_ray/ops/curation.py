@@ -42,6 +42,8 @@ from .exchange import actor_pool
 from .hashutil import bytes_list
 from .text import _token_lists
 
+from .exchange import bincount_i64
+
 
 def _md5_60(s: str) -> int:
     """60-bit md5 prefix — positive BIGINT in SQL:
@@ -430,7 +432,7 @@ def _vocab_rows(batch: pa.Table, bucket_size: int, id_col: str,
     first[1:] = hh[1:] != hh[:-1]
     k0, v0 = hh[first], dd[first]
     ub, binv = np.unique(ids // bucket_size, return_inverse=True)
-    tok = np.bincount(binv, weights=counts).astype(np.int64)
+    tok = bincount_i64(binv, counts)
     nz = tok > 0  # a bucket whose docs are all empty has no SQL rows
     k = np.concatenate([k0, ub[nz]])
     v = np.concatenate([v0, tok[nz]])
@@ -472,7 +474,7 @@ def _vocab_partition(bucket_size: int, pieces):
     k1, v1 = k[kind == 1], v[kind == 1]
     if len(k1):
         ub, binv = np.unique(k1, return_inverse=True)
-        tok = np.bincount(binv, weights=v1).astype(np.int64)
+        tok = bincount_i64(binv, v1)
         for b, c in zip(ub.tolist(), tok.tolist()):
             rows.setdefault(b, [0, 0])[1] += c
     bs = sorted(rows)
@@ -502,8 +504,8 @@ def _vocab_final(parts):
     nt = t.column("new_types").to_numpy()
     tok = t.column("bucket_tokens").to_numpy()
     ub, binv = np.unique(b, return_inverse=True)
-    nts = np.bincount(binv, weights=nt).astype(np.int64)
-    toks = np.bincount(binv, weights=tok).astype(np.int64)
+    nts = bincount_i64(binv, nt)
+    toks = bincount_i64(binv, tok)
     return pa.table({"bucket": pa.array(ub, type=pa.int64()),
                      "bucket_tokens": pa.array(toks),
                      "new_types": pa.array(nts),
@@ -590,7 +592,7 @@ def _coverage_block(bucket_size: int, rank_off: int, occ_off: int,
     run = occ_off + np.cumsum(cnt).astype(np.int64)
     ub, binv = np.unique(bucket, return_inverse=True)
     types = np.bincount(binv).astype(np.int64)
-    occ = np.bincount(binv, weights=cnt).astype(np.int64)
+    occ = bincount_i64(binv, cnt)
     # last running total inside each bucket segment (ranks are sorted,
     # so a bucket's rows are contiguous)
     last = np.cumsum(types) - 1
@@ -620,8 +622,8 @@ def _coverage_final(total_occ: int, parts):
     oc = t.column("occ").to_numpy()
     cum = t.column("occ_cum").to_numpy()
     ub, binv = np.unique(b, return_inverse=True)
-    types = np.bincount(binv, weights=ty).astype(np.int64)
-    occ = np.bincount(binv, weights=oc).astype(np.int64)
+    types = bincount_i64(binv, ty)
+    occ = bincount_i64(binv, oc)
     occ_cum = np.zeros(len(ub), dtype=np.int64)
     np.maximum.at(occ_cum, binv, cum)
     ppm = occ_cum * 1_000_000 // max(total_occ, 1)
@@ -870,7 +872,7 @@ def _para_partition(pieces) -> pa.Table:
     doc = c >> _POS_BITS
     ud, inv = np.unique(doc, return_inverse=True)
     n_paras = np.bincount(inv).astype(np.int64)
-    n_kept = np.bincount(inv, weights=kept).astype(np.int64)
+    n_kept = bincount_i64(inv, kept)
     return pa.table({"doc_id": pa.array(ud, type=pa.int64()),
                      "n_paras_part": pa.array(n_paras),
                      "n_kept_part": pa.array(n_kept)})
@@ -1992,11 +1994,14 @@ def _oov_score_batch(top_ref, group_col: str, col: str,
         else top_ref
     toks = _token_lists(batch.column(col))
     svals = pc.list_flatten(toks).to_pylist()
-    empty = pa.table({group_col: pa.array([], type=pa.string()),
-                      "tokens": pa.array([], type=pa.int64()),
-                      "oov": pa.array([], type=pa.int64())})
     if not svals:
-        return empty
+        # empty block carries the REAL group type — hardcoding string
+        # mixes block schemas when group_col is non-string
+        return pa.table({
+            group_col: pa.array(
+                [], type=batch.schema.field(group_col).type),
+            "tokens": pa.array([], type=pa.int64()),
+            "oov": pa.array([], type=pa.int64())})
     uniq, inv = np.unique(np.array(svals, dtype=object),
                           return_inverse=True)
     h_uniq = np.fromiter((_md5_60(s) for s in uniq), dtype=np.int64,
@@ -2016,8 +2021,7 @@ def _oov_score_batch(top_ref, group_col: str, col: str,
     gc = np.asarray(codes_arr.indices, dtype=np.int64)[row_of]
     k = int(gc.max()) + 1 if len(gc) else 0
     tok_per_g = np.bincount(gc, minlength=k).astype(np.int64)
-    oov_per_g = np.bincount(gc, weights=oov, minlength=k).astype(
-        np.int64)
+    oov_per_g = bincount_i64(gc, oov, minlength=k)
     names = np.asarray(codes_arr.dictionary)
     nz = tok_per_g > 0
     return pa.table({group_col: pa.array(names[:k][nz].tolist(),

@@ -36,6 +36,8 @@ import pyarrow.compute as pc
 
 from .exchange import actor_pool
 
+from .exchange import bincount_i64
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -1467,14 +1469,10 @@ def _savings_partition(group_col: str, pieces) -> pa.Table:
             pa.array(np.arange(k), type=pa.int64())),
         "docs_p": pa.array(np.bincount(gc, minlength=k)
                            .astype(np.int64)),
-        "tokens_p": pa.array(np.bincount(gc, weights=nt, minlength=k)
-                             .astype(np.int64)),
-        "docs_kept_p": pa.array(np.bincount(gc, weights=kept,
-                                            minlength=k)
-                                .astype(np.int64)),
+        "tokens_p": pa.array(bincount_i64(gc, nt, minlength=k)),
+        "docs_kept_p": pa.array(bincount_i64(gc, kept, minlength=k)),
         "tokens_kept_p": pa.array(
-            np.bincount(gc, weights=nt * kept, minlength=k)
-            .astype(np.int64))})
+            bincount_i64(gc, nt * kept, minlength=k))})
 
 
 def dedup_savings(ds, group_col: str = "lang", id_col: str = "doc_id",

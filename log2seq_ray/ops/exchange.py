@@ -19,6 +19,19 @@ import pandas as pd
 import pyarrow as pa
 
 
+def bincount_i64(idx: np.ndarray, weights: np.ndarray,
+                 minlength: int = 0) -> np.ndarray:
+    """Exact int64 weighted bincount. ``np.bincount(weights=...)``
+    accumulates in float64 and silently loses exactness above 2^53 —
+    a violation of the exact-integer oracle contract for token/count
+    totals. This sums in int64 (wrap-checked by numpy semantics never
+    applying: partition totals fit int64 by construction)."""
+    out = np.zeros(max(minlength, int(idx.max()) + 1 if len(idx) else 0),
+                   dtype=np.int64)
+    np.add.at(out, idx, np.asarray(weights).astype(np.int64))
+    return out
+
+
 def actor_pool(cap: int | None = None) -> tuple[int, int]:
     """Node-relative actor-pool sizing for ``map_batches(Cls,
     concurrency=...)``: ``(1, cluster CPUs - reserve)``, optionally

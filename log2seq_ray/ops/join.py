@@ -39,6 +39,8 @@ import pyarrow.compute as pc
 
 from .exchange import actor_pool
 
+from .exchange import bincount_i64
+
 
 class BroadcastJoinStage:
     """Actor: resolve ``key_col`` against a broadcast (keys, columns) small
@@ -658,7 +660,7 @@ def _card_partition(pieces_l, pieces_r):
         k = t.column("key").to_numpy()
         n = t.column("n").to_numpy()
         u, inv = np.unique(k, return_inverse=True)
-        return u, np.bincount(inv, weights=n).astype(np.int64)
+        return u, bincount_i64(inv, n)
 
     kl, nl = _tot(L)
     kr, nr = _tot(R)

@@ -379,6 +379,9 @@ def pseudonymize(ds, key_cols, salt: str = "s1"):
             col = col.combine_chunks() \
                 if isinstance(col, pa.ChunkedArray) else col
             vals = col.to_pylist()
+            # Nulls must stay null (md5('s:' || NULL) IS NULL in SQL):
+            # mask them out rather than pseudonymizing the str 'None'.
+            null_mask = np.array([v is None for v in vals], dtype=bool)
             uniq, inv = np.unique(
                 np.array([str(v) for v in vals], dtype=object),
                 return_inverse=True)
@@ -386,8 +389,10 @@ def pseudonymize(ds, key_cols, salt: str = "s1"):
                 (int(hashlib.md5(f"{salt}:{s}".encode())
                      .hexdigest()[:15], 16) for s in uniq),
                 dtype=np.int64, count=len(uniq))
-            out = out.set_column(out.column_names.index(c), c,
-                                 pa.array(h[inv], type=pa.int64()))
+            out = out.set_column(
+                out.column_names.index(c), c,
+                pa.array(h[inv], type=pa.int64(),
+                         mask=null_mask if null_mask.any() else None))
         return out
 
     return ds.map_batches(pseud, batch_format="pyarrow")

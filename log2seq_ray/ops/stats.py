@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 
 from .exchange import actor_pool
 
+from .exchange import bincount_i64
+
 US = 1_000_000
 
 
@@ -382,7 +384,9 @@ def group_value_stats(ds, key: str, value_col: str):
     from ray.data.aggregate import Max, Min, Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b.column(value_col)))
+        # NaN/inf must drop with the nulls: floor(NaN*1e6).astype(int64)
+        # is a platform-defined bin (INT64_MIN) that corrupts min/sum
+        b = b.filter(_finite_mask(b.column(value_col)))
         m = np.floor(np.asarray(
             b.column(value_col).to_numpy(zero_copy_only=False),
             dtype=np.float64) * 1e6).astype(np.int64)
@@ -891,8 +895,7 @@ def weighted_quantile_disc(ds, value_col: str, weight_col: str, qs):
         u, inv = np.unique(v, return_inverse=True)
         return pa.table({"v": pa.array(u),
                          "w_part": pa.array(
-                             np.bincount(inv, weights=w)
-                             .astype(np.int64))})
+                             bincount_i64(inv, w))})
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("v").aggregate(Sum("w_part", alias_name="w")) \
@@ -903,9 +906,12 @@ def weighted_quantile_disc(ds, value_col: str, weight_col: str, qs):
         cw = agg["w"].cumsum()
         tot = int(cw.iloc[-1])
         for q in qs:
-            target = -(-int(q * 1_000_000) * tot // 1_000_000)  # ceil
+            # round, not truncate: int(0.29 * 1e6) == 289999 would
+            # shift both q_ppm and the ceil target off the ppm contract
+            q_ppm = int(round(q * 1_000_000))
+            target = -(-q_ppm * tot // 1_000_000)  # ceil
             i = int(np.searchsorted(cw.to_numpy(), target))
-            out["q_ppm"].append(int(q * 1_000_000))
+            out["q_ppm"].append(q_ppm)
             out["value"].append(int(agg["v"].iloc[i]))
             out["cum_weight"].append(int(cw.iloc[i]))
             out["total_weight"].append(tot)
@@ -945,12 +951,16 @@ def winsorize_by_group(ds, group_col: str, value_col: str,
     def clip(b: pa.Table) -> pa.Table:
         bm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         b = b.filter(_finite_mask(b.column(value_col)))
-        empty = pa.table({id_col: pa.array([], type=pa.int64()),
-                          group_col: pa.array([], type=pa.string()),
-                          "bin_clipped": pa.array([], type=pa.int64()),
-                          "clip_flag": pa.array([], type=pa.int64())})
         if not len(b):
-            return empty
+            # build the empty block from the REAL input group type — a
+            # hardcoded string schema mixes block schemas when the
+            # group column is non-string and fails downstream
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                group_col: pa.array(
+                    [], type=b.schema.field(group_col).type),
+                "bin_clipped": pa.array([], type=pa.int64()),
+                "clip_flag": pa.array([], type=pa.int64())})
         bins = np.floor(np.asarray(
             b.column(value_col).to_numpy(zero_copy_only=False),
             dtype=np.float64) * scale).astype(np.int64)

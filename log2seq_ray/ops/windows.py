@@ -1194,16 +1194,20 @@ def _concentration_partition(key: str, sub_key: str, pieces) -> pa.Table:
     sc = np.asarray(pc.dictionary_encode(s).indices, dtype=np.int64)
     n = t.column("n_part").to_numpy()
     V = int(sc.max()) + 1
-    code = k * V + sc
+    # Dense-encode the key before arithmetic coding: raw * V wraps
+    # int64 for |key| >= 2^63/V (e.g. 60-bit pseudonymize() output).
+    kvals, ki = np.unique(k, return_inverse=True)
+    code = ki.astype(np.int64) * V + sc
     u, inv = np.unique(code, return_inverse=True)
-    c = np.bincount(inv, weights=n).astype(np.int64)
+    c = np.zeros(len(u), dtype=np.int64)
+    np.add.at(c, inv, n.astype(np.int64))
     uk = u // V
     fk = np.nonzero(np.concatenate([[True], uk[1:] != uk[:-1]]))[0]
     tot = np.add.reduceat(c, fk).astype(np.int64)
     coll = np.add.reduceat(c * (c - 1), fk).astype(np.int64)
     types = np.diff(np.append(fk, len(uk))).astype(np.int64)
     denom = np.maximum(tot * (tot - 1), 1)
-    return pa.table({key: pa.array(uk[fk], type=pa.int64()),
+    return pa.table({key: pa.array(kvals[uk[fk]], type=pa.int64()),
                      "n_events": pa.array(tot),
                      "n_types": pa.array(types),
                      "conc_ppm": pa.array(
