@@ -27,6 +27,7 @@ bands) is insensitive to it.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -153,12 +154,13 @@ class MinHashStage:
     vectorially over each doc's shingle set); emits one row per (doc, band):
     (band_id, band_hash, doc_id).
 
-    Hot-path design: token hashes come from a per-actor blake2b cache (web
-    vocabulary repeats heavily), shingle hashes are a vectorized windowed
-    linear combination of token hashes (numpy sliding window) instead of
-    per-shingle digests, and the (n_hashes × n_shingles) universal-hash min
-    is one numpy expression. ~10x the naive per-shingle-digest version.
-    """
+    Hot-path design: the whole BATCH shares one shingle-hash pass
+    (:func:`_shingle_hash_lists` — blake2b once per distinct token,
+    vectorized windowed mix, the same kernel the verify stage consumes),
+    then each universal hash is one flat numpy affine pass + a
+    ``minimum.reduceat`` over row boundaries. No per-doc Python loop, no
+    per-token dict lookups — the prior per-doc ``signature()`` path was
+    the residual CPU term after the verify byte diet."""
 
     def __init__(self, n_hashes: int = 64, n_bands: int = 16,
                  shingle_k: int = 5, seed: int = 42,
@@ -167,9 +169,6 @@ class MinHashStage:
         rng = np.random.Generator(np.random.PCG64(seed))
         self.a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
-        # positional mixers for the k-token shingle combination
-        self.cmix = rng.integers(1, _MERSENNE, size=shingle_k,
-                                 dtype=np.uint64)
         self.n_hashes, self.n_bands = n_hashes, n_bands
         self.rows_per_band = n_hashes // n_bands
         # per-row-in-band mixers for the vectorized band-hash combination
@@ -180,57 +179,38 @@ class MinHashStage:
         self.bandoff = rng.integers(1, _MERSENNE, size=n_bands,
                                     dtype=np.uint64)
         self.k, self.id_col, self.col = shingle_k, id_col, col
-        self._tok_cache: dict[str, int] = {}
 
-    def _token_hashes(self, toks: list[str]) -> np.ndarray:
-        cache = self._tok_cache
-        out = np.empty(len(toks), dtype=np.uint64)
-        for i, t in enumerate(toks):
-            h = cache.get(t)
-            if h is None:
-                from .hashutil import cache_put
-                h = cache_put(cache, t, int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                    "little"))
-            out[i] = h
-        return out
-
-    def signature(self, text: str) -> np.ndarray:
-        toks = [t for t in text.split(" ") if t]
-        k = self.k
-        if not toks:
-            sh = np.zeros(1, dtype=np.uint64)
-        else:
-            th = self._token_hashes(toks)
-            if len(th) < k:
-                sh = np.array([(th * self.cmix[:len(th)]).sum()],
-                              dtype=np.uint64)
-            else:
-                win = np.lib.stride_tricks.sliding_window_view(th, k)
-                sh = (win * self.cmix).sum(axis=1)  # uint64 wraparound mix
-            sh = np.unique(sh)
-        v = (self.a[:, None] * (sh[None, :] % _MERSENNE) + self.b[:, None]) \
-            % _MERSENNE
-        return v.min(axis=1)
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, n_hashes) uint64 MinHash signatures for an Arrow
+        string array — one shingle-hash pass, ``n_hashes`` flat affine +
+        segment-min passes."""
+        vals, bounds = _shingle_hash_lists(texts, self.k)
+        n = len(bounds) - 1
+        sm = vals % _MERSENNE
+        starts = bounds[:-1]
+        sigs = np.empty((self.n_hashes, n), dtype=np.uint64)
+        for j in range(self.n_hashes):
+            v = (self.a[j] * sm + self.b[j]) % _MERSENNE
+            sigs[j] = np.minimum.reduceat(v, starts)
+        return sigs.T
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """One int64 bucket key per (doc, band): vectorized band-hash
         (mixed linear combination of the band's signature rows, uint64
         wraparound) + per-band offset — no per-band Python/digest loop."""
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.col).to_pylist()
-        n = len(ids)
+        n = len(batch)
         if n == 0:
             return pa.table({"bucket": pa.array([], type=pa.int64()),
                              self.id_col: pa.array([], type=pa.int64())})
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        ids = np.asarray(pc.cast(batch.column(self.id_col), pa.int64())
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        sigs = self.signatures(batch.column(self.col))
         bands = sigs.reshape(n, self.n_bands, self.rows_per_band)
         bh = (bands * self.bandmix[None, None, :]).sum(axis=2)
         bh = bh + self.bandoff[None, :]
         return pa.table({
             "bucket": pa.array(bh.reshape(-1).view(np.int64)),
-            self.id_col: pa.array(
-                np.repeat(np.asarray(ids, dtype=np.int64), self.n_bands)),
+            self.id_col: pa.array(np.repeat(ids, self.n_bands)),
         })
 
 
@@ -312,22 +292,39 @@ def _unique_pairs_with_ids(pieces):
     return pairs, pa.array(need, type=pa.int64())
 
 
+@functools.lru_cache(maxsize=8)
+def _minhash_stage_cached(n_hashes, n_bands, shingle_k, id_col, col):
+    """One MinHashStage per (params, worker process) — construction is
+    trivial (a few small mixer arrays) but the cache keeps the fused
+    per-block task allocation-free."""
+    return MinHashStage(n_hashes=n_hashes, n_bands=n_bands,
+                        shingle_k=shingle_k, id_col=id_col, col=col)
+
+
+def _minhash_split_block(block, n_hashes, n_bands, shingle_k, id_col,
+                         col, num_parts):
+    """Fused task: minhash ONE corpus block and split its band rows by
+    bucket — band rows never materialize as a separate Dataset, and no
+    actor pool spins up (the stage is stateless-cheap after the batch
+    vectorization; pool spin-up was a measured ~3-5s fixed term on every
+    leg of the two-leg scaling run)."""
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block)
+    stage = _minhash_stage_cached(n_hashes, n_bands, shingle_k, id_col,
+                                  col)
+    return _split_bands(stage(block), num_parts)
+
+
 def _band_partitions(ds, n_hashes, n_bands, shingle_k, id_col, col,
                      num_parts):
     """MinHash band rows hash-partitioned by bucket: returns
     ``per_part`` — num_parts lists of piece refs (never through the
-    driver)."""
-    import ray
-
-    bands = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(n_hashes=n_hashes, n_bands=n_bands,
-                                   shingle_k=shingle_k, id_col=id_col,
-                                   col=col),
-        batch_format="pyarrow", concurrency=actor_pool())
+    driver). One fused minhash+split task per input block."""
     from .exchange import fan_out_pieces, stream_block_refs
-    return fan_out_pieces(_split_bands, stream_block_refs(bands),
-                          num_parts, args=(num_parts,))
+    return fan_out_pieces(_minhash_split_block, stream_block_refs(ds),
+                          num_parts,
+                          args=(n_hashes, n_bands, shingle_k, id_col,
+                                col, num_parts))
 
 
 def minhash_candidate_pairs(ds, n_hashes=64, n_bands=16, shingle_k=5,
@@ -381,6 +378,122 @@ def _split_docs_by_need(block: pa.Table, id_refs, id_col: str, col: str):
             for ids in id_sets]
 
 
+#: fixed positional mixers for the verify-stage shingle hash (independent
+#: of MinHashStage's banding mixers — banding only selects candidates, the
+#: verify hash just needs to be deterministic and injective w.h.p.)
+_VMIX_SEED = 0x5EED5EED
+_vmix_cache: dict[int, np.ndarray] = {}
+
+
+def _vmix(k: int) -> np.ndarray:
+    m = _vmix_cache.get(k)
+    if m is None:
+        rng = np.random.Generator(np.random.PCG64(_VMIX_SEED))
+        m = rng.integers(1, _MERSENNE, size=k, dtype=np.uint64)
+        _vmix_cache[k] = m
+    return m
+
+
+def _shingle_hash_lists(texts, k: int):
+    """Per-row SORTED-DISTINCT 64-bit shingle hashes, fully vectorized:
+    blake2b once per DISTINCT token (web vocabulary repeats heavily),
+    then every shingle hash is one windowed linear combination of token
+    hashes (uint64 wraparound) — no per-shingle digest or string join.
+    Set conventions match :func:`_shingle_strings`: empty/null row →
+    one sentinel hash, 0 < tokens < k → one hash of the whole sequence.
+    Distinct shingle strings map to distinct hashes w.h.p. (collision
+    flips a verify decision only if it also crosses the threshold).
+
+    Returns ``(values uint64[], offsets int64[len(rows)+1])`` — values
+    ascend in UINT64 order within each row (consumers must view the
+    int64 storage back as uint64 before searchsorted)."""
+    from .text import _token_lists
+    texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) \
+        else texts
+    toks_arr = _token_lists(pc.fill_null(texts, ""))
+    off = np.asarray(toks_arr.offsets, dtype=np.int64)
+    counts = np.diff(off)
+    n = len(counts)
+    flat = pc.list_flatten(toks_arr)
+    if len(flat):
+        enc = pc.dictionary_encode(flat)
+        dvals = enc.dictionary.to_pylist()
+        th_d = np.fromiter(
+            (int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                "little") for s in dvals),
+            dtype=np.uint64, count=len(dvals))
+        th = th_d[np.asarray(enc.indices, dtype=np.int64)]
+    else:
+        th = np.empty(0, dtype=np.uint64)
+    cmix = _vmix(k)
+    h_parts, r_parts = [], []
+    empty_rows = counts == 0
+    if empty_rows.any():
+        h_parts.append(np.zeros(int(empty_rows.sum()), dtype=np.uint64))
+        r_parts.append(np.nonzero(empty_rows)[0].astype(np.int64))
+    short = (counts > 0) & (counts < k)
+    if short.any():
+        row_of_flat = np.repeat(np.arange(n, dtype=np.int64), counts)
+        pos = np.arange(len(th), dtype=np.int64) - off[row_of_flat]
+        m = short[row_of_flat]
+        acc = np.zeros(n, dtype=np.uint64)
+        np.add.at(acc, row_of_flat[m], th[m] * cmix[pos[m]])
+        idx = np.nonzero(short)[0]
+        h_parts.append(acc[idx])
+        r_parts.append(idx.astype(np.int64))
+    if len(th) >= k:
+        w = len(th) - k + 1
+        win = np.lib.stride_tricks.sliding_window_view(th, k)
+        sh = (win * cmix).sum(axis=1)  # uint64 wraparound mix
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        valid = row_of[:w] == row_of[k - 1:]  # window within one row
+        if valid.any():
+            vi = np.nonzero(valid)[0]
+            h_parts.append(sh[vi])
+            r_parts.append(row_of[vi])
+    if not h_parts:
+        return (np.empty(0, dtype=np.uint64),
+                np.zeros(n + 1, dtype=np.int64))
+    h = np.concatenate(h_parts)
+    r = np.concatenate(r_parts)
+    order = np.lexsort((h, r))
+    hh, rr = h[order], r[order]
+    first = np.ones(len(hh), dtype=bool)
+    first[1:] = (rr[1:] != rr[:-1]) | (hh[1:] != hh[:-1])
+    hh, rr = hh[first], rr[first]
+    bounds = np.searchsorted(rr, np.arange(n + 1, dtype=np.int64))
+    return hh, bounds
+
+
+def _shingle_hash_table(b: pa.Table, id_col: str, col: str,
+                        k: int) -> pa.Table:
+    """(id, sh list<int64>) rows: each doc's sorted-distinct shingle-hash
+    array — the byte-diet payload the verify partitions receive instead
+    of raw text (comparable bytes, zero per-task shingling/encode)."""
+    vals, bounds = _shingle_hash_lists(b.column(col), k)
+    sh = pa.LargeListArray.from_arrays(
+        pa.array(bounds, type=pa.int64()),
+        pa.array(vals.view(np.int64), type=pa.int64()))
+    return pa.table({id_col: pc.cast(b.column(id_col), pa.int64()),
+                     "sh": sh})
+
+
+def _hash_candidates_fn(ids_ref, id_col: str, col: str, k: int):
+    """Task function: filter a corpus block to the globally-candidate
+    docs, then shingle-hash them ONCE — downstream routing and verify
+    never touch text again."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray
+        ids = ids_ref if isinstance(ids_ref, pa.Array) else ray.get(ids_ref)
+        b = batch.select([id_col, col]).filter(
+            pc.is_in(batch.column(id_col), value_set=ids))
+        return _shingle_hash_table(b, id_col, col, k)
+
+    return fn
+
+
 def _shingle_string_rows(texts, k: int):
     """All rows' ``k``-token shingle STRINGS, vectorized (pyarrow window
     slices + ``binary_join_element_wise`` — no per-row Python), NOT
@@ -419,42 +532,39 @@ def _shingle_string_rows(texts, k: int):
     return strs, np.concatenate(r_parts)
 
 
-def _verify_partition(threshold: float, shingle_k: int, id_col: str,
-                      col: str, pairs: pa.Table, doc_pieces) -> pa.Table:
+def _verify_partition(threshold: float, id_col: str, pairs: pa.Table,
+                      doc_pieces) -> pa.Table:
     """Task: verify ONE bucket partition's candidate pairs against ONLY
     that partition's docs — per-task memory is bounded by the partition's
     bucket membership, never the global candidate set.
 
-    Shingle sets are built vectorized — one windowed
-    ``binary_join_element_wise`` pass over all docs (no per-row Python
-    join loop) + one ``dictionary_encode`` mapping shingle strings to
-    integer codes (exact string identity, no hash collisions) — and live
-    as ONE sorted int64 buffer with per-row bounds. |A∩B| per candidate
-    pair is a searchsorted merge of two buffer views, O(min log max) per
-    pair with near-zero allocation. Two rejected designs, both measured:
-    the full inverted-index group expansion streams ~100 MB of index
-    arrays per task, and per-row Python frozensets allocate ~500 MB of
-    PyLong objects per task — each saturates node memory bandwidth under
-    32-way task concurrency (6-8x per-task slowdown vs solo) even though
-    both are fast single-task."""
+    Byte diet (the round-4 scaling fix): doc pieces carry PRECOMPUTED
+    per-doc sorted-distinct shingle-hash arrays (``sh list<int64>``,
+    built once per doc by :func:`_shingle_hash_table`) — not raw text.
+    The per-task work is zero-copy list flatten + a searchsorted merge
+    of two uint64 buffer views per pair, O(min log max) with near-zero
+    allocation; no shingling, string joins, or dictionary encodes run
+    here, so 32-way task concurrency no longer saturates node memory
+    bandwidth re-tokenizing replicated text. Three rejected designs,
+    all measured: per-partition re-shingle + dictionary_encode (the
+    previous shape — 8→32 CPU efficiency 0.25, aggregate bandwidth
+    bound), full inverted-index group expansion (~100 MB of index
+    arrays per task), per-row Python frozensets (~500 MB of PyLongs
+    per task)."""
     from .exchange import resolve_pieces
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64()),
                       "jaccard": pa.array([], type=pa.float64())})
     docs = resolve_pieces(doc_pieces)
+    docs = [d for d in docs if d.num_rows]
     if pairs.num_rows == 0 or not docs:
         return empty
-    t = pa.concat_tables([d.select([id_col, col]) for d in docs])
+    t = pa.concat_tables([d.select([id_col, "sh"]) for d in docs])
     ids = t.column(id_col).to_numpy()
-    strs, row_of = _shingle_string_rows(t.column(col), shingle_k)
-    codes = np.asarray(pc.dictionary_encode(strs).indices, dtype=np.int64)
-    # distinct (row, code), codes ascending within each row
-    order = np.lexsort((codes, row_of))
-    cc, rr = codes[order], row_of[order]
-    first = np.ones(len(cc), dtype=bool)
-    first[1:] = (rr[1:] != rr[:-1]) | (cc[1:] != cc[:-1])
-    cc, rr = cc[first], rr[first]
-    bounds = np.searchsorted(rr, np.arange(len(t) + 1))
+    sh = t.column("sh")
+    sh = sh.combine_chunks() if isinstance(sh, pa.ChunkedArray) else sh
+    cc = np.asarray(sh.values, dtype=np.int64).view(np.uint64)
+    bounds = np.asarray(sh.offsets, dtype=np.int64)
     sizes = np.diff(bounds)
     # map pair ids → dense row indices
     sidx = np.argsort(ids, kind="stable")
@@ -592,19 +702,23 @@ def minhash_dedup(ds, threshold: float = 0.8, n_hashes=64, n_bands=16,
         return empty
     cand = np.unique(np.concatenate(nonempty))
     ids_ref = ray.put(pa.array(cand, type=pa.int64()))
+    # candidate fetch + shingle-hash ONCE per doc: the verify exchange
+    # routes (id, sorted-distinct hash array) rows, never text — the
+    # replicated re-shingle work that bandwidth-bound the old shape is
+    # gone (one hash pass per doc regardless of replica count)
     cand_docs = ds.map_batches(
-        _filter_by_id_fn(ids_ref, id_col, [id_col, col]),
+        _hash_candidates_fn(ids_ref, id_col, col, shingle_k),
         batch_format="pyarrow")
     from .exchange import stream_block_refs
     block_refs = stream_block_refs(cand_docs)
     per_part_docs = fan_out_pieces(_split_docs_by_need, block_refs,
-                                   np2, args=(id_refs, id_col, col))
+                                   np2, args=(id_refs, id_col, "sh"))
     verify = ray.remote(_verify_partition)
     out_refs = []
     for p in range(np2):
         if len(id_arrays[p]) == 0:
             continue
-        out_refs.append(verify.remote(threshold, shingle_k, id_col, col,
+        out_refs.append(verify.remote(threshold, id_col,
                                       pair_refs[p], per_part_docs[p]))
     if not out_refs:
         return empty

@@ -1247,9 +1247,31 @@ def test_shingle_string_rows_matches_reference():
         assert got[i] == set(_shingle_strings(t or "", 3)), (i, t)
 
 
+def test_shingle_hash_lists_set_semantics():
+    """The vectorized hash-list builder must mirror _shingle_strings SET
+    semantics exactly: per-row distinct count equals the string set size,
+    equal strings hash equal (cross-row), arrays sorted ascending uint64."""
+    from log2seq_ray.ops.dedup import _shingle_hash_lists, _shingle_strings
+    texts = ["", None, "one", "a b", "a b c", "a  b   c d e f g",
+             "x " * 50, "a b c d e f", "a b c d e f"]
+    arr = pa.array(texts, type=pa.string())
+    vals, off = _shingle_hash_lists(arr, 3)
+    rows = [vals[off[i]:off[i + 1]] for i in range(len(texts))]
+    for i, t in enumerate(texts):
+        assert len(rows[i]) == len(_shingle_strings(t or "", 3)), (i, t)
+        assert (np.diff(rows[i].astype(np.uint64)) > 0).all()
+    # identical docs → identical hash sets; shared shingles overlap
+    assert rows[7].tolist() == rows[8].tolist()
+    inter = np.intersect1d(rows[4], rows[5])
+    assert len(inter) == len(
+        _shingle_strings("a b c", 3) & _shingle_strings(
+            "a  b   c d e f g", 3))
+
+
 def test_verify_partition_vectorized():
-    """The inverted-index verify must equal exact per-pair Jaccard."""
-    from log2seq_ray.ops.dedup import _verify_partition, jaccard
+    """The hashed verify must equal exact per-pair string Jaccard."""
+    from log2seq_ray.ops.dedup import (_shingle_hash_table,
+                                       _verify_partition, jaccard)
     docs = pa.table({
         "doc_id": pa.array([3, 7, 11, 20], type=pa.int64()),
         "text": ["a b c d e f g h", "a b c d e f g zz",
@@ -1257,7 +1279,8 @@ def test_verify_partition_vectorized():
     pairs = pa.table({
         "id_a": pa.array([3, 3, 7, 3], type=pa.int64()),
         "id_b": pa.array([7, 11, 11, 20], type=pa.int64())})
-    out = _verify_partition(0.3, 5, "doc_id", "text", pairs, [docs])
+    hashed = _shingle_hash_table(docs, "doc_id", "text", 5)
+    out = _verify_partition(0.3, "doc_id", pairs, [hashed])
     got = {(a, b): j for a, b, j in zip(out.column("id_a").to_pylist(),
                                         out.column("id_b").to_pylist(),
                                         out.column("jaccard").to_pylist())}
