@@ -100,7 +100,9 @@ def _embed_corpus(sf_dir: str, replicas: int = 1000) -> str:
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
-    out = Path(f"/tmp/l2sr_embed_corpus/sf{_sf_of(sf_dir)}_x{replicas}")
+    # f32 suffix: vectors stored fixed_size_list<float32> (half the
+    # parquet-decode + plasma bytes of the old list<double> corpus)
+    out = Path(f"/tmp/l2sr_embed_corpus/sf{_sf_of(sf_dir)}_x{replicas}f32")
     if (out / "_SUCCESS").exists():
         return str(out)
     vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -114,9 +116,12 @@ def _embed_corpus(sf_dir: str, replicas: int = 1000) -> str:
         X = np.asarray(t.column("embedding").combine_chunks().flatten(),
                        dtype=np.float64).reshape(len(t), -1)
         X[np.arange(len(t)), r % X.shape[1]] += 0.001 * (r % 7)
+        d = X.shape[1]
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(X.reshape(-1).astype(np.float32)), d)
         return pa.table({
             "vec_id": pa.array(t.column("vec_id").to_numpy() * replicas + r),
-            "embedding": pa.array(list(X), type=pa.list_(pa.float64())),
+            "embedding": emb,
         })
 
     out.mkdir(parents=True, exist_ok=True)
@@ -775,6 +780,16 @@ def run_scaling_ops(lo: int = 8, hi: int = 32) -> dict:
     return res
 
 
+def _is_ray_core_crash(returncode: int, stderr: str) -> bool:
+    """True only for the known fatal Ray-core abort signatures (signal
+    kill, ray check-failure, raylet death) — a deterministic assertion
+    or regression failure must fail fast, not double the run."""
+    return (returncode < 0
+            or "Check failed" in stderr
+            or "task_manager.cc" in stderr
+            or ("raylet" in stderr and "died" in stderr))
+
+
 def _run_supervised(argv: list[str]) -> int:
     """Run the suite in a child process, retrying once on a fatal crash.
 
@@ -796,12 +811,8 @@ def _run_supervised(argv: list[str]) -> int:
             print(lines[-1])
             return 0
         # retry ONLY on the known fatal Ray-core abort (a nondeterministic
-        # completion/GC race) — a deterministic assertion / regression
-        # failure must fail fast, not double the run
-        crash = (out.returncode < 0                      # killed by signal
-                 or "Check failed" in out.stderr
-                 or "task_manager.cc" in out.stderr
-                 or "raylet" in out.stderr and "died" in out.stderr)
+        # completion/GC race)
+        crash = _is_ray_core_crash(out.returncode, out.stderr)
         if attempt == 1 and not crash:
             print(f"bench failed rc={out.returncode} (deterministic, "
                   "no Ray-core crash signature); not retrying",

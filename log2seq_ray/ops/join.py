@@ -199,13 +199,56 @@ def _join_bucket(left_key, right_key, empty_schema: pa.Schema,
     return out.select(empty_schema.names).combine_chunks()
 
 
+#: strategy="auto": a right side at or below this many rows broadcasts
+#: (one plasma table read by every join actor) instead of shuffling
+AUTO_BROADCAST_ROWS = 100_000
+
+
+def plan_join_strategy(l_rows: int, r_rows: int, how: str,
+                       n_keys: int, num_buckets: int):
+    """The ``strategy="auto"`` planner, pure on two row counts:
+    returns ``(strategy, hot_threshold)``. A small right side
+    broadcasts (no shuffle); a big one buckets, with a hot-key
+    threshold (inner single-key only) set so any key hotter than ~4
+    average buckets takes the broadcast side-route — the same exact
+    output, without one task holding the whole hot bucket."""
+    if how != "full" and r_rows <= AUTO_BROADCAST_ROWS:
+        return "broadcast", None
+    if how == "inner" and n_keys == 1:
+        return "bucket", max(65536, 4 * l_rows // max(num_buckets, 1))
+    return "bucket", None
+
+
+def detect_hot_keys(left, key: str, threshold: int) -> list:
+    """Distributed hot-key detection: one narrow pass of per-batch key
+    value-counts (reduced before the small groupby) collects every key
+    whose total multiplicity exceeds ``threshold``. The collected list
+    is bounded by ``total_rows / threshold`` keys."""
+    from ray.data.aggregate import Sum
+
+    def _kcounts(b: pa.Table) -> pa.Table:
+        col = b.column(key)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        vc = pc.value_counts(col)
+        return pa.table({key: vc.field("values"),
+                         "n_part": pc.cast(vc.field("counts"),
+                                           pa.int64())})
+
+    hot_rows = left.map_batches(_kcounts, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("n_part", alias_name="n")) \
+        .filter(expr=f"n > {int(threshold)}").take_all()
+    return [r[key] for r in hot_rows]
+
+
 def hash_join(left, right, left_key, right_key,
               num_buckets: Optional[int] = None,
               left_cols: Optional[Sequence[str]] = None,
               right_cols: Optional[Sequence[str]] = None,
               hot_keys: Optional[Sequence] = None,
               how: str = "inner",
-              hot_threshold: Optional[int] = None):
+              hot_threshold: Optional[int] = None,
+              strategy: Optional[str] = None):
     """Join two large Datasets via an explicit two-stage bucket exchange
     (module docstring). Returns a Dataset of the joined rows.
 
@@ -235,12 +278,29 @@ def hash_join(left, right, left_key, right_key,
     multiplicity exceeds the threshold; those become ``hot_keys``. The
     collected list is bounded by ``total_rows / hot_threshold`` keys, so
     driver memory stays small at any corpus size. Inner-only.
+
+    ``strategy``: ``None``/``"bucket"`` = the two-stage bucket exchange
+    exactly as configured above; ``"broadcast"`` = the right side is
+    concatenated once in a task and every join actor reads it from
+    plasma — no shuffle at all (any ``how`` except ``full``: a full
+    outer's right-only rows are not per-left-batch decidable);
+    ``"auto"`` = plan from cheap counts: a right side ≤
+    ``AUTO_BROADCAST_ROWS`` broadcasts; otherwise bucket, and (inner,
+    single-column key) a hot-key threshold is derived from the left
+    count so any key hotter than ~4 average buckets takes the
+    broadcast side-route automatically. The auto counts cost one
+    narrow execution of each input — worth it for the shuffle they
+    remove; pass an explicit strategy when the caller already knows
+    the shape.
     """
     import ray
     import ray.data as rd
 
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
+    if strategy not in (None, "auto", "bucket", "broadcast"):
+        raise ValueError("strategy must be None/'auto'/'bucket'/"
+                         "'broadcast'")
     lks, rks = _keys_list(left_key), _keys_list(right_key)
     if len(lks) != len(rks) or not lks:
         raise ValueError("left_key and right_key must name the same "
@@ -250,24 +310,10 @@ def hash_join(left, right, left_key, right_key,
     if (hot_keys or hot_threshold is not None) and len(lks) > 1:
         raise ValueError("hot_keys / hot_threshold need a single-column "
                          "key")
+    if strategy == "broadcast" and how == "full":
+        raise ValueError("strategy='broadcast' cannot express a full "
+                         "outer join")
     left_key, right_key = lks[0], rks[0]  # hot path reads the scalars
-
-    if hot_threshold is not None and hot_keys is None:
-        from ray.data.aggregate import Sum
-
-        def _kcounts(b: pa.Table) -> pa.Table:
-            col = b.column(left_key)
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-                else col
-            vc = pc.value_counts(col)
-            return pa.table({left_key: vc.field("values"),
-                             "n_part": pc.cast(vc.field("counts"),
-                                               pa.int64())})
-
-        hot_rows = left.map_batches(_kcounts, batch_format="pyarrow") \
-            .groupby(left_key).aggregate(Sum("n_part", alias_name="n")) \
-            .filter(expr=f"n > {int(hot_threshold)}").take_all()
-        hot_keys = [r[left_key] for r in hot_rows]
 
     if num_buckets is None:
         try:
@@ -275,6 +321,17 @@ def hash_join(left, right, left_key, right_key,
                                           .get("CPU", 8)))
         except Exception:
             num_buckets = 32
+
+    if strategy == "auto":
+        strategy, auto_ht = plan_join_strategy(
+            left.count() if how == "inner" and len(lks) == 1 else 0,
+            right.count(), how, len(lks), num_buckets)
+        if (auto_ht is not None and hot_keys is None
+                and hot_threshold is None):
+            hot_threshold = auto_ht
+
+    if hot_threshold is not None and hot_keys is None:
+        hot_keys = detect_hot_keys(left, left_key, hot_threshold)
 
     # A side with zero rows AND no recoverable type info (schema() is
     # None — e.g. a map_batches chain whose every block came out empty)
@@ -345,6 +402,27 @@ def hash_join(left, right, left_key, right_key,
     else:  # semi / anti: left columns only; right side is a key filter
         r_names = list(rks)
     empty_schema = pa.schema(out_fields)
+
+    if strategy == "broadcast":
+        r_schema = pa.schema([pa.field(n, rt[n]) for n in r_names])
+        r_blocks = right.map_batches(
+            lambda b: b.select([c for c in r_names
+                                if c in b.column_names]),
+            batch_format="pyarrow").to_arrow_refs()
+        r_ref = ray.remote(_concat_filtered).remote(r_schema, r_blocks)
+
+        class BcastJoin:
+            def __init__(self):
+                self.rt = ray.get(r_ref)  # zero-copy plasma read
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                lb = b.select([c for c in l_names
+                               if c in b.column_names])
+                return _join_bucket(lks, rks, empty_schema,
+                                    [lb], [self.rt], how)
+
+        return left.map_batches(BcastJoin, batch_format="pyarrow",
+                                concurrency=actor_pool())
 
     hot_result = None
     if hot_keys:

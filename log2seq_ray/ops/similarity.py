@@ -28,6 +28,24 @@ def _to_matrix(col) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+def to_fixed32(col) -> pa.Array:
+    """Embedding column → ``fixed_size_list<float32>`` — the storage /
+    wire format for stress corpora and persistent ingest indexes: half
+    the parquet + plasma bytes of ``list<double>``, offset-free decode.
+    Math stays float64 (``_to_matrix`` upcasts); the ~1e-7 cosine
+    perturbation is far inside every gated threshold margin. Zero-row
+    input passes through typed-as-is (Ray hands zero-row blocks around
+    untransformed anyway; exchange consumers drop empties)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return pa.array([], type=pa.list_(pa.float32()))
+    if (pa.types.is_fixed_size_list(arr.type)
+            and arr.type.value_type == pa.float32()):
+        return arr
+    d = len(arr.flatten()) // len(arr)
+    return arr.cast(pa.list_(pa.float32(), d))
+
+
 def _normalize(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
 
@@ -647,6 +665,26 @@ def _anti_filter_partition(id_col: str, row_pieces, vic_pieces) -> pa.Table:
     return tbl.filter(pa.array(keep))
 
 
+def _assign_split_block(block, cref, id_col: str, col: str,
+                        n_assign: int, num_parts: int):
+    """Fused task: multi-assign ONE block's vectors to their nearest
+    centroids and split the assignment rows by centroid — the assigned
+    rows never materialize as a Dataset (see ingest_semdedup_run)."""
+    import ray
+
+    from .dedup import _MultiAssignStage
+    from .exchange import split_by_key
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block)
+    if block.num_rows == 0:
+        # zero-row blocks may carry the untransformed upstream schema
+        # (Ray pass-through); consumers drop empty pieces
+        return [block.slice(0, 0)] * num_parts
+    C = cref if isinstance(cref, np.ndarray) else ray.get(cref)
+    assigned = _MultiAssignStage(C, id_col, col, n_assign)(block)
+    return split_by_key(assigned, "__centroid", num_parts)
+
+
 def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
                         n_centroids: int = 8, n_assign: int = 3,
                         id_col: str = "vec_id", col: str = "embedding",
@@ -678,7 +716,7 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     import ray.data as rd
 
     from .dedup import _MultiAssignStage, _auto_parts
-    from .exchange import fan_out_pieces, split_by_key
+    from .exchange import fan_out_pieces, split_by_key, stream_block_refs
 
     os.makedirs(state_dir, exist_ok=True)
     runs = sorted(d for d in os.listdir(state_dir)
@@ -687,8 +725,16 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     # centroid training, bucket assignment AND the survivor anti-filter
     # (and is exactly the payload committed to the index), so the
     # upstream — a full parquet scan at 100 TB — executes once, not 3x.
-    narrow = ds.map_batches(lambda b: b.select([id_col, col]),
-                            batch_format="pyarrow").materialize()
+    # Vectors are re-encoded fixed_size_list<float32> here: every
+    # downstream hop (plasma split, exchange, index commit, next run's
+    # index read) ships/stores half the bytes — phase tracing showed
+    # list<double> parquet decode + the vector fan-out WAS the ingest
+    # wall (10-16s/run).
+    narrow = ds.map_batches(
+        lambda b: pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            col: to_fixed32(b.column(col))}),
+        batch_format="pyarrow").materialize()
     empty_ids = rd.from_arrow(
         pa.table({id_col: pa.array([], type=pa.int64())}))
     if narrow.count() == 0:
@@ -708,30 +754,26 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
             np.save(f, C)
         os.replace(tmpc, cpath)
     cref = ray.put(C)
-    assign_kwargs = dict(centroids_ref=cref, id_col=id_col, col=col,
-                         n_assign=n_assign)
-    from .exchange import actor_pool as _pool
-    # big batches: the fan-out splits every block into num_parts pieces,
-    # so small default blocks would mean 100k+ tiny plasma objects
-    # (the measured 512s -> 25s semdedup lesson)
-    new_assigned = narrow.map_batches(
-        _MultiAssignStage, fn_constructor_kwargs=assign_kwargs,
-        batch_format="pyarrow", batch_size=16384, concurrency=_pool())
     num_parts = min(_auto_parts(num_parts), max(1, n_centroids))
-    new_parts = fan_out_pieces(split_by_key, new_assigned.to_arrow_refs(),
-                               num_parts, args=("__centroid", num_parts))
+    # FUSED assign+split: one task per block runs the centroid matmul
+    # and the bucket split together — no intermediate assigned Dataset,
+    # no actor pool, no per-run map_batches execution barrier (phase
+    # tracing measured that barrier at 5-12s/run, dwarfing the actual
+    # assign compute; the old per-run pool spin-up made 32 CPUs SLOWER
+    # than 8). The 3x-expanded vector rows go straight from task heap
+    # to their narrow per-bucket pieces.
+    new_parts = fan_out_pieces(
+        _assign_split_block, narrow.to_arrow_refs(), num_parts,
+        args=(cref, id_col, col, n_assign, num_parts))
     files = [f"{state_dir}/{r}/{f}" for r in runs
              if os.path.isdir(f"{state_dir}/{r}")
              for f in sorted(os.listdir(f"{state_dir}/{r}"))
              if f.endswith(".parquet")]
     if files:
-        old_assigned = rd.read_parquet(files).map_batches(
-            _MultiAssignStage, fn_constructor_kwargs=assign_kwargs,
-            batch_format="pyarrow", batch_size=16384,
-            concurrency=_pool())
         old_parts = fan_out_pieces(
-            split_by_key, old_assigned.to_arrow_refs(), num_parts,
-            args=("__centroid", num_parts))
+            _assign_split_block,
+            stream_block_refs(rd.read_parquet(files)), num_parts,
+            args=(cref, id_col, col, n_assign, num_parts))
     else:
         old_parts = [[] for _ in range(num_parts)]
     work = ray.remote(_sem_ingest_partition)
