@@ -119,7 +119,7 @@ class ImageDecodeStage:
                 raise NotImplementedError(
                     "image decode backend requires Pillow, which is not "
                     "available in this container; use backend='fake'") from e
-        elif backend != "fake":
+        elif backend not in ("fake", "png"):
             raise ValueError(f"unknown backend {backend!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -129,6 +129,8 @@ class ImageDecodeStage:
         # d = md5(pay), width = 64 + 8*('0x'||substr(d,1,2))::BIGINT etc.
         if self.backend == "pillow":
             return _pillow_decode(batch)
+        if self.backend == "png":
+            return _png_decode(batch)
         H = _stacked_md5(batch.column("payload"))
         H2 = _stacked_md5(batch.column("payload"), b"e")
         width = (64 + H[:, 0].astype(np.int32) * 8)
@@ -144,16 +146,18 @@ class ImageDecodeStage:
         }, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def media_pipeline(sf_dir: str):
+def media_pipeline(sf_dir: str, backend: str = "fake"):
     """documents → media rows → decode/feature stage (small batches for
-    binary payloads, actor pool)."""
+    binary payloads, actor pool). ``backend`` picks the decode codec
+    (fake / png / pillow) — the md5 fake stays the oracle-gated default
+    (its payloads are not PNGs)."""
     import ray.data as rd
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
     media = docs.map_batches(synthesize_media, batch_format="pyarrow",
                              batch_size=512)
     feats = media.filter(expr="kind == 'image'").map_batches(
-        ImageDecodeStage, fn_constructor_kwargs=dict(backend="fake"),
+        ImageDecodeStage, fn_constructor_kwargs=dict(backend=backend),
         batch_format="pyarrow", batch_size=128, concurrency=actor_pool())
     return feats
 
@@ -196,7 +200,7 @@ class ImageResizeStage:
                 raise NotImplementedError(
                     "resize backend requires Pillow; use backend='fake'"
                 ) from e
-        elif backend != "fake":
+        elif backend not in ("fake", "png"):
             raise ValueError(f"unknown backend {backend!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -205,6 +209,8 @@ class ImageResizeStage:
         import pyarrow.compute as pc
         if self.backend == "pillow":
             return _pillow_resize(batch, self.max_side)
+        if self.backend == "png":
+            return _png_resize(batch, self.max_side)
         H = _stacked_md5(batch.column("payload"))
         w0 = (64 + H[:, 0].astype(np.int64) * 8).astype(np.float64)
         h0 = (64 + H[:, 1].astype(np.int64) * 8).astype(np.float64)
@@ -286,6 +292,61 @@ class VideoFrameSampleStage:
         }, schema=FRAME_SAMPLE_SCHEMA)
 
 
+def _png_decode(batch: pa.Table) -> pa.Table:
+    """REAL image decode via the vendored pure-stdlib PNG codec
+    (``ops/png.py``) — runs in CI with zero third-party deps. Same
+    output layout as the fake/pillow paths: the 16-dim embedding is a
+    4x4 box-mean grayscale thumbnail scaled to [0, 1] (ITU-R 601 luma).
+    """
+    from .png import decode_png, mean_pool
+    widths, heights, chans, embs = [], [], [], []
+    for p in batch.column("payload").to_pylist():
+        img = decode_png(p)
+        h, w, c = img.shape
+        widths.append(w)
+        heights.append(h)
+        chans.append(c)
+        if c >= 3:
+            luma = (img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587
+                    + img[:, :, 2] * 0.114)
+        else:
+            luma = img[:, :, 0].astype(np.float64)
+        g = mean_pool(luma[:, :, None].astype(np.uint8), 4, 4)[:, :, 0]
+        embs.append((g.reshape(-1) / 255.0).astype(np.float32))
+    return pa.table({
+        "media_id": batch.column("media_id"),
+        "width": pa.array(widths, type=pa.int32()),
+        "height": pa.array(heights, type=pa.int32()),
+        "channels": pa.array(chans, type=pa.int32()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(embs) if embs
+                     else np.array([], dtype=np.float32)), 16),
+    }, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def _png_resize(batch: pa.Table, max_side: int) -> pa.Table:
+    """Real thumbnail via the vendored PNG codec: aspect-preserving box
+    mean-pool to ``max_side``, re-encoded as PNG bytes."""
+    from .png import decode_png, encode_png, mean_pool
+    widths, heights, thumbs = [], [], []
+    for p in batch.column("payload").to_pylist():
+        img = decode_png(p)
+        h, w, _ = img.shape
+        scale = min(1.0, max_side / max(w, h))
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        small = np.round(mean_pool(img, nh, nw)).astype(np.uint8) \
+            if (nw, nh) != (w, h) else img
+        widths.append(nw)
+        heights.append(nh)
+        thumbs.append(encode_png(small))
+    return pa.table({
+        "media_id": batch.column("media_id"),
+        "width": pa.array(widths, type=pa.int32()),
+        "height": pa.array(heights, type=pa.int32()),
+        "thumb": pa.array(thumbs, type=pa.binary()),
+    }, schema=RESIZED_SCHEMA)
+
+
 def _pillow_decode(batch: pa.Table) -> pa.Table:
     """Real image decode via Pillow (exercised only where Pillow exists —
     a conditional test under ``pytest.importorskip``; this container
@@ -335,8 +396,10 @@ def _pillow_resize(batch: pa.Table, max_side: int) -> pa.Table:
     }, schema=RESIZED_SCHEMA)
 
 
-def thumb_pipeline(sf_dir: str, max_side: int = 256):
-    """documents → media rows → resize/thumbnail stage (images only)."""
+def thumb_pipeline(sf_dir: str, max_side: int = 256,
+                   backend: str = "fake"):
+    """documents → media rows → resize/thumbnail stage (images only).
+    ``backend`` as in :func:`media_pipeline`."""
     import ray.data as rd
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
@@ -344,7 +407,7 @@ def thumb_pipeline(sf_dir: str, max_side: int = 256):
                              batch_size=512)
     return media.filter(expr="kind == 'image'").map_batches(
         ImageResizeStage,
-        fn_constructor_kwargs=dict(max_side=max_side, backend="fake"),
+        fn_constructor_kwargs=dict(max_side=max_side, backend=backend),
         batch_format="pyarrow", batch_size=128, concurrency=actor_pool())
 
 
