@@ -220,6 +220,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_orders_by_nation(SF_DIR).to_pandas())
         timed("lineitem_join",
               lambda: Q.q_lineitem_join(SF_DIR).to_pandas())
+        timed("join_auto",
+              lambda: Q.q_join_auto(SF_DIR).to_pandas())
         timed("event_pivot", lambda: Q.q_event_pivot(SF_DIR).to_pandas())
         timed("length_ranks",
               lambda: Q.q_length_ranks(SF_DIR).to_pandas())

@@ -6817,3 +6817,42 @@ ORACLE_SQL["quality_percentiles"] = f"""
                      ELSE 0 END AS BIGINT) AS pct_ppm
     FROM R
 """
+
+
+def q_join_auto(sf_dir: str):
+    """lineitem ⋈ orders through hash_join(strategy="auto"): the planner
+    consults the two row counts, broadcasts the (small) orders side at
+    gate scale, and derives the hot-key threshold on bigger inputs —
+    same result set as the explicit bucket path, verified by the same
+    aggregate oracle (ops/join.py:plan_join_strategy)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .ops.join import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = _orders(sf_dir, ["o_orderkey", "o_orderstatus"])
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                  strategy="auto")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+        })
+        g = t.group_by(["o_orderstatus"]).aggregate(
+            [("qty", "sum"), ([], "count_all")])
+        return pa.table({"o_orderstatus": g.column("o_orderstatus"),
+                         "partial_q": g.column("qty_sum"),
+                         "partial_n": g.column("count_all")})
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderstatus").aggregate(
+            Sum("partial_q", alias_name="sum_qty"),
+            Sum("partial_n", alias_name="n"))
+
+
+QUERIES["join_auto"] = q_join_auto
+
+ORACLE_SQL["join_auto"] = ORACLE_SQL["lineitem_join"]

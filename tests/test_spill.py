@@ -7,7 +7,7 @@ Runs in a fresh subprocess: the spill threshold is a cluster-level
 setting the session-scoped test fixture must not inherit."""
 
 import json
-import re
+
 import subprocess
 import sys
 from pathlib import Path
@@ -16,7 +16,7 @@ ROOT = Path(__file__).resolve().parent.parent
 
 SCRIPT = r"""
 import json
-import re
+
 import sys
 
 import numpy as np
@@ -70,10 +70,16 @@ ds = rd.range(N_BLOCKS, override_num_blocks=N_BLOCKS).map_batches(
     gen, batch_format="pyarrow", batch_size=1)
 out = hash_exchange(ds, "k", partition_fn, num_parts=8).to_pandas()
 
-from ray._private.internal_api import memory_summary
-summary = memory_summary(stats_only=True)
-m = re.search(r"Spilled (\d+) MiB", summary)
-spilled_mib = int(m.group(1)) if m else 0
+# spill evidence straight from the session's spill directory (the
+# grpc-backed memory_summary API is unavailable in this container)
+import pathlib
+session = pathlib.Path(
+    ray._private.worker._global_node.get_session_dir_path())
+spilled = sum(
+    f.stat().st_size
+    for d in session.glob("ray_spilled_objects*") if d.is_dir()
+    for f in d.rglob("*") if f.is_file())
+spilled_mib = spilled // (1024 * 1024)
 
 print(json.dumps({
     "rows": int(out["n"].sum()),
