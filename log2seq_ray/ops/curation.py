@@ -85,11 +85,16 @@ def shingle_hash_rows(batch: pa.Table, col: str = "text",
         row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
         valid = row_of[:w] == row_of[window - 1:]
         if valid.any():
-            svals = shingles.to_pylist()
             vi = np.nonzero(valid)[0]
-            h_parts.append(np.fromiter(
-                (_md5_60(svals[i]) for i in vi),
-                dtype=np.int64, count=len(vi)))
+            # md5 once per DISTINCT shingle (the digest must stay md5-60
+            # — the SQL oracle recomputes it — but web shingles repeat
+            # heavily, so dictionary-encode first and hash the dictionary)
+            enc = pc.dictionary_encode(
+                shingles.take(pa.array(vi, type=pa.int64())))
+            uniq = enc.dictionary.to_pylist()
+            hu = np.fromiter((_md5_60(s) for s in uniq),
+                             dtype=np.int64, count=len(uniq))
+            h_parts.append(hu[np.asarray(enc.indices, dtype=np.int64)])
             r_parts.append(row_of[vi])
     if not h_parts:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
