@@ -1120,11 +1120,10 @@ def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
     C = train_centroids(ds, n_centroids=n_centroids, col=col,
                         id_col=id_col)
     cref = ray.put(C)
-    assigned = ds.map_batches(
-        _MultiAssignStage,
-        fn_constructor_kwargs=dict(centroids_ref=cref, id_col=id_col,
-                                   col=col, n_assign=n_assign),
-        batch_format="pyarrow", concurrency=actor_pool())
+    def massign_fn(b: pa.Table) -> pa.Table:
+        return _MultiAssignStage(cref, id_col, col, n_assign)(b)
+
+    assigned = ds.map_batches(massign_fn, batch_format="pyarrow")
     # bucket-size census: a second streaming pass over the (deterministic)
     # assignment — cheaper at scale than materializing n_assign × corpus
     # vectors in the object store just to count them
@@ -1134,10 +1133,12 @@ def embedding_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
     s_map = {int(c): int(-(-n // max_bucket))
              for c, n in zip(counts["__centroid"], counts[cnt_col])
              if n > max_bucket}
-    salted = assigned.map_batches(
-        _SaltStage,
-        fn_constructor_kwargs=dict(s_map_ref=ray.put(s_map), id_col=id_col),
-        batch_format="pyarrow", concurrency=actor_pool())
+    s_ref = ray.put(s_map)
+
+    def salt_fn(b: pa.Table) -> pa.Table:
+        return _SaltStage(s_ref, id_col)(b)
+
+    salted = assigned.map_batches(salt_fn, batch_format="pyarrow")
 
     import functools
     pairs = salted.groupby("__gk").map_groups(

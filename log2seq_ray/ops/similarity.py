@@ -106,12 +106,14 @@ def knn_brute_force(ds, queries: tuple[np.ndarray, np.ndarray], k: int = 10,
         ref = ray.put(payload)
     else:
         ref = payload
-    cands = ds.map_batches(
-        _TopKStage,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col,
-                                   col=col, exclude_self=exclude_self),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=actor_pool())
+    def topk_fn(b: pa.Table) -> pa.Table:
+        # task-based: per-task state is one zero-copy plasma read of the
+        # broadcast query matrix — an actor pool's spin-up dominated the
+        # whole query at bench scale
+        return _TopKStage(ref, k, id_col, col, exclude_self)(b)
+
+    cands = ds.map_batches(topk_fn, batch_format="pyarrow",
+                           batch_size=4096)
     pdf = cands.to_pandas()
     pdf = pdf.sort_values(["query_id", "cosine", "vec_id"],
                           ascending=[True, False, True])
@@ -208,10 +210,10 @@ def knn_ivf(ds, queries, k: int = 10, n_centroids: int = 16,
     C = train_centroids(ds, n_centroids=n_centroids, col=col,
                         id_col=id_col)
     cref = ray.put(C)
-    assigned = ds.map_batches(
-        _IVFAssignStage, fn_constructor_kwargs=dict(centroids_ref=cref,
-                                                    col=col),
-        batch_format="pyarrow", concurrency=actor_pool())
+    def ivf_assign_fn(b: pa.Table) -> pa.Table:
+        return _IVFAssignStage(cref, col)(b)
+
+    assigned = ds.map_batches(ivf_assign_fn, batch_format="pyarrow")
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
     wanted = sorted({int(c) for row in probe for c in row})
     wanted_arr = pa.array(wanted, type=pa.int32())
@@ -278,12 +280,15 @@ def _kmeans_step(ds, centroids, k: int, id_col: str, col: str):
     argmax tie-breaks resolve to the lowest id — SQL ROW_NUMBER parity)."""
     import ray
     ref = ray.put(centroids) if centroids is not None else None
-    partials = ds.map_batches(
-        _KMeansPartialStage,
-        fn_constructor_kwargs=dict(centroids_ref=ref, k=k,
-                                   id_col=id_col, col=col),
-        batch_format="pyarrow", batch_size=16384,
-        concurrency=actor_pool()).to_pandas()
+
+    def partial_fn(b: pa.Table) -> pa.Table:
+        # task-based: stage state is one tiny centroid matrix read
+        # zero-copy from plasma — an actor pool's spin-up (~2-4s at 32
+        # CPUs) PER LLOYD PASS was most of kmeans_2m's wall time
+        return _KMeansPartialStage(ref, k, id_col, col)(b)
+
+    partials = ds.map_batches(partial_fn, batch_format="pyarrow",
+                              batch_size=16384).to_pandas()
     agg = partials.groupby(["c", "dim"], sort=True)["val"].sum()
     counts = agg.xs(-1, level="dim")
     cids = np.asarray(counts.index[counts.to_numpy() > 0], dtype=np.int64)
@@ -325,11 +330,11 @@ def kmeans_assign(ds, k: int = 8, iters: int = 1, id_col: str = "vec_id",
     init-cluster id; cosine ties resolve to the lowest cluster id."""
     import ray
     ref = ray.put(kmeans_centroids(ds, k, iters, id_col, col))
-    return ds.map_batches(
-        _KMeansAssignStage,
-        fn_constructor_kwargs=dict(centroids_ref=ref, id_col=id_col,
-                                   col=col),
-        batch_format="pyarrow", concurrency=actor_pool())
+
+    def assign_fn(b: pa.Table) -> pa.Table:
+        return _KMeansAssignStage(ref, id_col, col)(b)
+
+    return ds.map_batches(assign_fn, batch_format="pyarrow")
 
 
 def kmeans_centroids(ds, k: int, iters: int, id_col: str = "vec_id",
@@ -378,12 +383,14 @@ def _semdedup_partition(threshold, id_col, pieces):
 
 
 class _AssignKeepStage(_KMeansAssignStage):
-    """Assignment that also carries the embedding (for the dedup scan)."""
+    """Assignment that also carries the embedding (for the dedup scan).
+    Vectors ship fixed_size_list<float32> — half the exchange bytes;
+    the cosine math upcasts to float64 per partition (_to_matrix)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = super().__call__(batch)
-        return out.append_column("embedding", pc.cast(
-            batch.column(self.col), pa.list_(pa.float64())))
+        return out.append_column("embedding",
+                                 to_fixed32(batch.column(self.col)))
 
 
 def semdedup(ds, k: int = 8, iters: int = 1, threshold: float = 0.9,
@@ -402,14 +409,15 @@ def semdedup(ds, k: int = 8, iters: int = 1, threshold: float = 0.9,
     import ray
     from .exchange import hash_exchange
     ref = ray.put(kmeans_centroids(ds, k, iters, id_col, col))
+
+    def assign_keep_fn(b: pa.Table) -> pa.Table:
+        return _AssignKeepStage(ref, id_col, col)(b)
+
     # big batches: the exchange splits every upstream block into
     # num_parts pieces, so thousands of 1k-row blocks would mean 100k+
     # tiny objects (measured 512s → 25s on 2M vectors from this alone)
-    assigned = ds.map_batches(
-        _AssignKeepStage,
-        fn_constructor_kwargs=dict(centroids_ref=ref, id_col=id_col,
-                                   col=col),
-        batch_format="pyarrow", batch_size=16384, concurrency=actor_pool())
+    assigned = ds.map_batches(assign_keep_fn, batch_format="pyarrow",
+                              batch_size=16384)
     return hash_exchange(assigned, "cluster", _semdedup_partition,
                          num_parts, fn_args=(threshold, id_col))
 
@@ -520,13 +528,14 @@ def srp_knn(ds, queries, k: int = 10, n_planes: int = 8, probe: int = 1,
     W = srp_planes(n_planes, Q.shape[1])
     q_buckets = srp_buckets(Q, W)
     payload = (np.asarray(q_ids, dtype=np.int64), _normalize(Q))
-    cands = ds.map_batches(
-        _SRPTopKStage,
-        fn_constructor_kwargs=dict(
-            queries_ref=ray.put(payload), k=k, id_col=id_col, col=col,
-            exclude_self=exclude_self,
-            planes_ref=ray.put((W, q_buckets)), probe=probe),
-        batch_format="pyarrow", batch_size=4096, concurrency=actor_pool())
+    qref, pref = ray.put(payload), ray.put((W, q_buckets))
+
+    def srp_fn(b: pa.Table) -> pa.Table:
+        return _SRPTopKStage(qref, k, id_col, col, exclude_self,
+                             planes_ref=pref, probe=probe)(b)
+
+    cands = ds.map_batches(srp_fn, batch_format="pyarrow",
+                           batch_size=4096)
     pdf = cands.to_pandas()
     if pdf.empty:  # all-empty blocks lose column names in to_pandas
         return pd.DataFrame({c: pd.Series([], dtype="int64")
@@ -936,12 +945,11 @@ def _pq_step(ds, books, m: int, k: int, id_col: str, col: str):
     argmin ties resolve to the lowest — SQL ROW_NUMBER parity)."""
     import ray
     ref = ray.put(books) if books is not None else None
-    partials = ds.map_batches(
-        _PQPartialStage,
-        fn_constructor_kwargs=dict(books_ref=ref, m=m, k=k,
-                                   id_col=id_col, col=col),
-        batch_format="pyarrow", batch_size=16384,
-        concurrency=actor_pool()).to_pandas()
+    def pq_partial_fn(b: pa.Table) -> pa.Table:
+        return _PQPartialStage(ref, m, k, id_col, col)(b)
+
+    partials = ds.map_batches(pq_partial_fn, batch_format="pyarrow",
+                              batch_size=16384).to_pandas()
     out = []
     for s in range(m):
         p = partials[partials["sub"] == s]
@@ -995,11 +1003,10 @@ def pq_codes(ds, m: int = 2, k: int = 4, iters: int = 1,
     ``ray.put``, and the code pass streams."""
     import ray
     ref = ray.put(pq_codebooks(ds, m, k, iters, id_col, col))
-    return ds.map_batches(
-        _PQAssignStage,
-        fn_constructor_kwargs=dict(books_ref=ref, m=m, id_col=id_col,
-                                   col=col),
-        batch_format="pyarrow", concurrency=actor_pool())
+    def pq_assign_fn(b: pa.Table) -> pa.Table:
+        return _PQAssignStage(ref, m, id_col, col)(b)
+
+    return ds.map_batches(pq_assign_fn, batch_format="pyarrow")
 
 
 def pq_codebooks(ds, m: int, k: int, iters: int,
@@ -1082,12 +1089,11 @@ def pq_knn(ds, queries, m: int = 2, k_code: int = 4, iters: int = 1,
             - C[None]) ** 2).sum(axis=2)
           for s, (cids, C) in enumerate(books)]
     ref = ray.put((np.asarray(q_ids, dtype=np.int64), books, DT))
-    cands = ds.map_batches(
-        _PQKnnStage,
-        fn_constructor_kwargs=dict(payload_ref=ref, m=m, kk=k,
-                                   id_col=id_col, col=col),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=actor_pool())
+    def pq_knn_fn(b: pa.Table) -> pa.Table:
+        return _PQKnnStage(ref, m, k, id_col, col)(b)
+
+    cands = ds.map_batches(pq_knn_fn, batch_format="pyarrow",
+                           batch_size=4096)
     pdf = cands.to_pandas()
     pdf = pdf.sort_values(["query_id", "ad", id_col],
                           ascending=[True, True, True])
@@ -1392,12 +1398,11 @@ def hard_negatives(ds, queries, k: int = 5, id_col: str = "vec_id",
                _normalize(np.asarray(Q, dtype=np.float64)),
                np.asarray(q_labels, dtype=np.int64))
     ref = ray.put(payload)
-    cands = ds.map_batches(
-        _HardNegStage,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col,
-                                   col=col, label_col=label_col),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=actor_pool())
+    def hardneg_fn(b: pa.Table) -> pa.Table:
+        return _HardNegStage(ref, k, id_col, col, label_col)(b)
+
+    cands = ds.map_batches(hardneg_fn, batch_format="pyarrow",
+                           batch_size=4096)
     pdf = cands.to_pandas()
     pdf = pdf.sort_values(["query_id", "cosine", "vec_id"],
                           ascending=[True, False, True])
