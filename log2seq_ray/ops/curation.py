@@ -782,11 +782,11 @@ def decontaminate_frac(corpus, bench, window: int = 6,
     vectorized scorer, no corpus shuffle. Returns surviving
     (id, n_grams, n_hits)."""
     ref = _bench_gram_broadcast(bench, window, col)
-    return corpus.map_batches(
-        _DecontamFracStage, fn_constructor_kwargs=dict(
-            block_ref=ref, window=window, num=max_frac_num,
-            den=max_frac_den, id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=actor_pool())
+    def frac_fn(b: pa.Table) -> pa.Table:
+        return _DecontamFracStage(ref, window, max_frac_num,
+                                  max_frac_den, id_col, col)(b)
+
+    return corpus.map_batches(frac_fn, batch_format="pyarrow")
 
 
 def decontaminate(corpus, bench, window: int = 6,
@@ -802,10 +802,10 @@ def decontaminate(corpus, bench, window: int = 6,
     the benchmark size (MBs) — see :func:`_bench_gram_broadcast` for the
     Bloom-filter upgrade path if it ever outgrows worker heaps."""
     ref = _bench_gram_broadcast(bench, window, col)
-    return corpus.map_batches(
-        _DecontamStage, fn_constructor_kwargs=dict(
-            block_ref=ref, window=window, id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=actor_pool())
+    def decontam_fn(b: pa.Table) -> pa.Table:
+        return _DecontamStage(ref, window, id_col, col)(b)
+
+    return corpus.map_batches(decontam_fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -975,10 +975,10 @@ def doc_lm_score(ds, model_ds, vocab_k: int = 32,
     vocab = top_tokens(model_ds, k=vocab_k)  # small pandas (token, n)
     ref = ray.put((pa.array(vocab["token"].tolist(), type=pa.string()),
                    vocab["n"].to_numpy().astype(np.int64)))
-    return ds.map_batches(
-        _LMScoreStage, fn_constructor_kwargs=dict(
-            vocab_ref=ref, id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=actor_pool())
+    def lm_fn(b: pa.Table) -> pa.Table:
+        return _LMScoreStage(ref, id_col, col)(b)
+
+    return ds.map_batches(lm_fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1083,10 +1083,10 @@ def tfidf_top_terms(ds, df_ds, k: int = 3,
         tokens = pa.array([], type=pa.string())
         dfv = np.empty(0, dtype=np.int64)
     ref = ray.put((tokens, dfv))
-    return ds.map_batches(
-        _TfidfStage, fn_constructor_kwargs=dict(
-            df_ref=ref, k=k, id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=actor_pool())
+    def tfidf_fn(b: pa.Table) -> pa.Table:
+        return _TfidfStage(ref, k, id_col, col)(b)
+
+    return ds.map_batches(tfidf_fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

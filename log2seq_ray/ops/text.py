@@ -726,10 +726,10 @@ def tokenize_ids(ds, vocab_size: int = 1024, id_col: str = "doc_id",
     vocab = top_tokens(vocab_ds if vocab_ds is not None else ds,
                        k=vocab_size)
     ref = ray.put(pa.array(vocab["token"].tolist(), type=pa.string()))
-    return ds.map_batches(
-        _TokenizeStage, fn_constructor_kwargs=dict(
-            vocab_ref=ref, id_col=id_col, col=col),
-        batch_format="pyarrow", concurrency=actor_pool())
+    def tok_fn(b: pa.Table) -> pa.Table:
+        return _TokenizeStage(ref, id_col, col)(b)
+
+    return ds.map_batches(tok_fn, batch_format="pyarrow")
 
 
 def token_concentration(batch: pa.Table, id_col: str = "doc_id",
