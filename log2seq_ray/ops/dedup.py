@@ -934,12 +934,22 @@ def clusters_from_pairs(pairs_ds, method: str = "auto"):
 # SimHash
 # ---------------------------------------------------------------------------
 
+#: process-level md5-60 token-hash memo: Ray reuses worker processes
+#: across tasks, so a module dict gives the cross-batch reuse the old
+#: per-actor cache gave — without an actor pool to spin up per call
+_simhash_tok_cache: dict[str, int] = {}
+
+
 class SimHashStage:
     """60-bit SimHash per document over token features (weights = term
     frequency). Token hash = first 15 hex chars of md5 — 60 bits so the
     value is a positive BIGINT and the whole computation is reproducible
-    in SQL (the ``simhash`` oracle); hashes are cached per actor (web
-    vocabulary repeats heavily)."""
+    in SQL (the ``simhash`` oracle).
+
+    Batch-vectorized: md5 once per DISTINCT token (module-level memo),
+    the per-doc ±weight bit accumulation is one lexsort + slabbed
+    scatter-add over (row, token, weight) triples — no per-doc Python
+    loop, no Counter."""
 
     BITS = 60
 
@@ -947,32 +957,57 @@ class SimHashStage:
         self.id_col, self.col = id_col, col
         self._bit = np.array([1 << i for i in range(self.BITS)],
                              dtype=np.uint64)
-        self._cache: dict[str, int] = {}
-
-    def _tok_hash(self, tok: str) -> int:
-        h = self._cache.get(tok)
-        if h is None:
-            from .hashutil import cache_put
-            h = cache_put(self._cache, tok,
-                          int(hashlib.md5(tok.encode()).hexdigest()[:15],
-                              16))
-        return h
 
     def simhash(self, text: str) -> int:
-        toks = [t for t in text.split(" ") if t]
-        if not toks:
-            return 0
-        acc = np.zeros(self.BITS, dtype=np.int64)
-        from collections import Counter
-        for tok, w in Counter(toks).items():
-            bits = (np.uint64(self._tok_hash(tok)) & self._bit) != 0
-            acc += np.where(bits, w, -w)
-        return int(((acc > 0).astype(np.uint64) * self._bit).sum())
+        """Single-doc reference path (tests)."""
+        t = pa.table({self.id_col: pa.array([0], type=pa.int64()),
+                      self.col: pa.array([text], type=pa.string())})
+        return int(self(t).column("simhash")[0].as_py())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hashes = [self.simhash(t or "")
-                  for t in batch.column(self.col).to_pylist()]
-        arr = np.array(hashes, dtype=np.int64)
+        from .hashutil import cache_put
+        from .text import _token_lists
+        col = batch.column(self.col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        toks_arr = _token_lists(pc.fill_null(col, ""))
+        off = np.asarray(toks_arr.offsets, dtype=np.int64)
+        counts = np.diff(off)
+        n = len(batch)
+        flat = pc.list_flatten(toks_arr)
+        acc = np.zeros((n, self.BITS), dtype=np.int64)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            uniq = enc.dictionary.to_pylist()
+            cache = _simhash_tok_cache
+            hu = np.fromiter(
+                (cache.get(t) if t in cache else cache_put(
+                    cache, t,
+                    int(hashlib.md5(t.encode()).hexdigest()[:15], 16))
+                 for t in uniq), dtype=np.uint64, count=len(uniq))
+            idx = np.asarray(enc.indices, dtype=np.int64)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+            # distinct (row, token) with multiplicity = term frequency
+            order = np.lexsort((idx, row_of))
+            rr, cc = row_of[order], idx[order]
+            first = np.ones(len(rr), dtype=bool)
+            first[1:] = (rr[1:] != rr[:-1]) | (cc[1:] != cc[:-1])
+            seg = np.cumsum(first) - 1
+            w = np.bincount(seg).astype(np.int64)
+            rows_u, toks_u = rr[first], cc[first]
+            # ±1 bit matrix per distinct token (int8 keeps it small)
+            pm = np.where(
+                (hu[:, None] & self._bit[None, :]) != 0, 1, -1) \
+                .astype(np.int8)
+            # slabbed scatter-add bounds the (pairs x 60) int64 temp
+            slab = 1 << 18
+            for lo in range(0, len(rows_u), slab):
+                hi = lo + slab
+                np.add.at(acc, rows_u[lo:hi],
+                          w[lo:hi, None]
+                          * pm[toks_u[lo:hi]].astype(np.int64))
+        arr = ((acc > 0).astype(np.uint64)
+               * self._bit[None, :]).sum(axis=1).astype(np.int64)
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "simhash": pa.array(arr),
@@ -983,9 +1018,10 @@ class SimHashStage:
 
 
 def simhash_table(ds, id_col="doc_id", col="text"):
-    return ds.map_batches(SimHashStage,
-                          fn_constructor_kwargs=dict(id_col=id_col, col=col),
-                          batch_format="pyarrow", concurrency=actor_pool())
+    def simhash_fn(b: pa.Table) -> pa.Table:
+        return SimHashStage(id_col=id_col, col=col)(b)
+
+    return ds.map_batches(simhash_fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
