@@ -695,9 +695,13 @@ def run_ops_leg() -> dict:
         toks = tokenize_ids(rd.read_parquet(dd), vocab_size=256)
         starts = pack_chunks(rd.read_parquet(dd), chunk_tokens=256) \
             .select_columns(["doc_id", "start_tok"])
+        # strategy="auto": the planner byte-samples the starts side
+        # (~16 B/row) and broadcasts it, so the huge exploded token
+        # table never enters an exchange — the plan a 100 TB run wants
         return hash_join(toks, starts, "doc_id", "doc_id",
                          left_cols=["doc_id", "pos", "token_id"],
-                         right_cols=["doc_id", "start_tok"]).count()
+                         right_cols=["doc_id", "start_tok"],
+                         strategy="auto").count()
 
     def sem_ingest_two_runs():
         # both incremental legs, fresh index: run 1 commits the evens

@@ -202,18 +202,33 @@ def _join_bucket(left_key, right_key, empty_schema: pa.Schema,
 #: strategy="auto": a right side at or below this many rows broadcasts
 #: (one plasma table read by every join actor) instead of shuffling
 AUTO_BROADCAST_ROWS = 100_000
+#: strategy="auto": a right side whose PROJECTED bytes (sampled avg row
+#: width × count) fit under this broadcasts even above the row cap — a
+#: 5 MB 320k-row lookup table is cheaper shipped once to every join
+#: task than an all-to-all of a billion-row left side
+AUTO_BROADCAST_BYTES = 64 * 1024 * 1024
+#: never byte-estimate (or broadcast) a right side above this many rows
+#: — the per-task build of the in-memory hash index stops being cheap
+AUTO_BROADCAST_MAX_ROWS = 8_000_000
 
 
 def plan_join_strategy(l_rows: int, r_rows: int, how: str,
-                       n_keys: int, num_buckets: int):
-    """The ``strategy="auto"`` planner, pure on two row counts:
-    returns ``(strategy, hot_threshold)``. A small right side
-    broadcasts (no shuffle); a big one buckets, with a hot-key
-    threshold (inner single-key only) set so any key hotter than ~4
-    average buckets takes the broadcast side-route — the same exact
-    output, without one task holding the whole hot bucket."""
-    if how != "full" and r_rows <= AUTO_BROADCAST_ROWS:
-        return "broadcast", None
+                       n_keys: int, num_buckets: int,
+                       r_bytes: Optional[int] = None):
+    """The ``strategy="auto"`` planner, pure on two row counts (plus an
+    optional sampled right-side byte estimate): returns
+    ``(strategy, hot_threshold)``. A small right side broadcasts (no
+    shuffle) — small by row count, or by projected bytes when the
+    caller sampled them; a big one buckets, with a hot-key threshold
+    (inner single-key only) set so any key hotter than ~4 average
+    buckets takes the broadcast side-route — the same exact output,
+    without one task holding the whole hot bucket."""
+    if how != "full":
+        if r_rows <= AUTO_BROADCAST_ROWS:
+            return "broadcast", None
+        if (r_bytes is not None and r_rows <= AUTO_BROADCAST_MAX_ROWS
+                and r_bytes <= AUTO_BROADCAST_BYTES):
+            return "broadcast", None
     if how == "inner" and n_keys == 1:
         return "bucket", max(65536, 4 * l_rows // max(num_buckets, 1))
     return "bucket", None
@@ -323,9 +338,20 @@ def hash_join(left, right, left_key, right_key,
             num_buckets = 32
 
     if strategy == "auto":
+        r_rows = right.count()
+        r_bytes = None
+        if (how != "full" and AUTO_BROADCAST_ROWS < r_rows
+                <= AUTO_BROADCAST_MAX_ROWS):
+            # row count alone says bucket; sample the projected row
+            # width to see if the right side is byte-small anyway
+            smp = right.take_batch(2048, batch_format="pyarrow")
+            proj = [c for c in (right_cols or smp.column_names)
+                    if c in smp.column_names]
+            smp = smp.select(proj)
+            r_bytes = int(smp.nbytes / max(1, smp.num_rows) * r_rows)
         strategy, auto_ht = plan_join_strategy(
             left.count() if how == "inner" and len(lks) == 1 else 0,
-            right.count(), how, len(lks), num_buckets)
+            r_rows, how, len(lks), num_buckets, r_bytes=r_bytes)
         if (auto_ht is not None and hot_keys is None
                 and hot_threshold is None):
             hot_threshold = auto_ht
@@ -411,18 +437,15 @@ def hash_join(left, right, left_key, right_key,
             batch_format="pyarrow").to_arrow_refs()
         r_ref = ray.remote(_concat_filtered).remote(r_schema, r_blocks)
 
-        class BcastJoin:
-            def __init__(self):
-                self.rt = ray.get(r_ref)  # zero-copy plasma read
+        def bcast_join(b: pa.Table) -> pa.Table:
+            rt = ray.get(r_ref)  # zero-copy plasma read, every batch
+            lb = b.select([c for c in l_names if c in b.column_names])
+            return _join_bucket(lks, rks, empty_schema, [lb], [rt], how)
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                lb = b.select([c for c in l_names
-                               if c in b.column_names])
-                return _join_bucket(lks, rks, empty_schema,
-                                    [lb], [self.rt], how)
-
-        return left.map_batches(BcastJoin, batch_format="pyarrow",
-                                concurrency=actor_pool())
+        # task function, not an actor pool: the per-call state is one
+        # zero-copy plasma read, and pool spin-up would dominate
+        # (BASELINE.md round-5 lesson)
+        return left.map_batches(bcast_join, batch_format="pyarrow")
 
     hot_result = None
     if hot_keys:
@@ -438,18 +461,14 @@ def hash_join(left, right, left_key, right_key,
         r_hot_ref = ray.remote(_concat_filtered).remote(
             r_schema, r_hot_blocks)
 
-        class HotJoin:
-            def __init__(self):
-                self.rt = ray.get(r_hot_ref)
+        def hot_join(b: pa.Table) -> pa.Table:
+            rt = ray.get(r_hot_ref)  # zero-copy plasma read
+            lb = b.select(l_names).filter(
+                pc.is_in(b.column(left_key), value_set=hot_arr))
+            return _join_bucket(left_key, right_key, empty_schema,
+                                [lb], [rt])
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                lb = b.select(l_names).filter(
-                    pc.is_in(b.column(left_key), value_set=hot_arr))
-                return _join_bucket(left_key, right_key, empty_schema,
-                                    [lb], [self.rt])
-
-        hot_result = left.map_batches(HotJoin, batch_format="pyarrow",
-                                      concurrency=actor_pool())
+        hot_result = left.map_batches(hot_join, batch_format="pyarrow")
         not_hot_l = left.map_batches(
             lambda b: b.filter(pc.invert(pc.is_in(
                 b.column(left_key), value_set=hot_arr))),

@@ -69,3 +69,48 @@ def test_broadcast_full_raises(ray_session):
     ds = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
     with pytest.raises(ValueError):
         hash_join(ds, ds, "k", "k", how="full", strategy="broadcast")
+
+
+def test_plan_byte_small_right_broadcasts():
+    # above the row cap, but byte-estimated small -> broadcast
+    s, ht = plan_join_strategy(10**9, 320_000, "inner", 1, 64,
+                               r_bytes=320_000 * 16)
+    assert s == "broadcast" and ht is None
+    # above the row cap with big bytes -> bucket
+    assert plan_join_strategy(10**9, 320_000, "inner", 1, 64,
+                              r_bytes=10**9)[0] == "bucket"
+    # beyond the absolute row ceiling: never broadcast, bytes ignored
+    assert plan_join_strategy(10**9, 50_000_000, "inner", 1, 64,
+                              r_bytes=1024)[0] == "bucket"
+    # no byte estimate supplied -> row rule alone
+    assert plan_join_strategy(10**9, 320_000, "inner", 1, 64)[0] \
+        == "bucket"
+
+
+def test_auto_samples_bytes_and_broadcasts(ray_session, monkeypatch):
+    """A right side above AUTO_BROADCAST_ROWS but byte-narrow must take
+    the broadcast path through the real sampling branch."""
+    import ray.data as rd
+    import log2seq_ray.ops.join as J
+    chosen = {}
+    real = J.plan_join_strategy
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        chosen["strategy"], chosen["r_bytes"] = out[0], kw.get("r_bytes")
+        return out
+
+    monkeypatch.setattr(J, "plan_join_strategy", spy)
+    n = J.AUTO_BROADCAST_ROWS + 20_000
+    right = rd.range(n).map_batches(
+        lambda b: pa.table({"k": b.column("id"),
+                            "rv": b.column("id")}),
+        batch_format="pyarrow")
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([0, 1, 2, n - 1, n + 5], type=pa.int64()),
+        "lv": pa.array([9, 8, 7, 6, 5], type=pa.int64())}))
+    out = _frames(J.hash_join(left, right, "k", "k", strategy="auto"))
+    assert chosen["strategy"] == "broadcast"
+    assert chosen["r_bytes"] is not None
+    assert 8 * n < chosen["r_bytes"] < 64 * n  # sane 2-col int64 estimate
+    assert list(out["k"]) == [0, 1, 2, n - 1]
