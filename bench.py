@@ -233,6 +233,8 @@ def run_benchmarks() -> dict:
               lambda: Q.q_cross_run_neardup(SF_DIR).to_pandas())
         timed("cross_run_simhash",
               lambda: Q.q_cross_run_simhash(SF_DIR).to_pandas())
+        timed("compacted_neardup",
+              lambda: Q.q_compacted_neardup(SF_DIR).count())
         timed("cross_run_semdedup",
               lambda: Q.q_cross_run_semdedup(SF_DIR).to_pandas())
         timed("value_stats", lambda: Q.q_value_stats(SF_DIR).to_pandas())

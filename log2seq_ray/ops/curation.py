@@ -1518,10 +1518,13 @@ def _ingest_pair_partition(id_col: str, max_df, new_pieces, old_pieces):
     drops), the same stop-shingle trade :func:`ngram_jaccard_dups`
     documents for ``max_df``."""
     import ray
+    from .exchange import resolve_mixed_pieces
     if new_pieces and isinstance(new_pieces[0], ray.ObjectRef):
         new_pieces = ray.get(list(new_pieces))
-    if old_pieces and isinstance(old_pieces[0], ray.ObjectRef):
-        old_pieces = ray.get(list(old_pieces))
+    # old pieces may mix split-task refs with BUCKET-ALIGNED parquet
+    # paths from a compacted index (read here, inside the partition
+    # task — the index side never enters an exchange)
+    old_pieces = resolve_mixed_pieces(old_pieces)
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64()),
                       "n_part": pa.array([], type=pa.int64())})
@@ -1593,6 +1596,137 @@ def _ingest_pair_partition(id_col: str, max_df, new_pieces, old_pieces):
                      "n_part": pa.array(n)})
 
 
+def _live_index_runs(state_dir: str):
+    """Committed run dirs minus those COVERED by a later compaction.
+
+    A compacted run carries a ``MANIFEST.json`` naming the runs it
+    merged; a crash between the compaction commit (atomic rename) and
+    the covered-run cleanup leaves both on disk — excluding covered
+    runs here makes that crash recoverable with no double-counting.
+    Returns ``(live_runs, manifests)`` where manifests maps a live
+    compacted run name to its parsed manifest."""
+    import json
+    import os
+    runs = sorted(d for d in os.listdir(state_dir)
+                  if d.startswith("run_"))
+    covered, manifests = set(), {}
+    for r in runs:
+        mpath = os.path.join(state_dir, r, "MANIFEST.json")
+        if os.path.isfile(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            covered.update(m.get("covers", []))
+            manifests[r] = m
+    live = [r for r in runs if r not in covered]
+    return live, {r: m for r, m in manifests.items() if r in live}
+
+
+def _next_run_dir(state_dir: str) -> str:
+    """Next run dir name: max existing run number + 1 (NOT the live-run
+    count — compaction deletes covered dirs, and a count-based name
+    could collide with the compacted run itself)."""
+    import os
+    nums = [int(d.split("_", 1)[1]) for d in os.listdir(state_dir)
+            if d.startswith("run_")]
+    return f"{state_dir}/run_{(max(nums) + 1 if nums else 0):05d}"
+
+
+def _write_bucket(path: str, pieces) -> int:
+    """Compaction task: concat one bucket's pieces, dedup to distinct
+    (g, id) rows (heals any crash-duplicate rows), write one parquet
+    file. Returns the row count; writes nothing for an empty bucket."""
+    import pyarrow.parquet as pq
+    from .exchange import resolve_mixed_pieces
+    pieces = [t for t in resolve_mixed_pieces(pieces) if t.num_rows]
+    if not pieces:
+        return 0
+    t = pa.concat_tables(pieces)
+    g = t.column("g").to_numpy()
+    i = t.column(t.column_names[1]).to_numpy()
+    order = np.lexsort((i, g))
+    keep = np.ones(len(g), dtype=bool)
+    keep[1:] = (g[order][1:] != g[order][:-1]) \
+        | (i[order][1:] != i[order][:-1])
+    t = t.take(pa.array(order[keep]))
+    pq.write_table(t, path)
+    return t.num_rows
+
+
+def compact_neardup_index(state_dir: str, num_parts=None,
+                          id_col: str = "doc_id") -> dict:
+    """Compact a cross-run near-dup index (``ingest_neardup_run``
+    state): merge every live run's shingle rows and sizes into ONE run,
+    hash-BUCKETED by shingle hash with the same partitioner ingest
+    uses. Returns ``{"runs_compacted", "buckets", "rows", "dir"}``.
+
+    Why: a continuous crawl accumulates one run dir per night; without
+    compaction every ingest re-reads and re-splits N runs' files (read
+    amplification grows with run count). After compaction the index is
+    ``num_parts`` pre-bucketed files — a subsequent ingest with the
+    same ``num_parts`` routes each bucket file DIRECTLY to its
+    partition task (zero index-side exchange; the mature index, the
+    bulk of the data, never moves again).
+
+    Crash-safe: the compacted run commits via write-to-temp + atomic
+    ``rename`` with a ``MANIFEST.json`` naming the covered runs;
+    covered dirs are deleted after the commit, and a crash in between
+    is healed by :func:`_live_index_runs` (covered runs are ignored
+    wherever the manifest survives). Stale ``_tmp_*`` dirs from crashed
+    attempts are swept here."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from .dedup import _auto_parts
+    from .exchange import fan_out_pieces, split_by_key, stream_block_refs
+
+    num_parts = _auto_parts(num_parts)
+    os.makedirs(state_dir, exist_ok=True)
+    for d in os.listdir(state_dir):       # sweep crashed attempts
+        if d.startswith("_tmp_"):
+            shutil.rmtree(f"{state_dir}/{d}", ignore_errors=True)
+    runs, manifests = _live_index_runs(state_dir)
+    if not runs or (len(runs) == 1 and runs[0] in manifests
+                    and manifests[runs[0]].get("num_parts") == num_parts):
+        return {"runs_compacted": 0, "buckets": num_parts, "rows": 0,
+                "dir": None}
+
+    def _files(sub: str):
+        return [f"{state_dir}/{r}/{sub}/{f}" for r in runs
+                if os.path.isdir(f"{state_dir}/{r}/{sub}")
+                for f in sorted(os.listdir(f"{state_dir}/{r}/{sub}"))
+                if f.endswith(".parquet")]
+
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    os.makedirs(f"{tmp}/pairs", exist_ok=True)
+    os.makedirs(f"{tmp}/sizes", exist_ok=True)
+    pair_files, size_files = _files("pairs"), _files("sizes")
+    total = 0
+    if pair_files:
+        rows = rd.read_parquet(pair_files)
+        parts = fan_out_pieces(split_by_key, stream_block_refs(rows),
+                               num_parts, args=("g", num_parts))
+        write = ray.remote(_write_bucket)
+        total = int(sum(ray.get(
+            [write.remote(f"{tmp}/pairs/bucket_{p:05d}.parquet", pieces)
+             for p, pieces in enumerate(parts)])))
+    if size_files:
+        rd.read_parquet(size_files).write_parquet(f"{tmp}/sizes")
+    with open(f"{tmp}/MANIFEST.json", "w") as f:
+        json.dump({"kind": "neardup", "num_parts": num_parts,
+                   "id_col": id_col, "covers": runs}, f)
+    final = _next_run_dir(state_dir)
+    os.rename(tmp, final)
+    for r in runs:
+        shutil.rmtree(f"{state_dir}/{r}", ignore_errors=True)
+    return {"runs_compacted": len(runs), "buckets": num_parts,
+            "rows": total, "dir": final}
+
+
 def ingest_neardup_run(ds, state_dir: str, window: int = 4,
                        tau_num: int = 1, tau_den: int = 2,
                        id_col: str = "doc_id", col: str = "text",
@@ -1631,7 +1765,7 @@ def ingest_neardup_run(ds, state_dir: str, window: int = 4,
 
     num_parts = _auto_parts(num_parts)
     os.makedirs(state_dir, exist_ok=True)
-    runs = sorted(d for d in os.listdir(state_dir) if d.startswith("run_"))
+    runs, manifests = _live_index_runs(state_dir)
 
     new_rows = ds.map_batches(
         lambda b: _shingle_rows(b, window, id_col, col),
@@ -1649,29 +1783,42 @@ def ingest_neardup_run(ds, state_dir: str, window: int = 4,
         .groupby(id_col).aggregate(Sum("sz_part", alias_name="sz_part")) \
         .materialize()
 
-    def _index_files(sub: str):
+    # runs whose pairs are pre-bucketed with OUR partitioner+num_parts:
+    # their bucket files bypass the read+split below and land directly
+    # in the matching partition's piece list (zero index-side exchange)
+    aligned = [r for r in runs
+               if manifests.get(r, {}).get("num_parts") == num_parts
+               and os.path.isdir(f"{state_dir}/{r}/pairs")]
+    split_runs = [r for r in runs if r not in aligned]
+
+    def _index_files(sub: str, of_runs):
         # a committed run with an empty survivor set may have written no
         # parquet files (or no subdir at all) — skip those; an all-empty
         # index degrades to the no-committed-runs branch
-        return [f"{state_dir}/{r}/{sub}/{f}" for r in runs
+        return [f"{state_dir}/{r}/{sub}/{f}" for r in of_runs
                 if os.path.isdir(f"{state_dir}/{r}/{sub}")
                 for f in sorted(os.listdir(f"{state_dir}/{r}/{sub}"))
                 if f.endswith(".parquet")]
 
     new_parts = fan_out_pieces(split_by_key, new_rows.to_arrow_refs(),
                                num_parts, args=("g", num_parts))
-    pair_files, size_files = _index_files("pairs"), _index_files("sizes")
+    pair_files = _index_files("pairs", split_runs)
+    size_files = _index_files("sizes", runs)
     if pair_files:
         old_rows = rd.read_parquet(pair_files)
         old_parts = fan_out_pieces(split_by_key, old_rows.to_arrow_refs(),
                                    num_parts, args=("g", num_parts))
-        size_refs = list(sizes_new.to_arrow_refs())
-        if size_files:
-            old_sizes = rd.read_parquet(size_files)
-            size_refs += list(old_sizes.to_arrow_refs())
     else:
         old_parts = [[] for _ in range(num_parts)]
-        size_refs = list(sizes_new.to_arrow_refs())
+    for r in aligned:
+        for p in range(num_parts):
+            bpath = f"{state_dir}/{r}/pairs/bucket_{p:05d}.parquet"
+            if os.path.isfile(bpath):
+                old_parts[p] = list(old_parts[p]) + [bpath]
+    size_refs = list(sizes_new.to_arrow_refs())
+    if size_files:
+        old_sizes = rd.read_parquet(size_files)
+        size_refs += list(old_sizes.to_arrow_refs())
 
     work = ray.remote(_ingest_pair_partition)
     pair_refs = [work.remote(id_col, max_df, np_, op_)
@@ -1696,7 +1843,7 @@ def ingest_neardup_run(ds, state_dir: str, window: int = 4,
     os.makedirs(f"{tmp}/sizes", exist_ok=True)
     surv_rows.write_parquet(f"{tmp}/pairs")
     survivors.write_parquet(f"{tmp}/sizes")
-    final = f"{state_dir}/run_{len(runs):05d}"
+    final = _next_run_dir(state_dir)
     os.rename(tmp, final)
     if survivors.count() == 0:
         # the anti join's all-filtered output loses its schema — return

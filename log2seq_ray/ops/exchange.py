@@ -163,6 +163,22 @@ def concat_typed(pieces, *required):
     return None
 
 
+def resolve_mixed_pieces(pieces):
+    """Task-side: resolve a piece list that may mix Arrow tables, object
+    refs, and parquet file PATHS (bucket-aligned reads from a compacted
+    index) into a list of tables. Refs are fetched in one batched
+    ``ray.get``; paths are read locally in the calling task."""
+    import ray
+    import pyarrow.parquet as pq
+    ref_idx = [i for i, p in enumerate(pieces)
+               if isinstance(p, ray.ObjectRef)]
+    fetched = ray.get([pieces[i] for i in ref_idx]) if ref_idx else []
+    out = list(pieces)
+    for i, t in zip(ref_idx, fetched):
+        out[i] = t
+    return [pq.read_table(p) if isinstance(p, str) else p for p in out]
+
+
 def fan_out_pieces(split_fn, block_refs, num_parts: int, args=()):
     """Fan block refs into per-partition piece-ref lists via
     ``split_fn(block, *args) -> [num_parts tables]`` run as Ray tasks

@@ -112,6 +112,30 @@ def _pr_update(ids: pa.Table, msg_pieces, base: int,
                      "rank": pa.array(rank, type=pa.int64())})
 
 
+def _graph_parts(ds, num_parts, rows_per_part: int = 250_000):
+    """Partition count sized to the EDGE COUNT, not the cluster.
+
+    The iterative graph stages here are num_parts² in task/object
+    count (orient → wedge → close, propagate rounds), so
+    over-partitioning a SPARSE graph — the common near-dup-pair case —
+    costs far more in orchestration than the compute itself (measured:
+    triangle_counts over a ~100k-pair SimHash graph spent ~20 s in
+    ~12k near-empty tasks at num_parts=64, ~1 s at the adaptive
+    count). An explicit ``num_parts`` is honored unchanged; otherwise
+    the narrow input (16 B/row pairs) is materialized — so the count
+    is free metadata and every downstream fan-out reuses the same
+    blocks instead of re-executing the upstream pipeline — and one
+    partition is allotted per ``rows_per_part`` rows, capped by the
+    cluster default. Returns ``(ds, num_parts)``."""
+    from .dedup import _auto_parts
+    if num_parts is not None:
+        return ds, num_parts
+    ds = ds.materialize()
+    n = ds.count()
+    return ds, max(1, min(_auto_parts(None),
+                          -(-n // max(1, rows_per_part))))
+
+
 def pagerank(edges, num_iters: int = 5, damping_num: int = 85,
              damping_den: int = 100, scale: int = 10**12,
              nodes=None, num_parts=None):
@@ -144,11 +168,11 @@ def pagerank(edges, num_iters: int = 5, damping_num: int = 85,
     import ray
     import ray.data as rd
 
-    from .dedup import _auto_parts
     from .exchange import fan_out_pieces, split_by_key
 
-    num_parts = _auto_parts(num_parts)
-    edge_blocks = edges.select_columns(["src", "dst"]).to_arrow_refs()
+    edges, num_parts = _graph_parts(
+        edges.select_columns(["src", "dst"]), num_parts)
+    edge_blocks = edges.to_arrow_refs()
     per_part = fan_out_pieces(split_by_key, edge_blocks, num_parts,
                               args=("src", num_parts))
     edge_task = ray.remote(_pr_edge_partition)
@@ -398,10 +422,9 @@ def triangle_counts(pairs, a_col: str = "id_a", b_col: str = "id_b",
     import ray
     import ray.data as rd
 
-    from .dedup import _auto_parts
     from .exchange import fan_out_pieces, split_by_key
 
-    num_parts = _auto_parts(num_parts)
+    pairs, num_parts = _graph_parts(pairs, num_parts)
     edges = symmetrize_pairs(pairs, a_col, b_col)
     from .exchange import stream_block_refs
     per_part = fan_out_pieces(split_by_key, stream_block_refs(edges),
@@ -557,10 +580,9 @@ def kcore(pairs, k: int = 2, rounds: int = 4,
     import ray
     import ray.data as rd
 
-    from .dedup import _auto_parts
     from .exchange import fan_out_pieces, split_by_key
 
-    num_parts = _auto_parts(num_parts)
+    pairs, num_parts = _graph_parts(pairs, num_parts)
     edges = symmetrize_pairs(pairs, a_col, b_col)
     from .exchange import stream_block_refs
     per_part = fan_out_pieces(split_by_key, stream_block_refs(edges),

@@ -630,6 +630,49 @@ def q_cross_run_neardup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_compacted_neardup(sf_dir: str):
+    """The cross_run_neardup pipeline with an INDEX COMPACTION between
+    the runs: run A commits, ``compact_neardup_index`` rewrites the
+    index hash-bucketed by shingle hash, and run B ingests through the
+    bucket-aligned read path (each bucket file goes straight to its
+    partition task — the committed index never enters an exchange).
+    Same oracle as cross_run_neardup: compaction must be invisible in
+    the results, bit for bit."""
+    import os
+    import shutil
+
+    from .ops.curation import compact_neardup_index, ingest_neardup_run
+
+    state = f"/tmp/l2sr_ndc_ingest_{os.getpid()}"
+    shutil.rmtree(state, ignore_errors=True)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    half = parity_half
+
+    run_a = docs.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    ingest_neardup_run(run_a, state)
+    stats = compact_neardup_index(state)
+    assert stats["runs_compacted"] == 1 and stats["dir"] is not None
+
+    def variant(b: pa.Table) -> pa.Table:
+        t = half(b, 0)
+        return pa.table({
+            "doc_id": pc.add(pc.cast(t.column("doc_id"), pa.int64()),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                t.column("text"), pa.scalar(" zz9"), ""),
+        })
+
+    run_b = docs.map_batches(lambda b: half(b, 1),
+                             batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"]) \
+        .union(docs.map_batches(variant, batch_format="pyarrow"))
+    out = ingest_neardup_run(run_b, state)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "n_shingles": b.column("sz_part")}),
+        batch_format="pyarrow")
+
+
 def q_cross_run_semdedup(sf_dir: str):
     """Two-run incremental SEMANTIC dedup ingest: run A (even vec_ids)
     commits its survivor vectors + the persisted bucketing centroids;
@@ -1445,6 +1488,7 @@ QUERIES = {
     "event_spikes": q_event_spikes,
     "cross_run_dedup": q_cross_run_dedup,
     "cross_run_neardup": q_cross_run_neardup,
+    "compacted_neardup": q_compacted_neardup,
     "cross_run_semdedup": q_cross_run_semdedup,
     "decontaminate_frac": q_decontaminate_frac,
     "value_stats": q_value_stats,
@@ -2530,6 +2574,10 @@ ORACLE_SQL["cross_run_neardup"] = f"""
                       WHERE x = B.doc_id AND y < B.doc_id
                         AND (y % 2 = 1 OR y >= 1000000))
 """
+
+# index compaction is semantics-preserving by contract — the compacted
+# pipeline answers to the EXACT same SQL as the uncompacted one
+ORACLE_SQL["compacted_neardup"] = ORACLE_SQL["cross_run_neardup"]
 
 # cross-run semantic ingest: run A survivors = evens with no lower-id
 # even near-twin; run B = odds + near-copies of the evens (+0.001 on

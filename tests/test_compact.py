@@ -1,0 +1,127 @@
+"""Index compaction for the cross-run near-dup ingest
+(``compact_neardup_index``): semantics-preserving merge + bucket-aligned
+reads + crash recovery via the covered-runs manifest."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from log2seq_ray.ops.curation import (_live_index_runs,
+                                      compact_neardup_index,
+                                      ingest_neardup_run)
+
+
+def _docs(ids_texts):
+    import ray.data as rd
+    ids, texts = zip(*ids_texts)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())}))
+
+
+#: run 1: two near-dup families + a unique doc. run 2: near-dups of the
+#: committed survivors (must drop), an internal near-dup pair (higher id
+#: drops), and a fresh doc (survives).
+RUN1 = [(1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta"),   # near-dup of 1
+        (3, "one two three four five six seven"),
+        (4, "completely different words entirely here now")]
+RUN2 = [(10, "alpha beta gamma delta epsilon zeta theta"),  # vs committed
+        (11, "one two three four five six seven eight"),    # vs committed
+        (12, "fresh brand new content nothing shared"),
+        (13, "fresh brand new content nothing shared also")]  # vs 12
+
+
+def _survivors(state, run_rows, **kw):
+    out = ingest_neardup_run(_docs(run_rows), state, **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_compaction_preserves_ingest(ray_session, tmp_path):
+    plain, compacted = str(tmp_path / "a"), str(tmp_path / "b")
+    kw = dict(num_parts=4)
+    _survivors(plain, RUN1, **kw)
+    a = _survivors(plain, RUN2, **kw)
+
+    _survivors(compacted, RUN1, **kw)
+    stats = compact_neardup_index(compacted, num_parts=4)
+    assert stats["runs_compacted"] == 1
+    assert stats["rows"] > 0
+    # bucket-aligned layout on disk + manifest
+    cdir = stats["dir"]
+    assert os.path.isfile(f"{cdir}/MANIFEST.json")
+    buckets = [f for f in os.listdir(f"{cdir}/pairs")
+               if f.startswith("bucket_")]
+    assert buckets, "compaction must write bucket-aligned pair files"
+    b = _survivors(compacted, RUN2, **kw)
+    pd.testing.assert_frame_equal(a, b)
+    # survivors of run 2: 12 survives, 13 drops vs 12, 10/11 drop
+    assert list(b["doc_id"]) == [12]
+
+
+def test_multi_run_compaction_and_numbering(ray_session, tmp_path):
+    state = str(tmp_path / "s")
+    kw = dict(num_parts=4)
+    _survivors(state, RUN1, **kw)
+    _survivors(state, RUN2, **kw)
+    stats = compact_neardup_index(state, num_parts=4)
+    assert stats["runs_compacted"] == 2
+    # covered dirs are deleted; the compacted run gets a FRESH number
+    assert sorted(d for d in os.listdir(state)
+                  if d.startswith("run_")) == ["run_00002"]
+    # the next ingest numbers past the compacted run — no collision
+    more = _survivors(state, [(20, "zed yet another unique doc here")],
+                      **kw)
+    assert list(more["doc_id"]) == [20]
+    assert os.path.isdir(f"{state}/run_00003")
+
+
+def test_crash_leftover_covered_run_is_ignored(ray_session, tmp_path):
+    plain, crashed = str(tmp_path / "p"), str(tmp_path / "c")
+    kw = dict(num_parts=4)
+    _survivors(plain, RUN1, **kw)
+    expect = _survivors(plain, RUN2, **kw)
+
+    _survivors(crashed, RUN1, **kw)
+    backup = str(tmp_path / "backup_run")
+    shutil.copytree(f"{crashed}/run_00000", backup)
+    compact_neardup_index(crashed, num_parts=4)
+    # simulate a crash between the compaction commit and the cleanup:
+    # the covered run is still on disk alongside the compacted one
+    shutil.copytree(backup, f"{crashed}/run_00000")
+    live, manifests = _live_index_runs(crashed)
+    assert live == ["run_00001"]
+    got = _survivors(crashed, RUN2, **kw)
+    pd.testing.assert_frame_equal(expect, got)
+
+
+def test_compact_noop_cases(ray_session, tmp_path):
+    state = str(tmp_path / "empty")
+    stats = compact_neardup_index(state, num_parts=4)
+    assert stats == {"runs_compacted": 0, "buckets": 4, "rows": 0,
+                     "dir": None}
+    _survivors(state, RUN1, num_parts=4)
+    s1 = compact_neardup_index(state, num_parts=4)
+    assert s1["runs_compacted"] == 1
+    # already compacted at these num_parts: no-op
+    s2 = compact_neardup_index(state, num_parts=4)
+    assert s2["runs_compacted"] == 0
+    # a different num_parts REWRITES the buckets (alignment contract)
+    s3 = compact_neardup_index(state, num_parts=2)
+    assert s3["runs_compacted"] == 1
+    with open(f"{s3['dir']}/MANIFEST.json") as f:
+        assert json.load(f)["num_parts"] == 2
+
+
+def test_mismatched_num_parts_falls_back_to_split(ray_session, tmp_path):
+    """A compacted index bucketed at P=2 read by an ingest at P=4 must
+    go through the generic read+split path and still be correct."""
+    state = str(tmp_path / "mix")
+    _survivors(state, RUN1, num_parts=2)
+    compact_neardup_index(state, num_parts=2)
+    got = _survivors(state, RUN2, num_parts=4)
+    assert list(got["doc_id"]) == [12]
