@@ -1596,57 +1596,32 @@ def _ingest_pair_partition(id_col: str, max_df, new_pieces, old_pieces):
                      "n_part": pa.array(n)})
 
 
-def _live_index_runs(state_dir: str):
-    """Committed run dirs minus those COVERED by a later compaction.
-
-    A compacted run carries a ``MANIFEST.json`` naming the runs it
-    merged; a crash between the compaction commit (atomic rename) and
-    the covered-run cleanup leaves both on disk — excluding covered
-    runs here makes that crash recoverable with no double-counting.
-    Returns ``(live_runs, manifests)`` where manifests maps a live
-    compacted run name to its parsed manifest."""
-    import json
-    import os
-    runs = sorted(d for d in os.listdir(state_dir)
-                  if d.startswith("run_"))
-    covered, manifests = set(), {}
-    for r in runs:
-        mpath = os.path.join(state_dir, r, "MANIFEST.json")
-        if os.path.isfile(mpath):
-            with open(mpath) as f:
-                m = json.load(f)
-            covered.update(m.get("covers", []))
-            manifests[r] = m
-    live = [r for r in runs if r not in covered]
-    return live, {r: m for r, m in manifests.items() if r in live}
+#: run-dir lifecycle shared with the other ingest indexes — see
+#: log2seq_ray/state/runs.py for the manifest / crash-recovery contract
+from ..state.runs import live_runs as _live_index_runs  # noqa: E402
+from ..state.runs import next_run_dir as _next_run_dir  # noqa: E402
 
 
-def _next_run_dir(state_dir: str) -> str:
-    """Next run dir name: max existing run number + 1 (NOT the live-run
-    count — compaction deletes covered dirs, and a count-based name
-    could collide with the compacted run itself)."""
-    import os
-    nums = [int(d.split("_", 1)[1]) for d in os.listdir(state_dir)
-            if d.startswith("run_")]
-    return f"{state_dir}/run_{(max(nums) + 1 if nums else 0):05d}"
-
-
-def _write_bucket(path: str, pieces) -> int:
-    """Compaction task: concat one bucket's pieces, dedup to distinct
-    (g, id) rows (heals any crash-duplicate rows), write one parquet
-    file. Returns the row count; writes nothing for an empty bucket."""
+def _write_bucket(path: str, pieces, dedup_cols=("g",)) -> int:
+    """Compaction task: concat one bucket's pieces, dedup to rows
+    distinct on ``dedup_cols`` (heals any crash-duplicate rows), write
+    one parquet file. Returns the row count; writes nothing for an
+    empty bucket."""
     import pyarrow.parquet as pq
     from .exchange import resolve_mixed_pieces
     pieces = [t for t in resolve_mixed_pieces(pieces) if t.num_rows]
     if not pieces:
         return 0
     t = pa.concat_tables(pieces)
-    g = t.column("g").to_numpy()
-    i = t.column(t.column_names[1]).to_numpy()
-    order = np.lexsort((i, g))
-    keep = np.ones(len(g), dtype=bool)
-    keep[1:] = (g[order][1:] != g[order][:-1]) \
-        | (i[order][1:] != i[order][:-1])
+    cols = [t.column(c).to_numpy(zero_copy_only=False)
+            for c in dedup_cols]
+    order = np.lexsort(cols[::-1])
+    keep = np.ones(t.num_rows, dtype=bool)
+    if t.num_rows > 1:
+        diff = np.zeros(t.num_rows - 1, dtype=bool)
+        for c in cols:
+            diff |= c[order][1:] != c[order][:-1]
+        keep[1:] = diff
     t = t.take(pa.array(order[keep]))
     pq.write_table(t, path)
     return t.num_rows
@@ -1684,27 +1659,22 @@ def compact_neardup_index(state_dir: str, num_parts=None,
     from .dedup import _auto_parts
     from .exchange import fan_out_pieces, split_by_key, stream_block_refs
 
+    from ..state.runs import run_files, sweep_tmp
+
     num_parts = _auto_parts(num_parts)
     os.makedirs(state_dir, exist_ok=True)
-    for d in os.listdir(state_dir):       # sweep crashed attempts
-        if d.startswith("_tmp_"):
-            shutil.rmtree(f"{state_dir}/{d}", ignore_errors=True)
+    sweep_tmp(state_dir)
     runs, manifests = _live_index_runs(state_dir)
     if not runs or (len(runs) == 1 and runs[0] in manifests
                     and manifests[runs[0]].get("num_parts") == num_parts):
         return {"runs_compacted": 0, "buckets": num_parts, "rows": 0,
                 "dir": None}
 
-    def _files(sub: str):
-        return [f"{state_dir}/{r}/{sub}/{f}" for r in runs
-                if os.path.isdir(f"{state_dir}/{r}/{sub}")
-                for f in sorted(os.listdir(f"{state_dir}/{r}/{sub}"))
-                if f.endswith(".parquet")]
-
     tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
     os.makedirs(f"{tmp}/pairs", exist_ok=True)
     os.makedirs(f"{tmp}/sizes", exist_ok=True)
-    pair_files, size_files = _files("pairs"), _files("sizes")
+    pair_files = run_files(state_dir, runs, "pairs")
+    size_files = run_files(state_dir, runs, "sizes")
     total = 0
     if pair_files:
         rows = rd.read_parquet(pair_files)
@@ -1712,7 +1682,8 @@ def compact_neardup_index(state_dir: str, num_parts=None,
                                num_parts, args=("g", num_parts))
         write = ray.remote(_write_bucket)
         total = int(sum(ray.get(
-            [write.remote(f"{tmp}/pairs/bucket_{p:05d}.parquet", pieces)
+            [write.remote(f"{tmp}/pairs/bucket_{p:05d}.parquet", pieces,
+                          ("g", id_col))
              for p, pieces in enumerate(parts)])))
     if size_files:
         rd.read_parquet(size_files).write_parquet(f"{tmp}/sizes")

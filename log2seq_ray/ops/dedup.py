@@ -90,9 +90,10 @@ def ingest_dedup_run(ds, state_dir: str, id_col: str = "doc_id",
 
     from .join import hash_join
 
+    from ..state.runs import live_runs, next_run_dir, run_files
+
     os.makedirs(state_dir, exist_ok=True)
-    runs = sorted(d for d in os.listdir(state_dir)
-                  if d.startswith("run_"))
+    runs, _ = live_runs(state_dir)
 
     hashed = ds.map_batches(lambda b: _text_hash(b, col)
                             .select(["content_hash", id_col]),
@@ -101,10 +102,7 @@ def ingest_dedup_run(ds, state_dir: str, id_col: str = "doc_id",
         Min(id_col, alias_name=id_col))
     # a list of paths must be files, not directories; a committed run
     # whose survivor set was empty may hold zero parquet files — skip it
-    files = [f"{state_dir}/{r}/{f}" for r in runs
-             if os.path.isdir(f"{state_dir}/{r}")
-             for f in sorted(os.listdir(f"{state_dir}/{r}"))
-             if f.endswith(".parquet")]
+    files = run_files(state_dir, runs)
     if files:
         index = rd.read_parquet(files, columns=["content_hash"])
         survivors = hash_join(survivors, index,
@@ -116,8 +114,7 @@ def ingest_dedup_run(ds, state_dir: str, id_col: str = "doc_id",
     # tmp so the commit rename succeeds when every row was a duplicate
     os.makedirs(tmp, exist_ok=True)
     survivors.select_columns(["content_hash", id_col]).write_parquet(tmp)
-    final = f"{state_dir}/run_{len(runs):05d}"
-    os.rename(tmp, final)
+    os.rename(tmp, next_run_dir(state_dir))
     if survivors.count() == 0:
         # the anti join's all-filtered output loses its schema — return
         # a TYPED empty so downstream select/schema keep working
@@ -1345,14 +1342,17 @@ def _simhash_victims_partition(max_hamming: int, id_col: str,
     new row of its bucket (victim or not — non-cascading, the same rule
     the shingle ingest uses), lies within ``max_hamming``. All Hamming
     tests are chunked XOR+LUT kernels with victim-row pruning."""
-    from .exchange import concat_typed, resolve_pieces
+    from .exchange import (concat_typed, resolve_mixed_pieces,
+                           resolve_pieces)
     empty = pa.table({id_col: pa.array([], type=pa.int64())})
     new = concat_typed(resolve_pieces(pieces_new), id_col, "simhash",
                        "simhash_bucket")
     if new is None or new.num_rows == 0:
         return empty
-    old = concat_typed(resolve_pieces(pieces_old), id_col, "simhash",
-                       "simhash_bucket")
+    # old pieces may mix split-task refs with BUCKET-ALIGNED parquet
+    # paths from a compacted index (read here, in the partition task)
+    old = concat_typed(resolve_mixed_pieces(pieces_old), id_col,
+                       "simhash", "simhash_bucket")
     b_n = new.column("simhash_bucket").to_numpy()
     h_n = new.column("simhash").to_numpy().astype(np.uint64)
     id_n = new.column(id_col).to_numpy()
@@ -1427,9 +1427,11 @@ def ingest_simhash_run(ds, state_dir: str, max_hamming: int = 8,
     from .exchange import fan_out_pieces, split_by_key
     from .join import hash_join
 
+    from ..state.runs import live_runs, next_run_dir, run_files
+
     num_parts = _auto_parts(num_parts)
     os.makedirs(state_dir, exist_ok=True)
-    runs = sorted(d for d in os.listdir(state_dir) if d.startswith("run_"))
+    runs, manifests = live_runs(state_dir)
 
     sims_new = simhash_table(ds, id_col=id_col, col=col).materialize()
     # consumed twice: the victim scan and the survivor commit
@@ -1437,10 +1439,13 @@ def ingest_simhash_run(ds, state_dir: str, max_hamming: int = 8,
     new_parts = fan_out_pieces(split_by_key, sims_new.to_arrow_refs(),
                                num_parts, args=("simhash_bucket",
                                                 num_parts))
-    sim_files = [f"{state_dir}/{r}/sims/{f}" for r in runs
-                 if os.path.isdir(f"{state_dir}/{r}/sims")
-                 for f in sorted(os.listdir(f"{state_dir}/{r}/sims"))
-                 if f.endswith(".parquet")]
+    # compacted runs bucketed with OUR partitioner+num_parts: bucket
+    # files bypass the read+split and land directly in their partition
+    aligned = [r for r in runs
+               if manifests.get(r, {}).get("num_parts") == num_parts
+               and os.path.isdir(f"{state_dir}/{r}/sims")]
+    sim_files = run_files(state_dir,
+                          [r for r in runs if r not in aligned], "sims")
     if sim_files:
         old_rows = rd.read_parquet(sim_files)
         old_parts = fan_out_pieces(split_by_key, old_rows.to_arrow_refs(),
@@ -1448,6 +1453,11 @@ def ingest_simhash_run(ds, state_dir: str, max_hamming: int = 8,
                                                     num_parts))
     else:
         old_parts = [[] for _ in range(num_parts)]
+    for r in aligned:
+        for p in range(num_parts):
+            bpath = f"{state_dir}/{r}/sims/bucket_{p:05d}.parquet"
+            if os.path.isfile(bpath):
+                old_parts[p] = list(old_parts[p]) + [bpath]
 
     work = ray.remote(_simhash_victims_partition)
     victim_refs = [work.remote(max_hamming, id_col, np_, op_)
@@ -1459,13 +1469,107 @@ def ingest_simhash_run(ds, state_dir: str, max_hamming: int = 8,
     tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
     os.makedirs(f"{tmp}/sims", exist_ok=True)  # empty-run commit works
     survivors.write_parquet(f"{tmp}/sims")
-    os.rename(tmp, f"{state_dir}/run_{len(runs):05d}")
+    os.rename(tmp, next_run_dir(state_dir))
     if survivors.count() == 0:
         return rd.from_arrow(pa.table({
             id_col: pa.array([], type=pa.int64()),
             "simhash": pa.array([], type=pa.int64()),
             "simhash_bucket": pa.array([], type=pa.int64())}))
     return survivors
+
+
+def compact_dedup_index(state_dir: str) -> dict:
+    """Compact a cross-run EXACT-dedup index (``ingest_dedup_run``
+    state): merge every live run's (content_hash, id) rows into one
+    run. Bounds the file count / read amplification as nightly runs
+    accumulate; rows are already distinct across runs (a hash commits
+    once), so this is a pure rewrite. Same crash-safe manifest protocol
+    as :func:`~log2seq_ray.ops.curation.compact_neardup_index`.
+    Returns ``{"runs_compacted", "rows", "dir"}``."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import ray.data as rd
+
+    from ..state.runs import live_runs, next_run_dir, run_files, sweep_tmp
+
+    os.makedirs(state_dir, exist_ok=True)
+    sweep_tmp(state_dir)
+    runs, manifests = live_runs(state_dir)
+    if not runs or (len(runs) == 1 and runs[0] in manifests):
+        return {"runs_compacted": 0, "rows": 0, "dir": None}
+    files = run_files(state_dir, runs)
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    os.makedirs(tmp, exist_ok=True)
+    rows = 0
+    if files:
+        ds = rd.read_parquet(files)
+        rows = ds.count()
+        ds.write_parquet(tmp)
+    with open(f"{tmp}/MANIFEST.json", "w") as f:
+        json.dump({"kind": "dedup", "covers": runs}, f)
+    final = next_run_dir(state_dir)
+    os.rename(tmp, final)
+    for r in runs:
+        shutil.rmtree(f"{state_dir}/{r}", ignore_errors=True)
+    return {"runs_compacted": len(runs), "rows": int(rows), "dir": final}
+
+
+def compact_simhash_index(state_dir: str, num_parts=None,
+                          id_col: str = "doc_id") -> dict:
+    """Compact a cross-run SimHash index (``ingest_simhash_run``
+    state): merge every live run's (id, simhash, bucket) rows into ONE
+    run, hash-BUCKETED by ``simhash_bucket`` with the partitioner
+    ingest uses — a subsequent ingest at the same ``num_parts`` routes
+    each bucket file directly to its partition task (zero index-side
+    exchange). Same crash-safe manifest protocol as
+    :func:`~log2seq_ray.ops.curation.compact_neardup_index`.
+    Returns ``{"runs_compacted", "buckets", "rows", "dir"}``."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from ..state.runs import live_runs, next_run_dir, run_files, sweep_tmp
+    from .curation import _write_bucket
+    from .exchange import fan_out_pieces, split_by_key, stream_block_refs
+
+    num_parts = _auto_parts(num_parts)
+    os.makedirs(state_dir, exist_ok=True)
+    sweep_tmp(state_dir)
+    runs, manifests = live_runs(state_dir)
+    if not runs or (len(runs) == 1 and runs[0] in manifests
+                    and manifests[runs[0]].get("num_parts") == num_parts):
+        return {"runs_compacted": 0, "buckets": num_parts, "rows": 0,
+                "dir": None}
+    files = run_files(state_dir, runs, "sims")
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    os.makedirs(f"{tmp}/sims", exist_ok=True)
+    total = 0
+    if files:
+        rows = rd.read_parquet(files)
+        parts = fan_out_pieces(split_by_key, stream_block_refs(rows),
+                               num_parts, args=("simhash_bucket",
+                                                num_parts))
+        write = ray.remote(_write_bucket)
+        total = int(sum(ray.get(
+            [write.remote(f"{tmp}/sims/bucket_{p:05d}.parquet", pieces,
+                          (id_col,))
+             for p, pieces in enumerate(parts)])))
+    with open(f"{tmp}/MANIFEST.json", "w") as f:
+        json.dump({"kind": "simhash", "num_parts": num_parts,
+                   "id_col": id_col, "covers": runs}, f)
+    final = next_run_dir(state_dir)
+    os.rename(tmp, final)
+    for r in runs:
+        shutil.rmtree(f"{state_dir}/{r}", ignore_errors=True)
+    return {"runs_compacted": len(runs), "buckets": num_parts,
+            "rows": total, "dir": final}
 
 
 # ---------------------------------------------------------------------------

@@ -591,13 +591,16 @@ def _sem_ingest_partition(threshold: float, id_col: str, col: str,
     survivor sharing a bucket, or vs ANY lower-id new vector sharing a
     bucket. Old-old pairs — the bulk of a mature index — are never
     computed; all scans are vectorized matmuls per bucket."""
-    from .exchange import resolve_pieces
+    from .exchange import resolve_mixed_pieces, resolve_pieces
     empty = pa.table({"vic": pa.array([], type=pa.int64())})
     new_pieces = resolve_pieces(new_pieces)
     if not new_pieces:
         return empty
     nt = pa.concat_tables(new_pieces)
-    old_pieces = resolve_pieces(old_pieces)
+    # old pieces may mix split-task refs with BUCKET-ALIGNED parquet
+    # paths from a compacted index (read here, in the partition task)
+    old_pieces = [t for t in resolve_mixed_pieces(old_pieces)
+                  if t.num_rows]
     ot = pa.concat_tables(old_pieces) if old_pieces else None
     cents = nt.column("__centroid").to_numpy()
     ids_n = np.asarray(nt.column(id_col).to_numpy(zero_copy_only=False),
@@ -724,12 +727,12 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     import ray
     import ray.data as rd
 
+    from ..state.runs import live_runs, next_run_dir, run_files
     from .dedup import _MultiAssignStage, _auto_parts
     from .exchange import fan_out_pieces, split_by_key, stream_block_refs
 
     os.makedirs(state_dir, exist_ok=True)
-    runs = sorted(d for d in os.listdir(state_dir)
-                  if d.startswith("run_"))
+    runs, manifests = live_runs(state_dir)
     # One narrow (id, vector) projection, materialized ONCE: it feeds
     # centroid training, bucket assignment AND the survivor anti-filter
     # (and is exactly the payload committed to the index), so the
@@ -749,8 +752,7 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     if narrow.count() == 0:
         # nothing to ingest: commit an empty run (keeps run numbering
         # monotone for resume) and return a TYPED empty id set
-        run_dir = f"{state_dir}/run_{len(runs):05d}"
-        os.makedirs(run_dir, exist_ok=True)
+        os.makedirs(next_run_dir(state_dir), exist_ok=True)
         return empty_ids
     cpath = f"{state_dir}/centroids.npy"
     if os.path.exists(cpath):
@@ -774,10 +776,14 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     new_parts = fan_out_pieces(
         _assign_split_block, narrow.to_arrow_refs(), num_parts,
         args=(cref, id_col, col, n_assign, num_parts))
-    files = [f"{state_dir}/{r}/{f}" for r in runs
-             if os.path.isdir(f"{state_dir}/{r}")
-             for f in sorted(os.listdir(f"{state_dir}/{r}"))
-             if f.endswith(".parquet")]
+    # compacted runs whose buckets/ were expanded with OUR centroids,
+    # n_assign and num_parts: bucket files bypass the read + assign
+    # matmul + split and land directly in their partition's piece list
+    aligned = [r for r in runs
+               if manifests.get(r, {}).get("num_parts") == num_parts
+               and manifests.get(r, {}).get("n_assign") == n_assign
+               and os.path.isdir(f"{state_dir}/{r}/buckets")]
+    files = run_files(state_dir, [r for r in runs if r not in aligned])
     if files:
         old_parts = fan_out_pieces(
             _assign_split_block,
@@ -785,6 +791,11 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
             args=(cref, id_col, col, n_assign, num_parts))
     else:
         old_parts = [[] for _ in range(num_parts)]
+    for r in aligned:
+        for p in range(num_parts):
+            bpath = f"{state_dir}/{r}/buckets/bucket_{p:05d}.parquet"
+            if os.path.isfile(bpath):
+                old_parts[p] = list(old_parts[p]) + [bpath]
     work = ray.remote(_sem_ingest_partition)
     victim_refs = [work.remote(threshold, id_col, col, np_, op_)
                    for np_, op_ in zip(new_parts, old_parts)]
@@ -807,10 +818,82 @@ def ingest_semdedup_run(ds, state_dir: str, threshold: float = 0.9,
     # is the normal recrawl outcome: every vector already indexed)
     os.makedirs(tmp, exist_ok=True)
     survivors.write_parquet(tmp)
-    os.rename(tmp, f"{state_dir}/run_{len(runs):05d}")
+    os.rename(tmp, next_run_dir(state_dir))
     if survivors.count() == 0:
         return empty_ids
     return survivors.select_columns([id_col])
+
+
+def compact_semdedup_index(state_dir: str, num_parts=None,
+                           n_assign: int = 3, n_centroids: int = 8,
+                           id_col: str = "vec_id",
+                           col: str = "embedding") -> dict:
+    """Compact a cross-run SEMANTIC-dedup index (``ingest_semdedup_run``
+    state): merge every live run's survivor (id, vector) rows into ONE
+    run holding (a) the flat rows at the run root — the canonical
+    payload, used by re-compaction and by any ingest whose bucketing
+    differs — and (b) ``buckets/`` with the ``n_assign``-expanded
+    centroid-assignment rows, pre-split with the SAME persisted
+    centroids and partitioner ingest uses. A subsequent ingest at
+    matching (num_parts, n_assign) routes each bucket file directly to
+    its partition task, skipping the index-side read + assign matmul +
+    split entirely (the committed index, the bulk of a mature crawl
+    archive, never moves or recomputes again; disk cost is the
+    documented 1 + n_assign× of the flat rows). Same crash-safe
+    manifest protocol as
+    :func:`~log2seq_ray.ops.curation.compact_neardup_index`.
+    Returns ``{"runs_compacted", "buckets", "rows", "dir"}``."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from ..state.runs import live_runs, next_run_dir, run_files, sweep_tmp
+    from .curation import _write_bucket
+    from .dedup import _auto_parts
+    from .exchange import fan_out_pieces, stream_block_refs
+
+    os.makedirs(state_dir, exist_ok=True)
+    sweep_tmp(state_dir)
+    runs, manifests = live_runs(state_dir)
+    num_parts = min(_auto_parts(num_parts), max(1, n_centroids))
+    if not runs or (len(runs) == 1 and runs[0] in manifests
+                    and manifests[runs[0]].get("num_parts") == num_parts
+                    and manifests[runs[0]].get("n_assign") == n_assign):
+        return {"runs_compacted": 0, "buckets": num_parts, "rows": 0,
+                "dir": None}
+    files = run_files(state_dir, runs)
+    tmp = f"{state_dir}/_tmp_{uuid.uuid4().hex}"
+    os.makedirs(f"{tmp}/buckets", exist_ok=True)
+    total = 0
+    cpath = f"{state_dir}/centroids.npy"
+    if files:
+        rows = rd.read_parquet(files).materialize()  # narrow id+vector
+        total = rows.count()
+        rows.write_parquet(tmp)
+        if os.path.exists(cpath):
+            cref = ray.put(np.load(cpath))
+            parts = fan_out_pieces(
+                _assign_split_block, stream_block_refs(rows), num_parts,
+                args=(cref, id_col, col, n_assign, num_parts))
+            write = ray.remote(_write_bucket)
+            ray.get([write.remote(
+                f"{tmp}/buckets/bucket_{p:05d}.parquet", pieces,
+                (id_col, "__centroid")) for p, pieces in
+                enumerate(parts)])
+    with open(f"{tmp}/MANIFEST.json", "w") as f:
+        json.dump({"kind": "semdedup", "num_parts": num_parts,
+                   "n_assign": n_assign, "id_col": id_col,
+                   "covers": runs}, f)
+    final = next_run_dir(state_dir)
+    os.rename(tmp, final)
+    for r in runs:
+        shutil.rmtree(f"{state_dir}/{r}", ignore_errors=True)
+    return {"runs_compacted": len(runs), "buckets": num_parts,
+            "rows": int(total), "dir": final}
 
 
 # ---------------------------------------------------------------------------

@@ -589,6 +589,37 @@ def q_cross_run_dedup(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_compacted_dedup(sf_dir: str):
+    """cross_run_dedup with an index COMPACTION between the runs
+    (``compact_dedup_index`` merges the committed run into one
+    manifest-covered run) — compaction must be invisible in the
+    results, so this answers the exact cross_run_dedup oracle."""
+    import os
+    import shutil
+
+    from .ops.dedup import compact_dedup_index, ingest_dedup_run
+
+    state = f"/tmp/l2sr_ingc_{os.getpid()}"
+    shutil.rmtree(state, ignore_errors=True)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    half = parity_half
+
+    run_a = docs.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    ingest_dedup_run(run_a, state)
+    stats = compact_dedup_index(state)
+    assert stats["runs_compacted"] == 1 and stats["dir"] is not None
+    rekeyed = docs.map_batches(
+        lambda b: (lambda t: t.set_column(
+            t.column_names.index("doc_id"), "doc_id",
+            pc.add(pc.cast(t.column("doc_id"), pa.int64()),
+                   pa.scalar(1_000_000, pa.int64()))))(half(b, 0)),
+        batch_format="pyarrow")
+    run_b = docs.map_batches(lambda b: half(b, 1),
+                             batch_format="pyarrow").union(rekeyed)
+    out = ingest_dedup_run(run_b, state)
+    return out.select_columns(["doc_id"])
+
+
 def q_cross_run_neardup(sf_dir: str):
     """Two-run incremental NEAR-dup ingest: run A (even docs) commits its
     shingle-hash index; run B = odd docs + re-keyed NEAR-variants of the
@@ -701,6 +732,56 @@ def q_cross_run_semdedup(sf_dir: str):
     run_a = base.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
     ingest_semdedup_run(run_a, state, threshold=0.9, n_centroids=8,
                         n_assign=3)
+
+    def near_copy(b: pa.Table) -> pa.Table:
+        t = half(b, 0)
+        X = _to_matrix(t.column("embedding")).copy()
+        if len(X):
+            X[:, 0] += 0.001
+        return pa.table({
+            "vec_id": pc.add(t.column("vec_id"),
+                             pa.scalar(200000, pa.int64())),
+            "embedding": pa.array(list(X), type=pa.list_(pa.float64())),
+        })
+
+    run_b = base.map_batches(lambda b: half(b, 1),
+                             batch_format="pyarrow") \
+        .union(base.map_batches(near_copy, batch_format="pyarrow"))
+    return ingest_semdedup_run(run_b, state, threshold=0.9,
+                               n_centroids=8, n_assign=3)
+
+
+def q_compacted_semdedup(sf_dir: str):
+    """cross_run_semdedup with an index COMPACTION between the runs:
+    ``compact_semdedup_index`` rewrites the committed survivors with a
+    pre-expanded centroid-bucketed layout, and run B ingests through
+    the bucket-aligned read path (no index-side re-read/assign/split).
+    Answers the exact cross_run_semdedup oracle — compaction must be
+    invisible."""
+    import os
+    import shutil
+
+    from .ops.similarity import (_to_matrix, compact_semdedup_index,
+                                 ingest_semdedup_run)
+
+    state = f"/tmp/l2sr_semc_ingest_{os.getpid()}"
+    shutil.rmtree(state, ignore_errors=True)
+
+    base = _embeddings(sf_dir).map_batches(
+        lambda b: pa.table({
+            "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+            "embedding": pc.cast(b.column("embedding"),
+                                 pa.list_(pa.float64()))}),
+        batch_format="pyarrow")
+
+    def half(b: pa.Table, rem: int) -> pa.Table:
+        return parity_half(b, rem, col="vec_id")
+
+    run_a = base.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    ingest_semdedup_run(run_a, state, threshold=0.9, n_centroids=8,
+                        n_assign=3)
+    stats = compact_semdedup_index(state, n_assign=3, n_centroids=8)
+    assert stats["runs_compacted"] == 1 and stats["dir"] is not None
 
     def near_copy(b: pa.Table) -> pa.Table:
         t = half(b, 0)
@@ -1487,9 +1568,11 @@ QUERIES = {
     "length_ranks": q_length_ranks,
     "event_spikes": q_event_spikes,
     "cross_run_dedup": q_cross_run_dedup,
+    "compacted_dedup": q_compacted_dedup,
     "cross_run_neardup": q_cross_run_neardup,
     "compacted_neardup": q_compacted_neardup,
     "cross_run_semdedup": q_cross_run_semdedup,
+    "compacted_semdedup": q_compacted_semdedup,
     "decontaminate_frac": q_decontaminate_frac,
     "value_stats": q_value_stats,
     "hourly_users": q_hourly_users,
@@ -2606,6 +2689,9 @@ ORACLE_SQL["cross_run_semdedup"] = """
                       AND list_cosine_similarity(b.e, b2.e) >= 0.9)
 """
 
+# compaction is semantics-preserving — same SQL as the uncompacted run
+ORACLE_SQL["compacted_semdedup"] = ORACLE_SQL["cross_run_semdedup"]
+
 ORACLE_SQL["decontaminate"] = f"""
     WITH T AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
     G AS (SELECT doc_id, list_distinct(list_transform(
@@ -3434,6 +3520,48 @@ def q_cross_run_simhash(sf_dir: str):
 
 QUERIES["cross_run_simhash"] = q_cross_run_simhash
 
+
+def q_compacted_simhash(sf_dir: str):
+    """cross_run_simhash with an index COMPACTION between the runs:
+    ``compact_simhash_index`` rewrites the committed (id, simhash,
+    bucket) rows hash-bucketed by ``simhash_bucket``, and run B ingests
+    through the bucket-aligned read path. Answers the exact
+    cross_run_simhash oracle — compaction must be invisible."""
+    import os
+    import shutil
+
+    from .ops.dedup import compact_simhash_index, ingest_simhash_run
+
+    state = f"/tmp/l2sr_shc_ingest_{os.getpid()}"
+    shutil.rmtree(state, ignore_errors=True)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    half = parity_half
+
+    run_a = docs.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    ingest_simhash_run(run_a, state, max_hamming=12)
+    stats = compact_simhash_index(state)
+    assert stats["runs_compacted"] == 1 and stats["dir"] is not None
+
+    def variant(b: pa.Table) -> pa.Table:
+        t = half(b, 0)
+        return pa.table({
+            "doc_id": pc.add(pc.cast(t.column("doc_id"), pa.int64()),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                t.column("text"), pa.scalar(" zz9"), ""),
+        })
+
+    run_b = docs.map_batches(lambda b: half(b, 1),
+                             batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"]) \
+        .union(docs.map_batches(variant, batch_format="pyarrow"))
+    out = ingest_simhash_run(run_b, state, max_hamming=12)
+    shutil.rmtree(state, ignore_errors=True)
+    return out.select_columns(["doc_id", "simhash"])
+
+
+QUERIES["compacted_simhash"] = q_compacted_simhash
+
 # the simhash derivation over run A ∪ run B (odds + ' zz9' variants),
 # then the two-level non-cascading victim rule: run A keeps lower-id-
 # clear rows; run B drops on a committed-survivor witness or a lower-id
@@ -3487,6 +3615,11 @@ ORACLE_SQL["cross_run_simhash"] = """
           WHERE w.run = 1 AND w.doc_id < b.doc_id AND w.bkt = b.bkt
             AND bit_count(xor(w.simhash, b.simhash)) <= 12)
 """
+
+# index compaction is semantics-preserving by contract — the compacted
+# pipelines answer to the EXACT same SQL as the uncompacted ones
+ORACLE_SQL["compacted_dedup"] = ORACLE_SQL["cross_run_dedup"]
+ORACLE_SQL["compacted_simhash"] = ORACLE_SQL["cross_run_simhash"]
 
 
 def q_pagerank_sim(sf_dir: str):

@@ -125,3 +125,94 @@ def test_mismatched_num_parts_falls_back_to_split(ray_session, tmp_path):
     compact_neardup_index(state, num_parts=2)
     got = _survivors(state, RUN2, num_parts=4)
     assert list(got["doc_id"]) == [12]
+
+
+def test_exact_dedup_compaction(ray_session, tmp_path):
+    from log2seq_ray.ops.dedup import compact_dedup_index, ingest_dedup_run
+
+    def ing(state, rows):
+        return ingest_dedup_run(_docs(rows), state).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    r1 = [(1, "aa"), (2, "bb"), (3, "aa")]           # 3 dups of 1
+    r2 = [(10, "aa"), (11, "cc"), (12, "cc")]        # 10 drops, 12 drops
+    plain, comp = str(tmp_path / "p"), str(tmp_path / "c")
+    ing(plain, r1)
+    want = ing(plain, r2)
+    ing(comp, r1)
+    stats = compact_dedup_index(comp)
+    assert stats["runs_compacted"] == 1 and stats["rows"] == 2
+    # idempotent: re-compacting the single compacted run no-ops
+    assert compact_dedup_index(comp)["runs_compacted"] == 0
+    got = ing(comp, r2)
+    pd.testing.assert_frame_equal(want, got)
+    assert list(got["doc_id"]) == [11]
+
+
+def test_simhash_compaction_bucket_aligned(ray_session, tmp_path):
+    from log2seq_ray.ops.dedup import (compact_simhash_index,
+                                       ingest_simhash_run)
+
+    def ing(state, rows, **kw):
+        return ingest_simhash_run(_docs(rows), state, max_hamming=12,
+                                  **kw).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    r2 = [(10, RUN1[0][1] + " qq7"),    # hamming-near the committed 1
+          (11, "genuinely different content with other words here")]
+    plain, comp = str(tmp_path / "p"), str(tmp_path / "c")
+    ing(plain, RUN1, num_parts=4)
+    want = ing(plain, r2, num_parts=4)
+
+    ing(comp, RUN1, num_parts=4)
+    stats = compact_simhash_index(comp, num_parts=4)
+    assert stats["runs_compacted"] == 1 and stats["rows"] > 0
+    buckets = [f for f in os.listdir(f"{stats['dir']}/sims")
+               if f.startswith("bucket_")]
+    assert buckets, "simhash compaction must write bucket-aligned files"
+    got = ing(comp, r2, num_parts=4)
+    pd.testing.assert_frame_equal(want, got)
+
+
+def test_semdedup_compaction_bucket_aligned(ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+    from log2seq_ray.ops.similarity import (compact_semdedup_index,
+                                            ingest_semdedup_run)
+
+    rng = np.random.RandomState(7)
+
+    def vecs(ids, X):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([list(map(float, x)) for x in X],
+                                  type=pa.list_(pa.float64()))}))
+
+    X1 = rng.randn(40, 8)
+    X2 = np.vstack([X1[:10] + 0.0005,    # near-copies of committed
+                    rng.randn(10, 8)])   # fresh
+    ids1 = list(range(40))
+    ids2 = list(range(100, 120))
+    kw = dict(threshold=0.9, n_centroids=4, n_assign=2)
+
+    def ing(state, ids, X):
+        out = ingest_semdedup_run(vecs(ids, X), state, **kw).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    plain, comp = str(tmp_path / "p"), str(tmp_path / "c")
+    ing(plain, ids1, X1)
+    want = ing(plain, ids2, X2)
+
+    ing(comp, ids1, X1)
+    stats = compact_semdedup_index(comp, n_assign=2, n_centroids=4)
+    assert stats["runs_compacted"] == 1 and stats["rows"] > 0
+    buckets = [f for f in os.listdir(f"{stats['dir']}/buckets")
+               if f.startswith("bucket_")]
+    assert buckets, "semdedup compaction must write bucket files"
+    # flat rows also present at the run root (fallback / re-compaction)
+    assert any(f.endswith(".parquet") for f in os.listdir(stats["dir"]))
+    got = ing(comp, ids2, X2)
+    pd.testing.assert_frame_equal(want, got)
+    # near-copies dropped, fresh ids survived
+    assert set(got["vec_id"]) <= set(ids2[10:] + ids2[:10])
+    assert set(ids2[10:]) <= set(got["vec_id"])
