@@ -216,3 +216,14 @@ def test_semdedup_compaction_bucket_aligned(ray_session, tmp_path):
     # near-copies dropped, fresh ids survived
     assert set(got["vec_id"]) <= set(ids2[10:] + ids2[:10])
     assert set(ids2[10:]) <= set(got["vec_id"])
+
+
+def test_compact_cli(ray_session, tmp_path, capsys):
+    from log2seq_ray.compact import main
+
+    state = str(tmp_path / "cli")
+    _survivors(state, RUN1, num_parts=4)
+    rc = main([state, "--kind", "neardup", "--num-parts", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["runs_compacted"] == 1 and out["buckets"] == 4
