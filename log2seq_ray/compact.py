@@ -38,8 +38,22 @@ def main(argv=None) -> int:
     ap.add_argument("--num-parts", type=int, default=None,
                     help="bucket count (default: ingest's cluster-sized "
                          "default; must match the next ingest's for "
-                         "aligned reads)")
+                         "aligned reads; --kind dedup writes one flat "
+                         "run and takes no bucket count)")
+    ap.add_argument("--n-assign", type=int, default=3,
+                    help="semdedup only: centroid assignments per vector "
+                         "(must match the next ingest's n_assign or its "
+                         "alignment check falls back to flat reads)")
+    ap.add_argument("--n-centroids", type=int, default=8,
+                    help="semdedup only: bucketing centroid count "
+                         "(must match the next ingest's)")
     args = ap.parse_args(argv)
+    if args.kind == "dedup" and args.num_parts is not None:
+        ap.error("--kind dedup writes one flat run; --num-parts "
+                 "does not apply")
+    if args.kind != "semdedup" and (args.n_assign != 3
+                                    or args.n_centroids != 8):
+        ap.error("--n-assign/--n-centroids apply to --kind semdedup only")
 
     import ray
     owns = not ray.is_initialized()
@@ -48,8 +62,14 @@ def main(argv=None) -> int:
                  logging_level="ERROR")
     try:
         fn = _compactor(args.kind)
-        kwargs = {} if args.kind == "dedup" \
-            else {"num_parts": args.num_parts}
+        if args.kind == "dedup":
+            kwargs = {}
+        elif args.kind == "semdedup":
+            kwargs = {"num_parts": args.num_parts,
+                      "n_assign": args.n_assign,
+                      "n_centroids": args.n_centroids}
+        else:
+            kwargs = {"num_parts": args.num_parts}
         stats = fn(args.state_dir, **kwargs)
     finally:
         if owns:

@@ -1659,11 +1659,11 @@ def compact_neardup_index(state_dir: str, num_parts=None,
     from .dedup import _auto_parts
     from .exchange import fan_out_pieces, split_by_key, stream_block_refs
 
-    from ..state.runs import run_files, sweep_tmp
+    from ..state.runs import run_files, sweep_stale
 
     num_parts = _auto_parts(num_parts)
     os.makedirs(state_dir, exist_ok=True)
-    sweep_tmp(state_dir)
+    sweep_stale(state_dir)
     runs, manifests = _live_index_runs(state_dir)
     if not runs or (len(runs) == 1 and runs[0] in manifests
                     and manifests[runs[0]].get("num_parts") == num_parts):

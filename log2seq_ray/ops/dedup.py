@@ -35,7 +35,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .exchange import actor_pool
 
 from .exchange import bincount_i64
 
@@ -367,6 +366,11 @@ def _split_docs_by_need(block: pa.Table, id_refs, id_col: str, col: str):
     it). One task per block — not num_parts × num_blocks — with one
     vectorized ``is_in`` per partition."""
     import ray
+    if block.num_rows == 0 or col not in block.column_names:
+        # Ray map_batches passes zero-row blocks through UNTRANSFORMED
+        # (corpus schema, no hash column) — route empties anywhere; the
+        # verify task drops zero-row pieces before reading columns
+        return [block.slice(0, 0)] * len(id_refs)
     id_sets = ray.get(list(id_refs)) \
         if id_refs and isinstance(id_refs[0], ray.ObjectRef) else id_refs
     narrow = block.select([id_col, col])
@@ -489,44 +493,6 @@ def _hash_candidates_fn(ids_ref, id_col: str, col: str, k: int):
         return _shingle_hash_table(b, id_col, col, k)
 
     return fn
-
-
-def _shingle_string_rows(texts, k: int):
-    """All rows' ``k``-token shingle STRINGS, vectorized (pyarrow window
-    slices + ``binary_join_element_wise`` — no per-row Python), NOT
-    deduplicated per row. Conventions identical to
-    :func:`_shingle_strings`: 0 < tokens < k → the whole joined sequence,
-    empty/null → ``""``. Returns ``(strs pa.StringArray, row_of int64)``.
-    """
-    from .text import _token_lists
-    texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) \
-        else texts
-    toks_arr = _token_lists(pc.fill_null(texts, ""))
-    offsets = np.asarray(toks_arr.offsets, dtype=np.int64)
-    counts = np.diff(offsets)
-    flat = pc.list_flatten(toks_arr)
-    n_flat, n = len(flat), len(counts)
-    s_parts, r_parts = [], []
-    short = counts < k  # includes empty rows: binary_join of [] -> ""
-    if short.any():
-        joined = pc.binary_join(toks_arr, " ")
-        idx = np.nonzero(short)[0]
-        s_parts.append(joined.take(pa.array(idx)))
-        r_parts.append(idx.astype(np.int64))
-    if n_flat >= k:
-        w = n_flat - k + 1
-        cols = [flat.slice(j, w) for j in range(k)]
-        shingles = pc.binary_join_element_wise(*cols, " ")
-        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
-        valid = row_of[:w] == row_of[k - 1:]  # window within one row
-        if valid.any():
-            vi = np.nonzero(valid)[0]
-            s_parts.append(shingles.take(pa.array(vi)))
-            r_parts.append(row_of[vi])
-    if not s_parts:
-        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
-    strs = pa.concat_arrays([p.cast(pa.string()) for p in s_parts])
-    return strs, np.concatenate(r_parts)
 
 
 def _verify_partition(threshold: float, id_col: str, pairs: pa.Table,
@@ -1493,10 +1459,10 @@ def compact_dedup_index(state_dir: str) -> dict:
 
     import ray.data as rd
 
-    from ..state.runs import live_runs, next_run_dir, run_files, sweep_tmp
+    from ..state.runs import live_runs, next_run_dir, run_files, sweep_stale
 
     os.makedirs(state_dir, exist_ok=True)
-    sweep_tmp(state_dir)
+    sweep_stale(state_dir)
     runs, manifests = live_runs(state_dir)
     if not runs or (len(runs) == 1 and runs[0] in manifests):
         return {"runs_compacted": 0, "rows": 0, "dir": None}
@@ -1535,13 +1501,13 @@ def compact_simhash_index(state_dir: str, num_parts=None,
     import ray
     import ray.data as rd
 
-    from ..state.runs import live_runs, next_run_dir, run_files, sweep_tmp
+    from ..state.runs import live_runs, next_run_dir, run_files, sweep_stale
     from .curation import _write_bucket
     from .exchange import fan_out_pieces, split_by_key, stream_block_refs
 
     num_parts = _auto_parts(num_parts)
     os.makedirs(state_dir, exist_ok=True)
-    sweep_tmp(state_dir)
+    sweep_stale(state_dir)
     runs, manifests = live_runs(state_dir)
     if not runs or (len(runs) == 1 and runs[0] in manifests
                     and manifests[runs[0]].get("num_parts") == num_parts):

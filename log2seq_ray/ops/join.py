@@ -230,16 +230,19 @@ def plan_join_strategy(l_rows: int, r_rows: int, how: str,
                 and r_bytes <= AUTO_BROADCAST_BYTES):
             return "broadcast", None
     if how == "inner" and n_keys == 1:
-        return "bucket", max(65536, 4 * l_rows // max(num_buckets, 1))
+        return "bucket", max(HOT_FLOOR, 4 * l_rows // max(num_buckets, 1))
     return "bucket", None
 
 
-def detect_hot_keys(left, key: str, threshold: int) -> list:
-    """Distributed hot-key detection: one narrow pass of per-batch key
-    value-counts (reduced before the small groupby) collects every key
-    whose total multiplicity exceeds ``threshold``. The collected list
-    is bounded by ``total_rows / threshold`` keys."""
-    from ray.data.aggregate import Sum
+#: auto hot-key thresholds never fall below this many occurrences — the
+#: invariant count_and_hot_keys relies on to pre-filter candidates
+#: before the final threshold (which needs the total count) is known
+HOT_FLOOR = 65536
+
+
+def _key_counts_fn(key: str):
+    """Per-batch key value-counts — the pre-aggregation both hot-key
+    passes ship into the small groupby instead of raw key rows."""
 
     def _kcounts(b: pa.Table) -> pa.Table:
         col = b.column(key)
@@ -250,10 +253,58 @@ def detect_hot_keys(left, key: str, threshold: int) -> list:
                          "n_part": pc.cast(vc.field("counts"),
                                            pa.int64())})
 
-    hot_rows = left.map_batches(_kcounts, batch_format="pyarrow") \
+    return _kcounts
+
+
+def detect_hot_keys(left, key: str, threshold: int) -> list:
+    """Distributed hot-key detection: one narrow pass of per-batch key
+    value-counts (reduced before the small groupby) collects every key
+    whose total multiplicity exceeds ``threshold``. The collected list
+    is bounded by ``total_rows / threshold`` keys."""
+    from ray.data.aggregate import Sum
+
+    hot_rows = left.map_batches(_key_counts_fn(key),
+                                batch_format="pyarrow") \
         .groupby(key).aggregate(Sum("n_part", alias_name="n")) \
         .filter(expr=f"n > {int(threshold)}").take_all()
     return [r[key] for r in hot_rows]
+
+
+def count_and_hot_keys(left, key: str, num_buckets: int):
+    """Fused ``strategy="auto"`` planner pass: ONE narrow execution of
+    ``left`` returns ``(l_rows, hot_keys)`` — versus the two full
+    executions (``count()`` then :func:`detect_hot_keys`) the naive
+    order costs on an unmaterialized pipeline.
+
+    The final threshold ``max(HOT_FLOOR, 4·l_rows/num_buckets)`` is
+    only known once ``l_rows`` is, but it is always ≥ ``HOT_FLOOR`` —
+    so each block of the grouped per-key totals emits its count partial
+    plus the keys above the FLOOR (a bounded superset: at most
+    ``l_rows / HOT_FLOOR`` keys), and the driver resolves the exact
+    threshold over that small collection. Count partials ride rows with
+    ``n = 0`` (never above any threshold), so data keys — including a
+    genuinely-null hot key — cannot collide with them."""
+    from ray.data.aggregate import Sum
+
+    def _partials(b: pa.Table) -> pa.Table:
+        n = b.column("n")
+        tot = pc.sum(n).as_py() or 0
+        cand = b.filter(pc.greater(n, HOT_FLOOR))
+        k = cand.column(key)
+        k = k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+        return pa.table({
+            key: pa.concat_arrays([k, pa.array([None], type=k.type)]),
+            "n": pa.array(cand.column("n").to_pylist() + [0],
+                          type=pa.int64()),
+            "tot_part": pa.array([0] * cand.num_rows + [tot],
+                                 type=pa.int64())})
+
+    rows = left.map_batches(_key_counts_fn(key), batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("n_part", alias_name="n")) \
+        .map_batches(_partials, batch_format="pyarrow").take_all()
+    l_rows = sum(r["tot_part"] for r in rows)
+    threshold = max(HOT_FLOOR, 4 * l_rows // max(num_buckets, 1))
+    return l_rows, [r[key] for r in rows if r["n"] > threshold]
 
 
 def hash_join(left, right, left_key, right_key,
@@ -300,11 +351,13 @@ def hash_join(left, right, left_key, right_key,
     plasma — no shuffle at all (any ``how`` except ``full``: a full
     outer's right-only rows are not per-left-batch decidable);
     ``"auto"`` = plan from cheap counts: a right side ≤
-    ``AUTO_BROADCAST_ROWS`` broadcasts; otherwise bucket, and (inner,
-    single-column key) a hot-key threshold is derived from the left
-    count so any key hotter than ~4 average buckets takes the
-    broadcast side-route automatically. The auto counts cost one
-    narrow execution of each input — worth it for the shuffle they
+    ``AUTO_BROADCAST_ROWS`` (or byte-sampled small) broadcasts;
+    otherwise bucket, and (inner, single-column key) one fused narrow
+    pass over the left (:func:`count_and_hot_keys`) yields its count
+    and every key hotter than ~4 average buckets, which take the
+    broadcast side-route automatically. Auto costs ``right.count()``
+    always, plus that single left planning pass only when the plan is
+    a hot-key-eligible bucket join — worth it for the shuffle it can
     remove; pass an explicit strategy when the caller already knows
     the shape.
     """
@@ -349,12 +402,16 @@ def hash_join(left, right, left_key, right_key,
                     if c in smp.column_names]
             smp = smp.select(proj)
             r_bytes = int(smp.nbytes / max(1, smp.num_rows) * r_rows)
+        # broadcast-vs-bucket is decided from the RIGHT side alone —
+        # the left count only feeds the bucket branch's hot threshold,
+        # derived below in the same pass that finds the hot keys (the
+        # previous order paid a full left execution even when the plan
+        # came out broadcast and never used it)
         strategy, auto_ht = plan_join_strategy(
-            left.count() if how == "inner" and len(lks) == 1 else 0,
-            r_rows, how, len(lks), num_buckets, r_bytes=r_bytes)
-        if (auto_ht is not None and hot_keys is None
-                and hot_threshold is None):
-            hot_threshold = auto_ht
+            0, r_rows, how, len(lks), num_buckets, r_bytes=r_bytes)
+        if (strategy == "bucket" and auto_ht is not None
+                and hot_keys is None and hot_threshold is None):
+            _, hot_keys = count_and_hot_keys(left, left_key, num_buckets)
 
     if hot_threshold is not None and hot_keys is None:
         hot_keys = detect_hot_keys(left, left_key, hot_threshold)

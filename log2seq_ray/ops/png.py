@@ -127,9 +127,14 @@ def mean_pool(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     h, w, c = img.shape
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
+    # an input smaller than the output grid collapses box boundaries
+    # (ys[i] == ys[i+1] → mean of an empty slice → NaN); widen each box
+    # to at least one source row/col = nearest-neighbor upsampling there
+    ys_hi = np.maximum(ys[1:], np.minimum(ys[:-1] + 1, h))
+    xs_hi = np.maximum(xs[1:], np.minimum(xs[:-1] + 1, w))
     out = np.empty((out_h, out_w, c), dtype=np.float64)
     f = img.astype(np.float64)
     for i in range(out_h):
         for j in range(out_w):
-            out[i, j] = f[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean(axis=(0, 1))
+            out[i, j] = f[ys[i]:ys_hi[i], xs[j]:xs_hi[j]].mean(axis=(0, 1))
     return out

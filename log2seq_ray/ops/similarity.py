@@ -33,14 +33,12 @@ def to_fixed32(col) -> pa.Array:
     wire format for stress corpora and persistent ingest indexes: half
     the parquet + plasma bytes of ``list<double>``, offset-free decode.
     Math stays float64 (``_to_matrix`` upcasts); the ~1e-7 cosine
-    perturbation is far inside every gated threshold margin. Zero-row
-    input passes through typed-as-is (Ray hands zero-row blocks around
-    untransformed anyway; exchange consumers drop empties)."""
+    perturbation is far inside every gated threshold margin. A zero-row
+    input keeps its own type unchanged — dimension is unrecoverable, so
+    emitting any other type would mix block schemas in one Dataset."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if len(arr) == 0:
-        return pa.array([], type=pa.list_(pa.float32()))
     if (pa.types.is_fixed_size_list(arr.type)
-            and arr.type.value_type == pa.float32()):
+            and arr.type.value_type == pa.float32()) or len(arr) == 0:
         return arr
     d = len(arr.flatten()) // len(arr)
     return arr.cast(pa.list_(pa.float32(), d))
@@ -851,13 +849,13 @@ def compact_semdedup_index(state_dir: str, num_parts=None,
     import ray
     import ray.data as rd
 
-    from ..state.runs import live_runs, next_run_dir, run_files, sweep_tmp
+    from ..state.runs import live_runs, next_run_dir, run_files, sweep_stale
     from .curation import _write_bucket
     from .dedup import _auto_parts
     from .exchange import fan_out_pieces, stream_block_refs
 
     os.makedirs(state_dir, exist_ok=True)
-    sweep_tmp(state_dir)
+    sweep_stale(state_dir)
     runs, manifests = live_runs(state_dir)
     num_parts = min(_auto_parts(num_parts), max(1, n_centroids))
     if not runs or (len(runs) == 1 and runs[0] in manifests

@@ -49,6 +49,35 @@ def sweep_tmp(state_dir: str) -> None:
             shutil.rmtree(f"{state_dir}/{d}", ignore_errors=True)
 
 
+def sweep_stale(state_dir: str) -> None:
+    """Delete debris a crashed commit/compaction leaves behind:
+    ``_tmp_*`` dirs AND committed run dirs covered by a surviving
+    compaction manifest. Compactors call this before computing live
+    runs — a crash between the compaction commit rename and its
+    covered-run cleanup otherwise orphans the covered dirs forever
+    (no later pass touched them), and worse: once the NEXT compaction
+    deletes the coverer (whose manifest is the only evidence), an
+    orphan would resurrect into ``live_runs`` and duplicate its rows
+    in the index. Deletion runs in ASCENDING run order, which is
+    itself crash-safe: a coverer's run number is always greater than
+    what it covers (``next_run_dir`` is max+1), so at any interruption
+    every remaining covered run still has its manifest-bearing coverer
+    on disk."""
+    import shutil
+    sweep_tmp(state_dir)
+    runs = sorted(d for d in os.listdir(state_dir)
+                  if d.startswith("run_"))
+    covered = set()
+    for r in runs:
+        mpath = os.path.join(state_dir, r, "MANIFEST.json")
+        if os.path.isfile(mpath):
+            with open(mpath) as f:
+                covered.update(json.load(f).get("covers", []))
+    for r in runs:  # ascending
+        if r in covered:
+            shutil.rmtree(f"{state_dir}/{r}", ignore_errors=True)
+
+
 def run_files(state_dir: str, runs, sub: str = ""):
     """Parquet files of ``runs`` under subdir ``sub`` ("" = run root).
     A committed run with an empty survivor set may have written no

@@ -99,6 +99,57 @@ def test_crash_leftover_covered_run_is_ignored(ray_session, tmp_path):
     pd.testing.assert_frame_equal(expect, got)
 
 
+def test_crash_orphan_swept_before_next_compaction(ray_session,
+                                                   tmp_path):
+    """A covered run orphaned by a crash must be DELETED by the next
+    compaction's sweep — not merely ignored. If it survived until a
+    later compaction removed its coverer (the manifest that is the only
+    coverage evidence), it would resurrect into live_runs and duplicate
+    its rows in the index."""
+    state = str(tmp_path / "s")
+    _survivors(state, RUN1, num_parts=4)
+    backup = str(tmp_path / "backup_run")
+    shutil.copytree(f"{state}/run_00000", backup)
+    compact_neardup_index(state, num_parts=4)
+    shutil.copytree(backup, f"{state}/run_00000")  # simulated crash
+    _survivors(state, RUN2, num_parts=4)
+    # second compaction: sweeps the orphan FIRST, then covers the
+    # current live runs — run_00000 must be gone from disk entirely
+    compact_neardup_index(state, num_parts=4)
+    assert not os.path.isdir(f"{state}/run_00000")
+    live, _ = _live_index_runs(state)
+    assert len(live) == 1
+    # the index stays semantically identical: a rerun of RUN2 against
+    # a fresh uncompacted index keeps the same survivors
+    plain = str(tmp_path / "p")
+    _survivors(plain, RUN1, num_parts=4)
+    expect = _survivors(plain, RUN2, num_parts=4)
+    rerun = [(20 + i, t) for i, (_, t) in enumerate(RUN2)]
+    got = ingest_neardup_run(_docs(rerun), state, num_parts=4).to_pandas()
+    assert len(got) == 0  # all RUN2 content now committed
+    assert set(expect["doc_id"]) == {12}  # sanity on expect
+
+
+def test_sweep_stale_ascending_preserves_coverage(tmp_path):
+    """Pure-unit: sweep_stale deletes covered runs ascending, so any
+    interruption leaves every remaining covered run's (higher-numbered)
+    coverer on disk. Chain: run_2 covers run_1, run_1 covers run_0."""
+    from log2seq_ray.state.runs import live_runs, sweep_stale
+    state = str(tmp_path)
+    for i in range(3):
+        os.makedirs(f"{state}/run_{i:05d}")
+    for i, covers in ((1, ["run_00000"]), (2, ["run_00001"])):
+        with open(f"{state}/run_{i:05d}/MANIFEST.json", "w") as f:
+            json.dump({"covers": covers, "num_parts": 4}, f)
+    os.makedirs(f"{state}/_tmp_junk")
+    live, _ = live_runs(state)
+    assert live == ["run_00002"]
+    sweep_stale(state)
+    assert sorted(os.listdir(state)) == ["run_00002"]
+    live, _ = live_runs(state)
+    assert live == ["run_00002"]
+
+
 def test_compact_noop_cases(ray_session, tmp_path):
     state = str(tmp_path / "empty")
     stats = compact_neardup_index(state, num_parts=4)
@@ -227,3 +278,41 @@ def test_compact_cli(ray_session, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["runs_compacted"] == 1 and out["buckets"] == 4
+
+
+def test_compact_cli_semdedup_params_and_validation(ray_session,
+                                                    tmp_path, capsys):
+    """--n-assign/--n-centroids must reach compact_semdedup_index (a
+    mismatch with the next ingest silently voids the aligned-read
+    speedup), and flags that do not apply to a kind must error, not
+    silently drop."""
+    import numpy as np
+    import ray.data as rd
+    from log2seq_ray.compact import main
+    from log2seq_ray.ops.similarity import ingest_semdedup_run
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 8)).astype(np.float64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(60), type=pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs],
+                              type=pa.list_(pa.float64()))}))
+    state = str(tmp_path / "sem")
+    ingest_semdedup_run(ds, state, threshold=0.99, num_parts=4,
+                        n_assign=2, n_centroids=4)
+    rc = main([state, "--kind", "semdedup", "--num-parts", "4",
+               "--n-assign", "2", "--n-centroids", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    manifest = json.load(open(
+        f"{state}/{sorted(d for d in os.listdir(state) if d.startswith('run_'))[-1]}/MANIFEST.json"))
+    # n_assign reaches the manifest (ingest alignment checks it);
+    # n_centroids caps num_parts (centroids themselves are persisted)
+    assert manifest["n_assign"] == 2
+    assert out["runs_compacted"] >= 1 and out["buckets"] == 4
+
+    # inapplicable flags are argparse errors (exit 2), not silent drops
+    with pytest.raises(SystemExit):
+        main([state, "--kind", "dedup", "--num-parts", "8"])
+    with pytest.raises(SystemExit):
+        main([state, "--kind", "neardup", "--n-assign", "5"])

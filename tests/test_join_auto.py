@@ -43,6 +43,27 @@ def test_detect_hot_keys_finds_the_skewed_key(ray_session):
     assert detect_hot_keys(ds, "k", threshold=10_000) == []
 
 
+def test_count_and_hot_keys_fused_pass(ray_session):
+    """The fused auto planner pass must return the exact left count AND
+    exactly the keys above max(HOT_FLOOR, 4*l_rows/num_buckets) in one
+    execution; count partials must not collide with data keys."""
+    import ray.data as rd
+    from log2seq_ray.ops.join import HOT_FLOOR, count_and_hot_keys
+    keys = np.concatenate([np.full(HOT_FLOOR + 5, 7, dtype=np.int64),
+                           np.full(HOT_FLOOR - 5, 9, dtype=np.int64),
+                           np.arange(100, 200, dtype=np.int64)])
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})) \
+        .repartition(8)
+    n, hot = count_and_hot_keys(ds, "k", num_buckets=4096)
+    # 4*n//4096 << HOT_FLOOR here, so the floor is the threshold:
+    # key 7 exceeds it, key 9 does not
+    assert n == len(keys)
+    assert hot == [7]
+    # empty left: zero count, no hot keys, no crash
+    empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    assert count_and_hot_keys(empty, "k", 64) == (0, [])
+
+
 def _frames(ds):
     df = ds.to_pandas()
     return df.sort_values(list(df.columns)).reset_index(drop=True)

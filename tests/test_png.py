@@ -97,6 +97,35 @@ def test_mean_pool_exact():
         out[:, :, 0], [[2.5, 4.5], [10.5, 12.5]])
 
 
+def test_mean_pool_tiny_input_no_nan():
+    """Inputs narrower/shorter than the output grid collapse box
+    boundaries; the pool must degrade to nearest-neighbor duplication,
+    never emit NaN (regression: 2x3 PNGs poisoned the 4x4 embedding
+    with NaNs that flowed into every downstream cosine)."""
+    img = np.array([[0, 60, 120], [180, 210, 240]],
+                   dtype=np.uint8)[:, :, None]
+    out = mean_pool(img, 4, 4)
+    assert np.isfinite(out).all()
+    # rows duplicate 0,0,1,1; cols sample 0,0,1,2 (nearest-neighbor)
+    np.testing.assert_allclose(
+        out[:, :, 0], [[0, 0, 60, 120], [0, 0, 60, 120],
+                       [180, 180, 210, 240], [180, 180, 210, 240]])
+    # downscale boundaries unchanged by the widening
+    big = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    np.testing.assert_allclose(mean_pool(big, 2, 2)[:, :, 0],
+                               [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_decode_stage_tiny_png_finite_embedding():
+    from log2seq_ray.ops.multimodal import ImageDecodeStage
+    imgs = [_rng(7).integers(0, 256, size=(2, 3, 3), dtype=np.uint8),
+            _rng(8).integers(0, 256, size=(1, 1, 3), dtype=np.uint8)]
+    out = ImageDecodeStage(backend="png")(_media_batch(imgs))
+    for i in range(2):
+        emb = np.asarray(out.column("embedding")[i].as_py())
+        assert emb.shape == (16,) and np.isfinite(emb).all()
+
+
 def _media_batch(imgs):
     return pa.table({
         "media_id": pa.array(range(len(imgs)), type=pa.int64()),

@@ -122,3 +122,19 @@ def test_group_value_stats_drops_nan(ray_session):
     assert int(df["n"].iloc[0]) == 2
     assert int(df["min_micro"].iloc[0]) == 1_500_000
     assert int(df["sum_micro"].iloc[0]) == 4_000_000
+
+
+def test_to_fixed32_zero_rows_keeps_input_type():
+    """Zero-row input must pass through with its OWN type — the
+    dimension is unrecoverable, and emitting variable list<float32>
+    among fixed_size_list<float32, d> blocks makes concat/write fail
+    on mixed schemas."""
+    from log2seq_ray.ops.similarity import to_fixed32
+    fixed = pa.array([], type=pa.list_(pa.float32(), 4))
+    assert to_fixed32(fixed).type == pa.list_(pa.float32(), 4)
+    var = pa.array([], type=pa.list_(pa.float64()))
+    assert to_fixed32(var).type == pa.list_(pa.float64())
+    # non-empty conversion unchanged
+    full = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float64()))
+    out = to_fixed32(full)
+    assert out.type == pa.list_(pa.float32(), 2)

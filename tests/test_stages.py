@@ -1231,20 +1231,31 @@ def test_minhash_dedup_copartitioned_verify(ray_session):
     assert len(a) >= 3  # the three tail-groups produce near-dup pairs
 
 
-def test_shingle_string_rows_matches_reference():
-    """Vectorized shingle-string generation must equal the per-row
-    reference (_shingle_strings) on every edge: empty, null, single
-    token, exactly-k, multi-space, long."""
-    from log2seq_ray.ops.dedup import _shingle_strings, _shingle_string_rows
-    texts = ["", None, "one", "a b", "a b c", "a  b   c d e f g",
-             "x " * 50, "a b c d e f"]
-    arr = pa.array(texts, type=pa.string())
-    strs, row_of = _shingle_string_rows(arr, 3)
-    got = [set() for _ in texts]
-    for s, r in zip(strs.to_pylist(), row_of):
-        got[r].add(s)
-    for i, t in enumerate(texts):
-        assert got[i] == set(_shingle_strings(t or "", 3)), (i, t)
+def test_minhash_dedup_zero_row_block(ray_session):
+    """Zero-row corpus blocks pass through map_batches UNTRANSFORMED
+    (corpus schema — no 'sh' hash column), so the verify fan-out must
+    route them without selecting the hash column (regression: the byte-
+    diet rewrite crashed on any empty parquet fragment or filtered-out
+    block with KeyError inside _split_docs_by_need)."""
+    import ray.data as rd
+    from log2seq_ray.ops.dedup import minhash_dedup
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), type=pa.int64()),
+        "text": [base + f" tail{i % 2}" for i in range(6)]})
+    out = minhash_dedup(rd.from_arrow([empty, docs, empty.slice(0)]),
+                        threshold=0.5, n_hashes=32, n_bands=32,
+                        num_parts=4).to_pandas()
+    ref = minhash_dedup(rd.from_arrow(docs), threshold=0.5, n_hashes=32,
+                        n_bands=32, num_parts=4).to_pandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        ref.sort_values(key).reset_index(drop=True))
+    assert len(ref) >= 3
 
 
 def test_shingle_hash_lists_set_semantics():
