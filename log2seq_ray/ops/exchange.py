@@ -163,6 +163,20 @@ def concat_typed(pieces, *required):
     return None
 
 
+def col_type(t, name, default):
+    """Type of column ``name`` in (possibly zero-row) table ``t``, or
+    ``default`` when ``t`` is None / lacks the column / carries it
+    null-typed. The mixed-schema guard for empty partitions: an empty
+    partition that HARDCODES an output type while populated partitions
+    emit the input's real type (string keys, say) hands the Dataset
+    mixed block schemas that break schema()/union/to_pandas downstream."""
+    if t is not None and name in t.column_names:
+        tp = t.column(name).type
+        if not pa.types.is_null(tp):
+            return tp
+    return default
+
+
 def resolve_mixed_pieces(pieces):
     """Task-side: resolve a piece list that may mix Arrow tables, object
     refs, and parquet file PATHS (bucket-aligned reads from a compacted

@@ -611,11 +611,12 @@ def _dense_fill_partition(key: str, unit_us: int, pieces) -> pa.Table:
     """One key partition of the gap fill: sum the (key, period) partials,
     then emit EVERY unit step between each key's first and last active
     period, zero-filled — all index arithmetic, no per-key Python."""
-    from .exchange import concat_typed
-    empty = pa.table({key: pa.array([], type=pa.int64()),
+    from .exchange import col_type, concat_typed
+    t = concat_typed(pieces, key, "period", "p")
+    empty = pa.table({key: pa.array([], type=col_type(t, key,
+                                                      pa.int64())),
                       "period": pa.array([], type=pa.timestamp("us")),
                       "n": pa.array([], type=pa.int64())})
-    t = concat_typed(pieces, key, "period", "p")
     if t is None or t.num_rows == 0:
         return empty
     kcol = t.column(key)
@@ -756,11 +757,13 @@ def _rank_partition(group_col: str, val_col: str, id_col: str,
     """One group partition of :func:`group_value_rank`: lexsort by
     (group, value, id); a row's rank is its value-run start's offset
     within the group segment (ties share a rank — RANK() semantics)."""
-    from .exchange import concat_typed
-    empty = pa.table({id_col: pa.array([], type=pa.int64()),
-                      group_col: pa.array([], type=pa.string()),
-                      "rnk": pa.array([], type=pa.int64())})
+    from .exchange import col_type, concat_typed
     t = concat_typed(pieces, group_col, val_col, id_col)
+    empty = pa.table({
+        id_col: pa.array([], type=col_type(t, id_col, pa.int64())),
+        group_col: pa.array([], type=col_type(t, group_col,
+                                              pa.string())),
+        "rnk": pa.array([], type=pa.int64())})
     if t is None or t.num_rows == 0:
         return empty
     valid = pc.is_valid(t.column(val_col))

@@ -121,7 +121,11 @@ def _sessionize_partition(key: str, ts_col: str, gap_sec: int, mode: str,
 
 def _session_exchange(ds, key: str, ts_col: str, gap_sec: int, mode: str,
                       num_parts: int):
-    return hash_exchange(ds, key, _sessionize_partition, num_parts,
+    # narrow projection BEFORE the exchange: the partition fn reads only
+    # (key, ts) — never ship wide payload columns through the shuffle
+    narrow = ds.map_batches(lambda b: b.select([key, ts_col]),
+                            batch_format="pyarrow")
+    return hash_exchange(narrow, key, _sessionize_partition, num_parts,
                          fn_args=(key, ts_col, gap_sec, mode))
 
 
@@ -192,9 +196,14 @@ def _running_partition(key: str, ts_col: str, id_col: str, val_col: str,
                                if isinstance(t.column(key), pa.ChunkedArray)
                                else t.column(key))
     codes = np.asarray(enc.indices, dtype=np.int64)
-    v = np.floor(np.asarray(
+    raw = np.asarray(
         pc.fill_null(t.column(val_col), 0.0).to_numpy(zero_copy_only=False),
-        dtype=np.float64) * 1e6).astype(np.int64)
+        dtype=np.float64)
+    # NaN/inf are not Arrow nulls: floor(nan*1e6).astype(int64) lands on
+    # INT64_MIN and corrupts every later cumsum in the key — coerce
+    # non-finite to 0 exactly like nulls
+    v = np.floor(np.where(np.isfinite(raw), raw, 0.0)
+                 * 1e6).astype(np.int64)
     order = np.lexsort((ids, ts, codes))
     k, s_ids, s_v = codes[order], ids[order], v[order]
     n = len(k)
@@ -224,7 +233,10 @@ def running_totals(ds, key: str = "user_id", ts_col: str = "ts",
     Scale shape: one hash exchange of narrow rows, one vectorized
     segmented-cumsum task per partition — no per-key Python, no window
     pair explosion."""
-    return hash_exchange(ds, key, _running_partition, num_parts,
+    narrow = ds.map_batches(
+        lambda b: b.select([key, ts_col, id_col, val_col]),
+        batch_format="pyarrow")
+    return hash_exchange(narrow, key, _running_partition, num_parts,
                          fn_args=(key, ts_col, id_col, val_col))
 
 
@@ -257,9 +269,14 @@ def _trailing_partition(key: str, ts_col: str, id_col: str, val_col: str,
                                if isinstance(t.column(key), pa.ChunkedArray)
                                else t.column(key))
     codes = np.asarray(enc.indices, dtype=np.int64)
-    v = np.floor(np.asarray(
+    raw = np.asarray(
         pc.fill_null(t.column(val_col), 0.0).to_numpy(zero_copy_only=False),
-        dtype=np.float64) * 1e6).astype(np.int64)
+        dtype=np.float64)
+    # NaN/inf are not Arrow nulls: floor(nan*1e6).astype(int64) lands on
+    # INT64_MIN and corrupts every later cumsum in the key — coerce
+    # non-finite to 0 exactly like nulls
+    v = np.floor(np.where(np.isfinite(raw), raw, 0.0)
+                 * 1e6).astype(np.int64)
     order = np.lexsort((ids, ts, codes))
     k, s_ids, s_v = codes[order], ids[order], v[order]
     n = len(k)
@@ -285,7 +302,10 @@ def trailing_totals(ds, key: str = "user_id", ts_col: str = "ts",
     sliding-window analogue of :func:`running_totals`): one hash
     exchange, one vectorized segmented pass — the trailing sum is two
     cumsum lookups per row, never a per-row rescan of the window."""
-    return hash_exchange(ds, key, _trailing_partition, num_parts,
+    narrow = ds.map_batches(
+        lambda b: b.select([key, ts_col, id_col, val_col]),
+        batch_format="pyarrow")
+    return hash_exchange(narrow, key, _trailing_partition, num_parts,
                          fn_args=(key, ts_col, id_col, val_col,
                                   int(window)))
 
@@ -487,14 +507,15 @@ def _gap_stats_partition(key: str, ts_col: str, pieces) -> pa.Table:
     """One key partition of the inter-arrival stats: lexsort by
     (key, ts), per-key adjacent diffs, segmented integer aggregates —
     n_events, n_gaps, min/max/sum gap in exact microseconds."""
-    from .exchange import concat_typed
-    empty = pa.table({key: pa.array([], type=pa.int64()),
+    from .exchange import col_type, concat_typed
+    t = concat_typed(pieces, key, ts_col)
+    empty = pa.table({key: pa.array([], type=col_type(t, key,
+                                                      pa.int64())),
                       "n_events": pa.array([], type=pa.int64()),
                       "n_gaps": pa.array([], type=pa.int64()),
                       "min_gap_us": pa.array([], type=pa.int64()),
                       "max_gap_us": pa.array([], type=pa.int64()),
                       "sum_gap_us": pa.array([], type=pa.int64())})
-    t = concat_typed(pieces, key, ts_col)
     if t is None or t.num_rows == 0:
         return empty
     t = t.filter(pc.is_valid(t.column(ts_col)))
@@ -565,12 +586,13 @@ def _debounce_partition(key: str, sub_key: str, ts_col: str, id_col: str,
     semantics — the comparison baseline is the previous event, kept or
     not, so the decision is per-row local after the sort and needs no
     sequential state)."""
-    from .exchange import concat_typed
-    empty = pa.table({id_col: pa.array([], type=pa.int64()),
-                      key: pa.array([], type=pa.int64()),
-                      sub_key: pa.array([], type=pa.string()),
-                      ts_col: pa.array([], type=pa.timestamp("us"))})
+    from .exchange import col_type, concat_typed
     t = concat_typed(pieces, key, sub_key, ts_col, id_col)
+    empty = pa.table({
+        id_col: pa.array([], type=col_type(t, id_col, pa.int64())),
+        key: pa.array([], type=col_type(t, key, pa.int64())),
+        sub_key: pa.array([], type=col_type(t, sub_key, pa.string())),
+        ts_col: pa.array([], type=pa.timestamp("us"))})
     if t is None or t.num_rows == 0:
         return empty
     t = t.filter(pc.is_valid(t.column(ts_col)))
@@ -736,11 +758,12 @@ def _assign_partition(key: str, ts_col: str, id_col: str, gap_sec: int,
     """One key partition of ``assign_sessions``: the sessionize sort +
     boundary mask, then a per-key cumulative sum of boundaries gives
     each EVENT its 1-based session number."""
-    from .exchange import concat_typed
-    empty = pa.table({id_col: pa.array([], type=pa.int64()),
-                      key: pa.array([], type=pa.int64()),
-                      "session_no": pa.array([], type=pa.int64())})
+    from .exchange import col_type, concat_typed
     t = concat_typed(pieces, key, ts_col, id_col)
+    empty = pa.table({
+        id_col: pa.array([], type=col_type(t, id_col, pa.int64())),
+        key: pa.array([], type=col_type(t, key, pa.int64())),
+        "session_no": pa.array([], type=pa.int64())})
     if t is None or t.num_rows == 0:
         return empty
     t = t.filter(pc.is_valid(t.column(ts_col)))
@@ -821,9 +844,11 @@ def _zscore_partition(key: str, ts_col: str, id_col: str, val_col: str,
     # MILLI-units (not the micro convention): the test squares m·x, and
     # micro² at window=20 overflows int64 — milli keeps every product
     # under 2^63 for |value| <= 1e4 (documented contract)
-    x = np.floor(np.asarray(
+    raw = np.asarray(
         pc.fill_null(t.column(val_col), 0.0).to_numpy(zero_copy_only=False),
-        dtype=np.float64) * 1e3).astype(np.int64)
+        dtype=np.float64)
+    x = np.floor(np.where(np.isfinite(raw), raw, 0.0)
+                 * 1e3).astype(np.int64)
     order = np.lexsort((ids, ts, codes))
     k, s_ids, s_x = codes[order], ids[order], x[order]
     n = len(k)
@@ -960,8 +985,10 @@ def _windowed_dedup_partition(key: str, sub_key: str, payload: str,
         return np.asarray(pc.dictionary_encode(c).indices,
                           dtype=np.int64)
 
-    kc = np.asarray(pc.cast(t.column(key), pa.int64()).to_numpy(
-        zero_copy_only=False), dtype=np.int64)
+    # dictionary-encode like sub_key/payload — casting the key to int64
+    # crashes on the string keys debounce/sessionize support; grouping
+    # only needs code EQUALITY, not the key's numeric order
+    kc = _codes(t.column(key))
     sc, pcid = _codes(t.column(sub_key)), _codes(t.column(payload))
     order = np.lexsort((ids, ts, bucket, pcid, sc, kc))
     kc, sc, pcid, bucket = (kc[order], sc[order], pcid[order],
@@ -1207,11 +1234,23 @@ def _concentration_partition(key: str, sub_key: str, pieces) -> pa.Table:
     coll = np.add.reduceat(c * (c - 1), fk).astype(np.int64)
     types = np.diff(np.append(fk, len(uk))).astype(np.int64)
     denom = np.maximum(tot * (tot - 1), 1)
+    ppm = coll * 1_000_000 // denom
+    # exact-integer guard: coll*1e6 wraps int64 once a key exceeds
+    # ~3.04M events in a partition (coll <= tot(tot-1) > 2^63/1e6), and
+    # c*(c-1) itself wraps beyond c ~ 3e9 — recompute those (rare,
+    # bot-grade) keys with Python ints; tot <= 3M implies both safe
+    hot = np.nonzero(tot > 3_000_000)[0]
+    if len(hot):
+        seg_ends = np.append(fk[1:], len(uk))
+        for i in hot:
+            cs = [int(x) for x in c[fk[i]:seg_ends[i]]]
+            cl = sum(x * (x - 1) for x in cs)
+            tt = int(tot[i])
+            ppm[i] = cl * 1_000_000 // max(tt * (tt - 1), 1)
     return pa.table({key: pa.array(kvals[uk[fk]], type=pa.int64()),
                      "n_events": pa.array(tot),
                      "n_types": pa.array(types),
-                     "conc_ppm": pa.array(
-                         coll * 1_000_000 // denom)})
+                     "conc_ppm": pa.array(ppm)})
 
 
 def activity_concentration(ds, key: str = "user_id",
